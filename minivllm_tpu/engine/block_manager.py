@@ -1,0 +1,220 @@
+"""Paged KV-cache block management with hash-based prefix caching.
+
+Counterpart of the reference BlockManager
+(/root/reference/minivllm/engine/block_manager.py:24-450). Physical blocks
+live in one HBM-resident array managed by the model runner; this class
+tracks only the host-side metadata: which physical block holds which
+tokens, reference counts for sharing, and the chained-hash index that lets
+a new prompt reuse KV blocks computed for an identical prefix.
+
+Key semantics preserved from the reference:
+- a block's hash is only finalized when the block is FULL; partial blocks
+  have hash -1 and are never shared (block_manager.py:404-450);
+- hashes chain: hash(block_i) = H(tokens_i, seed=hash(block_{i-1})), so a
+  hit guarantees the entire prefix matches (block_manager.py:128-152);
+- freed blocks keep their hash in the index ("lazy tombstone") and may be
+  resurrected from the free list on a later hit (block_manager.py:154-164,
+  :252-344).
+"""
+
+from __future__ import annotations
+
+from collections import deque
+
+from minivllm_tpu.engine.sequence import Sequence
+from minivllm_tpu.utils.hashing import hash_token_blocks
+
+__all__ = ["Block", "BlockManager"]
+
+
+class Block:
+    """Metadata for one physical KV block."""
+
+    __slots__ = ("block_id", "ref_count", "hash", "token_ids")
+
+    def __init__(self, block_id: int) -> None:
+        self.block_id = block_id
+        self.ref_count = 0
+        self.hash = -1
+        self.token_ids: list[int] = []
+
+    def update(self, block_hash: int, token_ids: list[int]) -> None:
+        self.hash = block_hash
+        self.token_ids = token_ids
+
+    def reset(self) -> None:
+        self.ref_count = 1
+        self.hash = -1
+        self.token_ids = []
+
+
+class BlockManager:
+    """Allocates/frees physical KV blocks and serves prefix-cache lookups."""
+
+    def __init__(
+        self, num_blocks: int, block_size: int, enable_prefix_caching: bool = True
+    ) -> None:
+        if num_blocks <= 0:
+            raise ValueError(f"num_blocks must be positive, got {num_blocks}")
+        self.num_blocks = num_blocks
+        self.block_size = block_size
+        self.enable_prefix_caching = enable_prefix_caching
+        self.blocks: list[Block] = [Block(i) for i in range(num_blocks)]
+        # hash -> block_id of the most recent block with that chained hash.
+        self.hash_to_block_id: dict[int, int] = {}
+        # Free block ids in LRU order; blocks stay in the hash index while
+        # free ("tombstones") so they can be resurrected on a cache hit.
+        self.free_block_ids: deque[int] = deque(range(num_blocks))
+        self.used_block_ids: set[int] = set()
+        self.stats = {
+            "prefix_cache_hits": 0,
+            "prefix_cache_queries": 0,
+            "allocated_blocks": 0,
+            "freed_blocks": 0,
+        }
+
+    # -- internal ------------------------------------------------------------
+
+    def _take_block(self, block_id: int) -> Block:
+        block = self.blocks[block_id]
+        if block.ref_count != 0:
+            raise RuntimeError(f"block {block_id} taken while in use")
+        # Evict a stale hash-index entry pointing at this block: its KV is
+        # about to be overwritten.
+        if block.hash != -1 and self.hash_to_block_id.get(block.hash) == block_id:
+            del self.hash_to_block_id[block.hash]
+        block.reset()
+        self.free_block_ids.remove(block_id)
+        self.used_block_ids.add(block_id)
+        self.stats["allocated_blocks"] += 1
+        return block
+
+    def _release_block(self, block_id: int) -> None:
+        block = self.blocks[block_id]
+        if block.ref_count != 0:
+            raise RuntimeError(f"releasing block {block_id} with refs")
+        self.used_block_ids.discard(block_id)
+        self.free_block_ids.append(block_id)
+        self.stats["freed_blocks"] += 1
+
+    # -- public API ----------------------------------------------------------
+
+    @property
+    def num_free_blocks(self) -> int:
+        return len(self.free_block_ids)
+
+    def can_allocate(self, seq: Sequence) -> bool:
+        """Conservative admission test: assume zero cache hits."""
+        return seq.num_blocks <= self.num_free_blocks
+
+    def allocate(self, seq: Sequence) -> None:
+        """Allocate the full block table for a prompt, reusing cached prefixes.
+
+        Sets seq.num_cached_tokens to the number of leading tokens whose KV
+        already exists (always leaving at least one prompt token to compute
+        so prefill produces logits for sampling).
+        """
+        if seq.block_table:
+            raise RuntimeError(f"seq {seq.seq_id} already has a block table")
+        block_hashes = (
+            hash_token_blocks(seq.token_ids, self.block_size)
+            if self.enable_prefix_caching
+            else []
+        )
+        cache_miss = False
+        for i in range(seq.num_blocks):
+            block_hash = block_hashes[i] if i < len(block_hashes) else -1
+            token_ids = seq.block(i)
+            hit_id = -1
+            if block_hash != -1 and not cache_miss:
+                self.stats["prefix_cache_queries"] += 1
+                hit_id = self.hash_to_block_id.get(block_hash, -1)
+                if hit_id != -1 and self.blocks[hit_id].token_ids != token_ids:
+                    hit_id = -1  # hash collision
+            if hit_id == -1:
+                cache_miss = True
+                block = self._take_block(self.free_block_ids[0])
+                if block_hash != -1:
+                    # Full block: finalize its hash now (its KV will be
+                    # written this prefill).
+                    block.update(block_hash, token_ids)
+                    self.hash_to_block_id[block_hash] = block.block_id
+                seq.block_table.append(block.block_id)
+            else:
+                self.stats["prefix_cache_hits"] += 1
+                seq.num_cached_tokens += self.block_size
+                block = self.blocks[hit_id]
+                if block.ref_count > 0:
+                    block.ref_count += 1
+                else:
+                    # Resurrect from the free list.
+                    self.free_block_ids.remove(hit_id)
+                    self.used_block_ids.add(hit_id)
+                    block.ref_count = 1
+                seq.block_table.append(hit_id)
+        # Always compute at least the final prompt token so prefill emits
+        # logits for this sequence.
+        if seq.num_cached_tokens >= len(seq):
+            seq.num_cached_tokens = len(seq) - 1
+
+    def deallocate(self, seq: Sequence) -> None:
+        """Drop all references to the sequence's blocks (freed blocks keep
+        their hash in the index for resurrection)."""
+        for block_id in reversed(seq.block_table):
+            block = self.blocks[block_id]
+            if block.ref_count <= 0:
+                raise RuntimeError(f"double free of block {block_id}")
+            block.ref_count -= 1
+            if block.ref_count == 0:
+                self._release_block(block_id)
+        seq.block_table = []
+        seq.num_cached_tokens = 0
+
+    def can_append(self, seq: Sequence) -> bool:
+        """True if the KV slot for this decode step's input token exists or
+        can be allocated.
+
+        At decode-schedule time the sequence already holds the token sampled
+        last step (index len-1); its KV is written this step. A new physical
+        block is needed exactly when that position opens a fresh block.
+        """
+        needs_block = (len(seq) - 1) % self.block_size == 0
+        return self.num_free_blocks >= (1 if needs_block else 0)
+
+    def may_append(self, seq: Sequence) -> None:
+        """Prepare block state for one appended token (decode step).
+
+        Called after the token is appended to the sequence. Allocates a
+        block on boundary crossing and finalizes the previous block's hash
+        when it just became full (reference: block_manager.py:404-450).
+        """
+        if not seq.block_table:
+            raise RuntimeError("may_append before allocate")
+        last_len = (len(seq) - 1) % self.block_size  # tokens in last block
+        if last_len == 0:
+            # Previous block just became full -> finalize its hash; the new
+            # token opens a fresh block.
+            if self.enable_prefix_caching:
+                self._finalize_full_block(seq, seq.num_blocks - 2)
+            block = self._take_block(self.free_block_ids[0])
+            seq.block_table.append(block.block_id)
+
+    def _finalize_full_block(self, seq: Sequence, logical_idx: int) -> None:
+        if logical_idx < 0:
+            return
+        block = self.blocks[seq.block_table[logical_idx]]
+        if block.hash != -1:
+            return  # shared/cached block, already finalized
+        prefix = 0
+        if logical_idx > 0:
+            prev = self.blocks[seq.block_table[logical_idx - 1]]
+            prefix = prev.hash if prev.hash != -1 else 0
+        hashes = hash_token_blocks(seq.block(logical_idx), self.block_size, prefix)
+        if hashes:
+            block.update(hashes[0], seq.block(logical_idx))
+            self.hash_to_block_id[hashes[0]] = block.block_id
+
+    @property
+    def prefix_cache_hit_rate(self) -> float:
+        q = self.stats["prefix_cache_queries"]
+        return self.stats["prefix_cache_hits"] / q if q else 0.0

@@ -1,0 +1,146 @@
+"""Two-phase continuous-batching scheduler.
+
+Counterpart of the reference Scheduler
+(/root/reference/minivllm/engine/scheduler.py:55-293): prefill-first
+admission under a token/block budget, decode of all running sequences with
+preempt-youngest on memory pressure, and EOS/max-token finishing in
+postprocess. The semantics are identical; the output feeds the TPU model
+runner's bucketed jit step instead of a per-rank torch runner.
+"""
+
+from __future__ import annotations
+
+from collections import deque
+
+from minivllm_tpu.config import Config
+from minivllm_tpu.engine.block_manager import BlockManager
+from minivllm_tpu.engine.sequence import Sequence, SequenceStatus
+
+__all__ = ["Scheduler"]
+
+
+class Scheduler:
+    def __init__(self, config: Config) -> None:
+        if config.num_kvcache_blocks <= 0:
+            raise ValueError(
+                "Scheduler requires a resolved num_kvcache_blocks; the engine "
+                "sets it from the HBM budget before constructing the scheduler"
+            )
+        self.config = config
+        self.max_num_seqs = config.max_num_seqs
+        self.max_num_batched_tokens = config.max_num_batched_tokens
+        self.eos = config.eos
+        self.block_manager = BlockManager(
+            config.num_kvcache_blocks,
+            config.kvcache_block_size,
+            config.enable_prefix_caching,
+        )
+        self.waiting: deque[Sequence] = deque()
+        self.running: deque[Sequence] = deque()
+        self.num_preemptions = 0
+
+    def add(self, seq: Sequence) -> None:
+        self.waiting.append(seq)
+
+    def is_finished(self) -> bool:
+        return not self.waiting and not self.running
+
+    @property
+    def num_waiting(self) -> int:
+        return len(self.waiting)
+
+    @property
+    def num_running(self) -> int:
+        return len(self.running)
+
+    # -- scheduling ----------------------------------------------------------
+
+    def schedule(self) -> tuple[list[Sequence], bool]:
+        """Pick the next batch. Returns (sequences, is_prefill).
+
+        Phase 1 (prefill): admit waiting sequences FIFO while the packed
+        uncached-token count fits max_num_batched_tokens, the running set
+        fits max_num_seqs, and blocks are available.
+        Phase 2 (decode): all running sequences; on block exhaustion preempt
+        the most recently scheduled sequence (recompute-from-scratch).
+        """
+        scheduled: list[Sequence] = []
+        num_batched_tokens = 0
+        while self.waiting and len(self.running) + len(scheduled) < self.max_num_seqs:
+            seq = self.waiting[0]
+            new_tokens = len(seq)  # conservative: assume no cache hits yet
+            if num_batched_tokens + new_tokens > self.max_num_batched_tokens:
+                break
+            if not self.block_manager.can_allocate(seq):
+                break
+            self.waiting.popleft()
+            self.block_manager.allocate(seq)
+            # After allocation the actual compute cost excludes cached tokens.
+            num_batched_tokens += len(seq) - seq.num_cached_tokens
+            seq.status = SequenceStatus.RUNNING
+            scheduled.append(seq)
+        if scheduled:
+            self.running.extend(scheduled)
+            return scheduled, True
+
+        if self.waiting and not self.running:
+            # Nothing admitted and nothing running: the head request can
+            # never fit (prompt exceeds token budget or total blocks).
+            seq = self.waiting[0]
+            raise RuntimeError(
+                f"request seq_id={seq.seq_id} with {len(seq)} tokens cannot be "
+                f"scheduled (max_num_batched_tokens="
+                f"{self.max_num_batched_tokens}, total blocks="
+                f"{self.block_manager.num_blocks})"
+            )
+
+        # Decode phase.
+        decode: list[Sequence] = []
+        temp = deque(self.running)
+        while temp:
+            seq = temp.popleft()
+            # Ensure space for the token this step will append.
+            while not self.block_manager.can_append(seq):
+                if temp:
+                    victim = temp.pop()  # youngest other running seq
+                else:
+                    victim = seq
+                self._preempt(victim)
+                if victim is seq:
+                    break
+            else:
+                self.block_manager.may_append(seq)
+                decode.append(seq)
+        self.running = deque(decode)
+        return decode, False
+
+    def _preempt(self, seq: Sequence) -> None:
+        self.num_preemptions += 1
+        self.block_manager.deallocate(seq)
+        seq.reset_for_recompute()
+        self.waiting.appendleft(seq)
+
+    # -- postprocess ---------------------------------------------------------
+
+    def postprocess(self, seqs: list[Sequence], token_ids: list[int]) -> None:
+        """Append sampled tokens; finish on EOS / max_tokens / model length.
+
+        Note: `may_append` for decode steps runs in schedule() *before* the
+        token exists; the appended token here lands in the slot reserved
+        there. For prefill steps the first generated token always fits the
+        last allocated block or triggers allocation on the next schedule().
+        """
+        if len(seqs) != len(token_ids):
+            raise ValueError(f"{len(seqs)} seqs vs {len(token_ids)} tokens")
+        for seq, token_id in zip(seqs, token_ids):
+            seq.append_token(token_id)
+            sp = seq.sampling_params
+            finished = (
+                (not sp.ignore_eos and token_id == self.eos)
+                or seq.num_completion_tokens >= sp.max_tokens
+                or len(seq) >= self.config.max_model_len
+            )
+            if finished:
+                seq.status = SequenceStatus.FINISHED
+                self.block_manager.deallocate(seq)
+                self.running.remove(seq)

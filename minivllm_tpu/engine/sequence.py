@@ -1,0 +1,126 @@
+"""Per-request sequence state.
+
+Counterpart of the reference Sequence
+(/root/reference/minivllm/engine/sequence.py:17-365). Under SPMD there is no
+process boundary, so the reference's pickle-shrinking machinery
+(sequence.py:239-365) has no equivalent here — sequences never leave the
+host engine; only flat int32 batch arrays reach the device.
+"""
+
+from __future__ import annotations
+
+import itertools
+from enum import Enum, auto
+
+from minivllm_tpu.sampling_params import SamplingParams
+
+__all__ = ["Sequence", "SequenceStatus"]
+
+
+class SequenceStatus(Enum):
+    WAITING = auto()
+    RUNNING = auto()
+    FINISHED = auto()
+
+
+class Sequence:
+    """One generation request: prompt + generated tokens + paged-block state."""
+
+    _counter = itertools.count()
+
+    def __init__(
+        self,
+        token_ids: list[int],
+        sampling_params: SamplingParams | None = None,
+        block_size: int = 64,
+    ) -> None:
+        if not token_ids:
+            raise ValueError("token_ids must be non-empty")
+        if block_size <= 0:
+            raise ValueError(f"block_size must be positive, got {block_size}")
+        self.seq_id: int = next(Sequence._counter)
+        self.status = SequenceStatus.WAITING
+        self.token_ids: list[int] = list(token_ids)
+        self.num_prompt_tokens: int = len(token_ids)
+        self.sampling_params = sampling_params or SamplingParams()
+        self.block_size = block_size
+        # Tokens whose KV is already present via prefix-cache hits; prefill
+        # starts computing at this offset.
+        self.num_cached_tokens: int = 0
+        # Physical block ids, in order (block i covers tokens
+        # [i*block_size, (i+1)*block_size)).
+        self.block_table: list[int] = []
+        # Steps this sequence was preempted (for observability).
+        self.num_preemptions: int = 0
+
+    # -- token/block math ----------------------------------------------------
+
+    def __len__(self) -> int:
+        return len(self.token_ids)
+
+    @property
+    def num_tokens(self) -> int:
+        return len(self.token_ids)
+
+    @property
+    def num_completion_tokens(self) -> int:
+        return len(self.token_ids) - self.num_prompt_tokens
+
+    @property
+    def completion_token_ids(self) -> list[int]:
+        return self.token_ids[self.num_prompt_tokens :]
+
+    @property
+    def prompt_token_ids(self) -> list[int]:
+        return self.token_ids[: self.num_prompt_tokens]
+
+    @property
+    def last_token(self) -> int:
+        return self.token_ids[-1]
+
+    @property
+    def num_blocks(self) -> int:
+        """Blocks needed to hold all current tokens."""
+        return (len(self.token_ids) + self.block_size - 1) // self.block_size
+
+    @property
+    def last_block_num_tokens(self) -> int:
+        return len(self.token_ids) - (self.num_blocks - 1) * self.block_size
+
+    @property
+    def num_cached_blocks(self) -> int:
+        return self.num_cached_tokens // self.block_size
+
+    def block(self, i: int) -> list[int]:
+        """Token ids covered by logical block i."""
+        if not 0 <= i < self.num_blocks:
+            raise IndexError(f"block {i} out of range [0, {self.num_blocks})")
+        return self.token_ids[i * self.block_size : (i + 1) * self.block_size]
+
+    # -- state transitions ---------------------------------------------------
+
+    def append_token(self, token_id: int) -> None:
+        self.token_ids.append(token_id)
+
+    @property
+    def is_finished(self) -> bool:
+        return self.status == SequenceStatus.FINISHED
+
+    @property
+    def is_running(self) -> bool:
+        return self.status == SequenceStatus.RUNNING
+
+    def reset_for_recompute(self) -> None:
+        """Preemption: drop cache state; tokens are kept and recomputed
+        (reference: scheduler.py:250-266)."""
+        self.status = SequenceStatus.WAITING
+        self.block_table = []
+        self.num_cached_tokens = 0
+        self.num_preemptions += 1
+
+    def __repr__(self) -> str:
+        return (
+            f"Sequence(id={self.seq_id}, status={self.status.name}, "
+            f"tokens={len(self.token_ids)}, prompt={self.num_prompt_tokens}, "
+            f"blocks={len(self.block_table)})"
+        )

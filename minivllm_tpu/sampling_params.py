@@ -1,0 +1,67 @@
+"""User-facing sampling parameters.
+
+API-compatible with the reference SamplingParams
+(/root/reference/minivllm/sampling_params.py:12-67), extended with the
+reference's internal SamplingConfig knobs (sampling/config.py:6-54) so the
+full sampler pipeline is reachable from the public API.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+__all__ = ["SamplingParams"]
+
+
+@dataclass
+class SamplingParams:
+    """Controls token sampling during generation.
+
+    temperature == 0 selects greedy decoding. top_k == -1 disables top-k.
+    Filters are applied in the reference's order: penalties -> temperature ->
+    typical -> top-k -> top-p -> min-p -> sample
+    (/root/reference/minivllm/sampling/sampler.py:27-110).
+    """
+
+    temperature: float = 1.0
+    top_p: float = 1.0
+    top_k: int = -1
+    min_p: float = 0.0
+    max_tokens: int = 64
+    ignore_eos: bool = False
+    # Extended knobs (reference internal SamplingConfig):
+    typical_p: float = 1.0
+    repetition_penalty: float = 1.0
+    frequency_penalty: float = 0.0
+    presence_penalty: float = 0.0
+    seed: int | None = None
+
+    def __post_init__(self) -> None:
+        if self.temperature < 0:
+            raise ValueError(f"temperature must be >= 0, got {self.temperature}")
+        if not 0.0 < self.top_p <= 1.0:
+            raise ValueError(f"top_p must be in (0, 1], got {self.top_p}")
+        if self.top_k < -1 or self.top_k == 0:
+            raise ValueError(f"top_k must be -1 (disable) or > 0, got {self.top_k}")
+        if not 0.0 <= self.min_p <= 1.0:
+            raise ValueError(f"min_p must be in [0, 1], got {self.min_p}")
+        if self.max_tokens <= 0:
+            raise ValueError(f"max_tokens must be > 0, got {self.max_tokens}")
+        if not 0.0 < self.typical_p <= 1.0:
+            raise ValueError(f"typical_p must be in (0, 1], got {self.typical_p}")
+        if self.repetition_penalty <= 0:
+            raise ValueError(
+                f"repetition_penalty must be > 0, got {self.repetition_penalty}"
+            )
+
+    @property
+    def is_greedy(self) -> bool:
+        return self.temperature == 0.0
+
+    @property
+    def has_penalties(self) -> bool:
+        return (
+            self.repetition_penalty != 1.0
+            or self.frequency_penalty != 0.0
+            or self.presence_penalty != 0.0
+        )
