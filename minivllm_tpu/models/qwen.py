@@ -1,0 +1,236 @@
+"""Qwen2 / Qwen3 model family.
+
+Functional counterpart of the reference's shared Qwen architecture
+(/root/reference/minivllm/models/qwen_base.py:65-388, qwen2.py, qwen3.py):
+pre-RMSNorm decoder with RoPE GQA attention and SwiGLU MLP. Qwen2 uses QKV
+bias; Qwen3 drops the bias and adds per-head q/k RMSNorm.
+
+TPU-first design: parameters are stacked over layers and the forward pass
+is one `lax.scan`; the paged KV cache (L, num_slots, kvh, hd) rides in the
+scan carry and is scattered in place; batch metadata arrives as an explicit
+pytree (PrefillBatch / DecodeBatch) rather than a context side-channel.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from minivllm_tpu.models.common import WeightCollector
+from minivllm_tpu.ops.attention import DecodeBatch, PrefillBatch
+from minivllm_tpu.ops.norm import rms_norm
+from minivllm_tpu.ops.activation import silu_and_mul
+from minivllm_tpu.ops.rotary import apply_rope, compute_cos_sin
+
+__all__ = ["QwenForCausalLM"]
+
+
+class QwenForCausalLM:
+    """Static architecture description + pure forward functions."""
+
+    def __init__(self, hf_config, dtype=jnp.bfloat16, attn_backend=None) -> None:
+        c = hf_config
+        self.dtype = jnp.dtype(dtype)
+        self.num_layers = c.num_hidden_layers
+        self.hidden_size = c.hidden_size
+        self.num_heads = c.num_attention_heads
+        self.num_kv_heads = getattr(c, "num_key_value_heads", self.num_heads)
+        self.head_dim = getattr(c, "head_dim", None) or (
+            self.hidden_size // self.num_heads
+        )
+        self.intermediate_size = c.intermediate_size
+        self.vocab_size = c.vocab_size
+        self.rms_eps = getattr(c, "rms_norm_eps", 1e-6)
+        self.rope_theta = getattr(c, "rope_theta", 10000.0)
+        self.tie_embeddings = getattr(c, "tie_word_embeddings", False)
+        self.max_position_embeddings = getattr(c, "max_position_embeddings", 4096)
+        # Qwen2: QKV bias, no q/k norm. Qwen3: no bias, q/k per-head RMSNorm
+        # (reference: qwen2.py:23-40, qwen3.py:23-40).
+        model_type = getattr(c, "model_type", "qwen3")
+        if model_type == "qwen2":
+            self.qkv_bias = True
+            self.qk_norm = False
+        else:
+            self.qkv_bias = bool(getattr(c, "attention_bias", False))
+            self.qk_norm = True
+        scaling = getattr(c, "rope_scaling", None) or {}
+        self.rope_scaling_type = scaling.get("rope_type", scaling.get("type"))
+        self.rope_scaling_factor = float(scaling.get("factor", 1.0))
+        self.scale = self.head_dim**-0.5
+        self.attn_backend = attn_backend
+
+    # -- parameters ----------------------------------------------------------
+
+    def init_params(self, rng) -> dict:
+        """Random-normal parameters (tests / benchmarks)."""
+        L, D, I = self.num_layers, self.hidden_size, self.intermediate_size
+        H, KV, hd = self.num_heads, self.num_kv_heads, self.head_dim
+        keys = iter(jax.random.split(rng, 16))
+
+        def lin(in_d, out_d):
+            return (
+                jax.random.normal(next(keys), (L, in_d, out_d), jnp.float32) * 0.02
+            ).astype(self.dtype)
+
+        layers = {
+            "input_ln": jnp.ones((L, D), self.dtype),
+            "q_proj": lin(D, H * hd),
+            "k_proj": lin(D, KV * hd),
+            "v_proj": lin(D, KV * hd),
+            "o_proj": lin(H * hd, D),
+            "post_ln": jnp.ones((L, D), self.dtype),
+            "gate_proj": lin(D, I),
+            "up_proj": lin(D, I),
+            "down_proj": lin(I, D),
+        }
+        if self.qkv_bias:
+            layers["q_bias"] = jnp.zeros((L, H * hd), self.dtype)
+            layers["k_bias"] = jnp.zeros((L, KV * hd), self.dtype)
+            layers["v_bias"] = jnp.zeros((L, KV * hd), self.dtype)
+        if self.qk_norm:
+            layers["q_norm"] = jnp.ones((L, hd), self.dtype)
+            layers["k_norm"] = jnp.ones((L, hd), self.dtype)
+        params = {
+            "embed": (
+                jax.random.normal(next(keys), (self.vocab_size, D), jnp.float32)
+                * 0.02
+            ).astype(self.dtype),
+            "layers": layers,
+            "final_norm": jnp.ones((D,), self.dtype),
+        }
+        if not self.tie_embeddings:
+            params["lm_head"] = (
+                jax.random.normal(next(keys), (D, self.vocab_size), jnp.float32)
+                * 0.02
+            ).astype(self.dtype)
+        return params
+
+    def load_weights(self, weights) -> dict:
+        """Assemble params from an iterator of (hf_name, numpy array).
+
+        HF stores Linear weights (out, in); we store (in, out), so kernels
+        are transposed at load (reference mapping: qwen_base.py:326-388).
+        """
+        col = WeightCollector(self.num_layers, self.dtype)
+        T = np.transpose
+        for hf, path, tr in [
+            (r"model\.embed_tokens\.weight", ("embed",), None),
+            (r"model\.norm\.weight", ("final_norm",), None),
+            ("input_layernorm.weight", ("layers", "input_ln"), None),
+            ("post_attention_layernorm.weight", ("layers", "post_ln"), None),
+            ("self_attn.q_proj.weight", ("layers", "q_proj"), T),
+            ("self_attn.k_proj.weight", ("layers", "k_proj"), T),
+            ("self_attn.v_proj.weight", ("layers", "v_proj"), T),
+            ("self_attn.o_proj.weight", ("layers", "o_proj"), T),
+            ("self_attn.q_proj.bias", ("layers", "q_bias"), None),
+            ("self_attn.k_proj.bias", ("layers", "k_bias"), None),
+            ("self_attn.v_proj.bias", ("layers", "v_bias"), None),
+            ("self_attn.q_norm.weight", ("layers", "q_norm"), None),
+            ("self_attn.k_norm.weight", ("layers", "k_norm"), None),
+            ("mlp.gate_proj.weight", ("layers", "gate_proj"), T),
+            ("mlp.up_proj.weight", ("layers", "up_proj"), T),
+            ("mlp.down_proj.weight", ("layers", "down_proj"), T),
+        ]:
+            if not hf.startswith("model"):
+                hf = r"model\.layers\.{L}\." + hf.replace(".", r"\.")
+            col.rule(hf, path, tr)
+        if not self.tie_embeddings:
+            col.rule(r"lm_head\.weight", ("lm_head",), T)
+        unmatched = []
+        for name, tensor in weights:
+            if not col.add(name, tensor):
+                if name == "lm_head.weight" and self.tie_embeddings:
+                    continue
+                unmatched.append(name)
+        if unmatched:
+            raise ValueError(f"unmatched checkpoint tensors: {unmatched[:8]}")
+        return col.build()
+
+    # -- forward -------------------------------------------------------------
+
+    def _rope(self, positions):
+        return compute_cos_sin(
+            positions,
+            self.head_dim,
+            self.rope_theta,
+            self.rope_scaling_type,
+            self.rope_scaling_factor,
+            self.max_position_embeddings,
+        )
+
+    def forward(
+        self,
+        params: dict,
+        batch: PrefillBatch | DecodeBatch,
+        k_cache: jnp.ndarray,
+        v_cache: jnp.ndarray,
+        *,
+        is_prefill: bool,
+    ):
+        """Run the decoder. Returns (hidden, k_cache, v_cache).
+
+        k_cache/v_cache: (L, num_slots, kv_heads, head_dim), scattered
+        in place (donate them at the jit boundary).
+        """
+        H, KV, hd = self.num_heads, self.num_kv_heads, self.head_dim
+        x = params["embed"][batch.input_ids].astype(self.dtype)  # (T, D)
+        cos, sin = self._rope(batch.positions)
+        backend = self.attn_backend
+        eps = self.rms_eps
+
+        def layer(carry, scanned):
+            x, k_cache, v_cache = carry
+            lp, lidx = scanned
+            T = x.shape[0]
+            h_in = rms_norm(x, lp["input_ln"], eps)
+            q = jnp.dot(h_in, lp["q_proj"])
+            k = jnp.dot(h_in, lp["k_proj"])
+            v = jnp.dot(h_in, lp["v_proj"])
+            if self.qkv_bias:
+                q = q + lp["q_bias"]
+                k = k + lp["k_bias"]
+                v = v + lp["v_bias"]
+            q = q.reshape(T, H, hd)
+            k = k.reshape(T, KV, hd)
+            v = v.reshape(T, KV, hd)
+            if self.qk_norm:
+                q = rms_norm(q, lp["q_norm"], eps)
+                k = rms_norm(k, lp["k_norm"], eps)
+            q = apply_rope(q, cos, sin)
+            k = apply_rope(k, cos, sin)
+            k_cache = k_cache.at[lidx, batch.slot_mapping].set(
+                k.astype(k_cache.dtype)
+            )
+            v_cache = v_cache.at[lidx, batch.slot_mapping].set(
+                v.astype(v_cache.dtype)
+            )
+            if is_prefill:
+                attn = backend.prefill(
+                    q, k_cache[lidx], v_cache[lidx], batch, self.scale
+                )
+            else:
+                attn = backend.decode(
+                    q, k_cache[lidx], v_cache[lidx], batch, self.scale
+                )
+            x = x + jnp.dot(attn.reshape(T, H * hd), lp["o_proj"])
+            h_mlp = rms_norm(x, lp["post_ln"], eps)
+            gate = jnp.dot(h_mlp, lp["gate_proj"])
+            up = jnp.dot(h_mlp, lp["up_proj"])
+            x = x + jnp.dot(silu_and_mul(gate, up), lp["down_proj"])
+            return (x, k_cache, v_cache), None
+
+        lidx = jnp.arange(self.num_layers, dtype=jnp.int32)
+        (x, k_cache, v_cache), _ = lax.scan(
+            layer, (x, k_cache, v_cache), (params["layers"], lidx)
+        )
+        x = rms_norm(x, params["final_norm"], eps)
+        return x, k_cache, v_cache
+
+    def compute_logits(self, params: dict, hidden: jnp.ndarray) -> jnp.ndarray:
+        """hidden (N, D) -> logits (N, V) in fp32."""
+        w = params["embed"].T if self.tie_embeddings else params["lm_head"]
+        return jnp.dot(hidden, w, preferred_element_type=jnp.float32)

@@ -1,0 +1,179 @@
+"""Paged attention: batch metadata, KV-cache scatter, and XLA reference
+implementations.
+
+This replaces the reference's attention dispatch stack
+(/root/reference/minivllm/models/layers/attention.py:102-597,
+attention_backend.py, page_attention.py) with a functional design:
+
+- Batch metadata is an explicit pytree argument threaded through the
+  jitted step (the reference used a thread-local Context side-channel,
+  utils/context.py — side-channels do not survive JAX tracing).
+- The KV cache is a flat slot array per layer: (num_slots, kv_heads,
+  head_dim) with num_slots = (num_blocks + 1) * block_size. Slot
+  `block_id * block_size + offset` holds that token's K/V. The final
+  block is a trash block that padding lanes scatter into/gather from, so
+  padded programs never branch (the reference's -1 sentinels map here,
+  SURVEY.md §7.3).
+- `*_attention_xla` are pure-jnp oracles: exact, shape-static, and the
+  correctness reference for the Pallas kernels (the same role the
+  reference's PageAttention gather+SDPA fallback plays,
+  page_attention.py:25-133).
+
+All softmax math runs in fp32; GQA is handled by grouping query heads
+over KV heads without materializing repeated K/V.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+__all__ = [
+    "PrefillBatch",
+    "DecodeBatch",
+    "store_kv",
+    "prefill_attention_xla",
+    "decode_attention_xla",
+]
+
+NEG_INF = float(jnp.finfo(jnp.float32).min)
+
+
+class PrefillBatch(NamedTuple):
+    """Packed prefill batch (all arrays padded to compile buckets).
+
+    T = padded new-token count, C = padded context-token count,
+    S = padded sequence count, W = padded block-table width.
+    """
+
+    input_ids: jnp.ndarray        # (T,) int32; padding -> 0
+    positions: jnp.ndarray        # (T,) int32 absolute position; padding -> 0
+    q_seg: jnp.ndarray            # (T,) int32 sequence index; padding -> -1
+    slot_mapping: jnp.ndarray     # (T,) int32 flat cache slot; padding -> trash
+    ctx_slot_mapping: jnp.ndarray  # (C,) int32 slots of packed full context
+    k_seg: jnp.ndarray            # (C,) int32 sequence index; padding -> -2
+    k_pos: jnp.ndarray            # (C,) int32 absolute position; padding -> 0
+    last_token_idx: jnp.ndarray   # (S,) int32 index into T of each seq's last token
+    block_tables: jnp.ndarray     # (S, W) int32; padding -> trash block
+    ctx_lens: jnp.ndarray         # (S,) int32 total context length; padding -> 0
+
+
+class DecodeBatch(NamedTuple):
+    """Decode batch: one new token per sequence (padded to S bucket)."""
+
+    input_ids: jnp.ndarray        # (S,) int32; padding -> 0
+    positions: jnp.ndarray        # (S,) int32 (= ctx_len - 1); padding -> 0
+    slot_mapping: jnp.ndarray     # (S,) int32; padding -> trash slot
+    block_tables: jnp.ndarray     # (S, W) int32; padding -> trash block
+    ctx_lens: jnp.ndarray         # (S,) int32; padding -> 0
+
+
+def store_kv(
+    k_cache: jnp.ndarray,
+    v_cache: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    slot_mapping: jnp.ndarray,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Scatter new K/V rows into the flat slot cache.
+
+    k_cache/v_cache: (num_slots, kv_heads, head_dim); k/v: (T, kv_heads,
+    head_dim); slot_mapping: (T,). Under buffer donation XLA lowers this to
+    an in-place scatter (the reference needed a Triton kernel for the same
+    operation, attention_backend.py:52-78).
+    """
+    k_cache = k_cache.at[slot_mapping].set(k.astype(k_cache.dtype))
+    v_cache = v_cache.at[slot_mapping].set(v.astype(v_cache.dtype))
+    return k_cache, v_cache
+
+
+def _grouped_scores(q: jnp.ndarray, k: jnp.ndarray, scale: float) -> jnp.ndarray:
+    """q: (T, h, d), k: (C, kvh, d) -> scores (kvh, g, T, C) in fp32,
+    where h = kvh * g (GQA without repeating K)."""
+    T, h, d = q.shape
+    kvh = k.shape[1]
+    g = h // kvh
+    qg = q.reshape(T, kvh, g, d).astype(jnp.float32)
+    k32 = k.astype(jnp.float32)
+    return jnp.einsum("tkgd,ckd->kgtc", qg, k32) * scale
+
+
+def _grouped_out(p: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
+    """p: (kvh, g, T, C), v: (C, kvh, d) -> out (T, h, d) fp32."""
+    kvh, g, T, C = p.shape
+    out = jnp.einsum("kgtc,ckd->tkgd", p, v.astype(jnp.float32))
+    return out.reshape(T, kvh * g, -1)
+
+
+def _masked_softmax(scores: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+    scores = jnp.where(mask, scores, NEG_INF)
+    m = jnp.max(scores, axis=-1, keepdims=True)
+    e = jnp.exp(scores - jax_stop_nan(m))
+    e = jnp.where(mask, e, 0.0)
+    denom = jnp.sum(e, axis=-1, keepdims=True)
+    return e / jnp.maximum(denom, 1e-30)
+
+
+def jax_stop_nan(m: jnp.ndarray) -> jnp.ndarray:
+    """Rows that are fully masked have max = -inf; clamp so exp() stays 0
+    instead of NaN."""
+    return jnp.maximum(m, NEG_INF)
+
+
+def prefill_attention_xla(
+    q: jnp.ndarray,
+    k_cache: jnp.ndarray,
+    v_cache: jnp.ndarray,
+    meta: PrefillBatch,
+    scale: float,
+) -> jnp.ndarray:
+    """Packed varlen causal prefill attention over the paged cache.
+
+    q: (T, h, d) — roped queries for the packed new tokens. Keys/values are
+    gathered from the cache at the packed context slots (which include any
+    prefix-cache-hit tokens plus this step's freshly scattered tokens).
+    Valid (query, key) pairs: same sequence and k_pos <= q_pos.
+    """
+    k = k_cache[meta.ctx_slot_mapping]          # (C, kvh, d)
+    v = v_cache[meta.ctx_slot_mapping]
+    scores = _grouped_scores(q, k, scale)        # (kvh, g, T, C)
+    same_seq = meta.q_seg[:, None] == meta.k_seg[None, :]
+    causal = meta.k_pos[None, :] <= meta.positions[:, None]
+    mask = (same_seq & causal)[None, None, :, :]
+    p = _masked_softmax(scores, mask)
+    out = _grouped_out(p, v)                     # (T, h, d) fp32
+    return out.astype(q.dtype)
+
+
+def decode_attention_xla(
+    q: jnp.ndarray,
+    k_cache: jnp.ndarray,
+    v_cache: jnp.ndarray,
+    meta: DecodeBatch,
+    scale: float,
+    block_size: int,
+) -> jnp.ndarray:
+    """Paged decode attention: one query per sequence against its block
+    table (reference oracle: page_attention.py:25-133).
+
+    q: (S, h, d). Gathers each sequence's context (S, W*bs, kvh, d) from
+    the flat cache and applies a context-length mask.
+    """
+    S, h, d = q.shape
+    W = meta.block_tables.shape[1]
+    bs = block_size
+    # Flat slots for every (block, offset) pair in the table.
+    offs = jnp.arange(bs, dtype=jnp.int32)
+    slots = (meta.block_tables[:, :, None] * bs + offs[None, None, :]).reshape(S, W * bs)
+    k = k_cache[slots]                           # (S, C, kvh, d)
+    v = v_cache[slots]
+    kvh = k.shape[2]
+    g = h // kvh
+    qg = q.reshape(S, kvh, g, d).astype(jnp.float32)
+    scores = jnp.einsum("skgd,sckd->skgc", qg, k.astype(jnp.float32)) * scale
+    ctx_pos = jnp.arange(W * bs, dtype=jnp.int32)
+    mask = (ctx_pos[None, :] < meta.ctx_lens[:, None])[:, None, None, :]
+    p = _masked_softmax(scores, mask)
+    out = jnp.einsum("skgc,sckd->skgd", p, v.astype(jnp.float32))
+    return out.reshape(S, h, d).astype(q.dtype)

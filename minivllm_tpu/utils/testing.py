@@ -1,0 +1,105 @@
+"""Offline test/bench utilities.
+
+Builds tiny *random* HF checkpoints locally (no network) so logit-parity
+and engine tests can run in a zero-egress environment. The parity harness
+role mirrors the reference's test_qwen3_logit_match.py (SURVEY.md §3.5).
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+import numpy as np
+
+__all__ = ["make_tiny_checkpoint", "TINY_CONFIGS"]
+
+TINY_CONFIGS: dict[str, dict] = {
+    "qwen3": {
+        "architectures": ["Qwen3ForCausalLM"],
+        "model_type": "qwen3",
+        "hidden_size": 64,
+        "intermediate_size": 128,
+        "num_attention_heads": 4,
+        "num_key_value_heads": 2,
+        "num_hidden_layers": 2,
+        "head_dim": 32,
+        "vocab_size": 199,
+        "max_position_embeddings": 512,
+        "rms_norm_eps": 1e-6,
+        "rope_theta": 10000.0,
+        "attention_bias": False,
+        "tie_word_embeddings": True,
+        "torch_dtype": "float32",
+        "hidden_act": "silu",
+        "use_cache": False,
+    },
+    "qwen2": {
+        "architectures": ["Qwen2ForCausalLM"],
+        "model_type": "qwen2",
+        "hidden_size": 64,
+        "intermediate_size": 128,
+        "num_attention_heads": 4,
+        "num_key_value_heads": 2,
+        "num_hidden_layers": 2,
+        "vocab_size": 199,
+        "max_position_embeddings": 512,
+        "rms_norm_eps": 1e-6,
+        "rope_theta": 1000000.0,
+        "tie_word_embeddings": False,
+        "torch_dtype": "float32",
+        "hidden_act": "silu",
+        "use_cache": False,
+    },
+    "opt": {
+        "architectures": ["OPTForCausalLM"],
+        "model_type": "opt",
+        "hidden_size": 64,
+        "ffn_dim": 128,
+        "num_attention_heads": 4,
+        "num_hidden_layers": 2,
+        "vocab_size": 199,
+        "max_position_embeddings": 512,
+        "word_embed_proj_dim": 64,
+        "do_layer_norm_before": True,
+        "activation_function": "relu",
+        "torch_dtype": "float32",
+        "use_cache": False,
+    },
+    "gpt2": {
+        "architectures": ["GPT2LMHeadModel"],
+        "model_type": "gpt2",
+        "n_embd": 64,
+        "n_head": 4,
+        "n_layer": 2,
+        "n_positions": 512,
+        "vocab_size": 199,
+        "activation_function": "gelu_new",
+        "torch_dtype": "float32",
+        "use_cache": False,
+    },
+}
+
+
+def make_tiny_checkpoint(
+    model_type: str, out_dir: str | Path, seed: int = 0, **overrides
+) -> Path:
+    """Create a random-weight HF checkpoint (config.json + model.safetensors).
+
+    Uses transformers to construct the architecture so the tensor names are
+    exactly what real checkpoints use.
+    """
+    import torch
+    from transformers import AutoConfig, AutoModelForCausalLM
+
+    cfg_dict = dict(TINY_CONFIGS[model_type])
+    cfg_dict.update(overrides)
+    out_dir = Path(out_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    (out_dir / "config.json").write_text(json.dumps(cfg_dict))
+    config = AutoConfig.from_pretrained(out_dir)
+    torch.manual_seed(seed)
+    model = AutoModelForCausalLM.from_config(config)
+    model = model.to(torch.float32).eval()
+    model.save_pretrained(out_dir, safe_serialization=True)
+    return out_dir

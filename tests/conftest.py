@@ -8,12 +8,18 @@ are exercised for real (the reference could only mock TP in CI — SURVEY.md
 import json
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU before any backend initializes. Note: env-var JAX_PLATFORMS may
+# already be pinned to a hardware plugin by the environment's sitecustomize,
+# so use jax.config (which wins) plus XLA_FLAGS for the virtual device count.
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 import pytest
 
