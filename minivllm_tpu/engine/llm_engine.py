@@ -1,0 +1,183 @@
+"""Engine orchestration: request intake, scheduling loop, detokenization.
+
+API-compatible counterpart of the reference LLMEngine
+(/root/reference/minivllm/engine/llm_engine.py:55-367): add_request /
+step / generate / is_finished / exit. Differences are all TPU-architectural:
+no worker processes are spawned (SPMD replaces the rank-RPC machinery,
+SURVEY.md §2.3) and the model runner is the bucketed-jit TPU runner.
+"""
+
+from __future__ import annotations
+
+import atexit
+import logging
+from time import perf_counter
+from typing import Any
+
+from minivllm_tpu.config import Config
+from minivllm_tpu.engine.model_runner import ModelRunner
+from minivllm_tpu.engine.scheduler import Scheduler
+from minivllm_tpu.engine.sequence import Sequence
+from minivllm_tpu.sampling_params import SamplingParams
+
+logger = logging.getLogger(__name__)
+
+__all__ = ["LLMEngine"]
+
+
+class LLMEngine:
+    def __init__(self, config: Config, *, init_random: bool = False) -> None:
+        if not isinstance(config, Config):
+            raise TypeError(f"config must be a Config, got {type(config)}")
+        self.config = config
+        self.model_runner = ModelRunner(config, init_random=init_random)
+        self.tokenizer = self._load_tokenizer()
+        self._resolve_eos()
+        if not config.enforce_eager:
+            self.model_runner.warmup()
+        self.scheduler = Scheduler(config)
+        self._exited = False
+        atexit.register(self.exit)
+
+    # -- setup ---------------------------------------------------------------
+
+    def _load_tokenizer(self):
+        try:
+            from transformers import AutoTokenizer
+
+            return AutoTokenizer.from_pretrained(
+                self.config.model,
+                trust_remote_code=self.config.trust_remote_code,
+            )
+        except Exception as e:  # tokenizer files absent (e.g. test checkpoints)
+            logger.warning("no tokenizer available for %s: %s", self.config.model, e)
+            return None
+
+    def _resolve_eos(self) -> None:
+        if self.config.eos >= 0:
+            return
+        eos = None
+        if self.tokenizer is not None:
+            eos = self.tokenizer.eos_token_id
+        if eos is None:
+            eos = getattr(self.config.hf_config, "eos_token_id", None)
+        if isinstance(eos, list):
+            eos = eos[0] if eos else None
+        self.config.eos = int(eos) if eos is not None else -1
+
+    # -- lifecycle -----------------------------------------------------------
+
+    def exit(self) -> None:
+        """Graceful shutdown (reference: llm_engine.py:116-169). No worker
+        processes exist; just drop device references."""
+        if self._exited:
+            return
+        self._exited = True
+        self.model_runner = None
+
+    # -- serving -------------------------------------------------------------
+
+    def add_request(
+        self,
+        prompt: str | list[int],
+        sampling_params: SamplingParams | None = None,
+    ) -> int:
+        if sampling_params is None:
+            sampling_params = SamplingParams()
+        if isinstance(prompt, str):
+            if self.tokenizer is None:
+                raise RuntimeError(
+                    "string prompts require a tokenizer; pass token ids or "
+                    "provide tokenizer files with the model"
+                )
+            prompt_tokens: list[int] = self.tokenizer.encode(prompt)
+        else:
+            prompt_tokens = list(prompt)
+        seq = Sequence(
+            prompt_tokens, sampling_params, block_size=self.config.kvcache_block_size
+        )
+        self.scheduler.add(seq)
+        return seq.seq_id
+
+    def step(self) -> tuple[list[tuple[int, list[int]]], int]:
+        """One engine step. Returns (finished outputs, ±token count):
+        positive counts are prefill tokens, negative decode tokens
+        (reference convention, llm_engine.py:203-251)."""
+        seqs, is_prefill = self.scheduler.schedule()
+        token_ids = self.model_runner.run(seqs, is_prefill)
+        self.scheduler.postprocess(seqs, token_ids)
+        outputs = [
+            (seq.seq_id, seq.completion_token_ids)
+            for seq in seqs
+            if seq.is_finished
+        ]
+        num_tokens = (
+            sum(len(s) - s.num_cached_tokens for s in seqs)
+            if is_prefill
+            else -len(seqs)
+        )
+        return outputs, num_tokens
+
+    def is_finished(self) -> bool:
+        return self.scheduler.is_finished()
+
+    def generate(
+        self,
+        prompts: list[str] | list[list[int]],
+        sampling_params: SamplingParams | list[SamplingParams] | None = None,
+        use_tqdm: bool = True,
+    ) -> list[dict[str, Any]]:
+        """Generate completions. Returns [{"text": ..., "token_ids": [...]}]
+        in prompt order (reference: llm_engine.py:261-367)."""
+        pbar = None
+        if use_tqdm:
+            from tqdm.auto import tqdm
+
+            pbar = tqdm(total=len(prompts), desc="Generating", dynamic_ncols=True)
+        if sampling_params is None:
+            sp_list = [SamplingParams() for _ in prompts]
+        elif not isinstance(sampling_params, list):
+            sp_list = [sampling_params] * len(prompts)
+        else:
+            if len(sampling_params) != len(prompts):
+                raise ValueError("sampling_params list must match prompts length")
+            sp_list = sampling_params
+
+        id_order: list[int] = []
+        for prompt, sp in zip(prompts, sp_list):
+            id_order.append(self.add_request(prompt, sp))
+
+        outputs: dict[int, list[int]] = {}
+        prefill_tp = decode_tp = 0.0
+        while not self.is_finished():
+            t = perf_counter()
+            finished, num_tokens = self.step()
+            if pbar is not None:
+                el = perf_counter() - t
+                if num_tokens > 0:
+                    prefill_tp = num_tokens / el
+                else:
+                    decode_tp = -num_tokens / el
+                pbar.set_postfix(
+                    {
+                        "Prefill": f"{int(prefill_tp)} tok/s",
+                        "Decode": f"{int(decode_tp)} tok/s",
+                    }
+                )
+            for seq_id, token_ids in finished:
+                outputs[seq_id] = token_ids
+                if pbar is not None:
+                    pbar.update(1)
+        if pbar is not None:
+            pbar.close()
+
+        ordered = [outputs[i] for i in id_order]
+        if self.tokenizer is not None:
+            texts = self.tokenizer.batch_decode(
+                ordered, skip_special_tokens=True, clean_up_tokenization_spaces=True
+            )
+        else:
+            texts = ["" for _ in ordered]
+        return [
+            {"text": t, "token_ids": ids} for t, ids in zip(texts, ordered)
+        ]

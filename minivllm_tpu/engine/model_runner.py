@@ -1,0 +1,336 @@
+"""TPU model runner: bucketed jit step functions over a donated paged KV cache.
+
+This is the TPU-native replacement for the reference's per-rank execution
+stack (/root/reference/minivllm/engine/model_runner.py,
+inference_executor.py:40-943, models/manager.py):
+
+- Device-graph capture per batch size (inference_executor.py:823-920)
+  becomes **bucketed jit compilation**: every (phase, padded-shape) bucket
+  is one compiled XLA program, cached; at runtime inputs are padded to the
+  smallest fitting bucket.
+- The thread-local Context side-channel (utils/context.py) becomes the
+  explicit PrefillBatch/DecodeBatch pytree built here each step.
+- The KV cache is allocated once as two arrays (L, num_slots, kvh, hd)
+  and **donated** through every step so scatters lower in place.
+- Sampling runs inside the step function (one device->host transfer per
+  step: the sampled token ids).
+- No worker processes: under SPMD the same program runs on every chip of
+  the mesh; GSPMD inserts collectives (multi-chip wiring lands with the
+  parallel milestone).
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from minivllm_tpu.config import Config
+from minivllm_tpu.engine.sequence import Sequence
+from minivllm_tpu.models.registry import create_model
+from minivllm_tpu.ops.attention import DecodeBatch, PrefillBatch
+from minivllm_tpu.ops.backend import make_backend
+from minivllm_tpu.sampling.ops import SamplingState, make_state, sample_tokens
+from minivllm_tpu.utils.loader import load_model_params, resolve_model_dir
+
+logger = logging.getLogger(__name__)
+
+__all__ = ["ModelRunner"]
+
+_DTYPES = {
+    "bfloat16": jnp.bfloat16,
+    "float32": jnp.float32,
+    "float16": jnp.float16,
+}
+
+
+def _next_pow2(n: int, lo: int = 8) -> int:
+    b = lo
+    while b < n:
+        b *= 2
+    return b
+
+
+def _pick_bucket(n: int, buckets: list[int]) -> int:
+    for b in buckets:
+        if b >= n:
+            return b
+    return _next_pow2(n, buckets[-1] if buckets else 8)
+
+
+class ModelRunner:
+    """Owns the model, its parameters, the paged KV cache, and the compiled
+    step functions."""
+
+    # HBM held back for activations / compiled-program workspace when
+    # auto-sizing the KV cache (reference analog: the 10% utilization
+    # margin + empty-cache dance, inference_executor.py:245-318).
+    _WORKSPACE_BYTES = 512 * 1024 * 1024
+
+    def __init__(
+        self,
+        config: Config,
+        *,
+        init_random: bool = False,
+        mesh=None,
+    ) -> None:
+        self.config = config
+        self.dtype = _DTYPES[config.model_dtype]
+        self.kv_dtype = _DTYPES.get(config.kv_dtype, jnp.bfloat16)
+        self.block_size = config.kvcache_block_size
+        self.mesh = mesh
+        backend_name = "pallas" if config.use_pallas_attention else "xla"
+        self.attn_backend = make_backend(backend_name, self.block_size)
+        self.model = create_model(config.hf_config, self.dtype, self.attn_backend)
+
+        t0 = time.perf_counter()
+        if init_random:
+            self.params = self.model.init_params(jax.random.PRNGKey(0))
+        else:
+            model_dir = resolve_model_dir(config.model)
+            self.params = load_model_params(self.model, model_dir)
+        self.params = jax.device_put(self.params)
+        jax.block_until_ready(jax.tree.leaves(self.params)[0])
+        logger.info("weights ready in %.1fs", time.perf_counter() - t0)
+
+        self.num_blocks = self._resolve_num_blocks()
+        config.num_kvcache_blocks = self.num_blocks
+        self.trash_slot = self.num_blocks * self.block_size
+        self.trash_block = self.num_blocks
+        L = self.model.num_layers
+        kvh = self.model.num_kv_heads
+        hd = self.model.head_dim
+        num_slots = (self.num_blocks + 1) * self.block_size
+        self.k_cache = jnp.zeros((L, num_slots, kvh, hd), self.kv_dtype)
+        self.v_cache = jnp.zeros((L, num_slots, kvh, hd), self.kv_dtype)
+        logger.info(
+            "KV cache: %d blocks x %d tokens (%.2f GiB)",
+            self.num_blocks,
+            self.block_size,
+            2 * self.k_cache.nbytes / 2**30,
+        )
+
+        self._base_key = jax.random.PRNGKey(config.seed if config.seed is not None else 0)
+        self._step_counter = 0
+        self._compiled: dict = {}
+        self._max_width = (
+            config.max_model_len + self.block_size - 1
+        ) // self.block_size
+        # Metrics (reference: inference_executor.py:143-147, :808-821).
+        self.total_prefill_tokens = 0
+        self.total_decode_tokens = 0
+        self.inference_count = 0
+
+    # -- sizing --------------------------------------------------------------
+
+    def _bytes_per_block(self) -> int:
+        m = self.model
+        return (
+            2
+            * m.num_layers
+            * self.block_size
+            * m.num_kv_heads
+            * m.head_dim
+            * jnp.dtype(self.kv_dtype).itemsize
+        )
+
+    def _resolve_num_blocks(self) -> int:
+        if self.config.num_kvcache_blocks > 0:
+            return self.config.num_kvcache_blocks
+        stats = jax.devices()[0].memory_stats() or {}
+        limit = stats.get("bytes_limit") or stats.get("bytes_reservable_limit")
+        if not limit:
+            # CPU or unknown backend: enough blocks for the configured load.
+            need = (
+                self.config.max_num_seqs
+                * (self.config.max_model_len // self.block_size + 1)
+            )
+            return min(need, 4096)
+        weight_bytes = sum(x.nbytes for x in jax.tree.leaves(self.params))
+        budget = (
+            int(limit * self.config.device_memory_utilization)
+            - weight_bytes
+            - self._WORKSPACE_BYTES
+        )
+        num = budget // self._bytes_per_block()
+        if num < 16:
+            raise RuntimeError(
+                f"not enough device memory for KV cache: limit={limit}, "
+                f"weights={weight_bytes}, budget={budget}"
+            )
+        return int(num)
+
+    # -- step compilation ----------------------------------------------------
+
+    def _prefill_step(self, with_filters, params, k_cache, v_cache, meta, state, key):
+        hidden, k_cache, v_cache = self.model.forward(
+            params, meta, k_cache, v_cache, is_prefill=True
+        )
+        last = hidden[meta.last_token_idx]
+        logits = self.model.compute_logits(params, last)
+        toks = sample_tokens(logits, state, key, with_filters=with_filters)
+        return toks, k_cache, v_cache
+
+    def _decode_step(self, with_filters, params, k_cache, v_cache, meta, state, key):
+        hidden, k_cache, v_cache = self.model.forward(
+            params, meta, k_cache, v_cache, is_prefill=False
+        )
+        logits = self.model.compute_logits(params, hidden)
+        toks = sample_tokens(logits, state, key, with_filters=with_filters)
+        return toks, k_cache, v_cache
+
+    def _get_step_fn(self, phase: str, with_filters: bool):
+        cache_key = (phase, with_filters)
+        fn = self._compiled.get(cache_key)
+        if fn is None:
+            raw = self._prefill_step if phase == "prefill" else self._decode_step
+            fn = jax.jit(partial(raw, with_filters), donate_argnums=(1, 2))
+            self._compiled[cache_key] = fn
+        return fn
+
+    # -- batch preparation ---------------------------------------------------
+
+    def _prepare_prefill(self, seqs: list[Sequence]) -> PrefillBatch:
+        bs = self.block_size
+        S = len(seqs)
+        input_ids, positions, q_seg, slot_mapping = [], [], [], []
+        ctx_slots, k_seg, k_pos, last_idx = [], [], [], []
+        for s, seq in enumerate(seqs):
+            table = seq.block_table
+            start = seq.num_cached_tokens
+            for i in range(start, len(seq)):
+                input_ids.append(seq.token_ids[i])
+                positions.append(i)
+                q_seg.append(s)
+                slot_mapping.append(table[i // bs] * bs + i % bs)
+            last_idx.append(len(input_ids) - 1)
+            for i in range(len(seq)):
+                ctx_slots.append(table[i // bs] * bs + i % bs)
+                k_seg.append(s)
+                k_pos.append(i)
+
+        T = _pick_bucket(len(input_ids), self.config.prefill_token_buckets)
+        C = _next_pow2(len(ctx_slots), 64)
+        S_pad = _next_pow2(S, 8)
+        W = self._max_width
+
+        def pad(lst, n, fill):
+            return np.asarray(lst + [fill] * (n - len(lst)), np.int32)
+
+        tables = np.full((S_pad, W), self.trash_block, np.int32)
+        for s, seq in enumerate(seqs):
+            tables[s, : len(seq.block_table)] = seq.block_table
+        return PrefillBatch(
+            input_ids=jnp.asarray(pad(input_ids, T, 0)),
+            positions=jnp.asarray(pad(positions, T, 0)),
+            q_seg=jnp.asarray(pad(q_seg, T, -1)),
+            slot_mapping=jnp.asarray(pad(slot_mapping, T, self.trash_slot)),
+            ctx_slot_mapping=jnp.asarray(pad(ctx_slots, C, self.trash_slot)),
+            k_seg=jnp.asarray(pad(k_seg, C, -2)),
+            k_pos=jnp.asarray(pad(k_pos, C, 0)),
+            last_token_idx=jnp.asarray(pad(last_idx, S_pad, T - 1)),
+            block_tables=jnp.asarray(tables),
+            ctx_lens=jnp.asarray(
+                pad([len(seq) for seq in seqs], S_pad, 0)
+            ),
+        )
+
+    def _prepare_decode(self, seqs: list[Sequence]) -> DecodeBatch:
+        bs = self.block_size
+        S = len(seqs)
+        S_pad = _pick_bucket(S, self.config.decode_seq_buckets)
+        width = max(len(seq.block_table) for seq in seqs)
+        W = _next_pow2(width, 1)
+        input_ids = np.zeros(S_pad, np.int32)
+        positions = np.zeros(S_pad, np.int32)
+        slot_mapping = np.full(S_pad, self.trash_slot, np.int32)
+        ctx_lens = np.zeros(S_pad, np.int32)
+        tables = np.full((S_pad, W), self.trash_block, np.int32)
+        for s, seq in enumerate(seqs):
+            pos = len(seq) - 1
+            input_ids[s] = seq.last_token
+            positions[s] = pos
+            slot_mapping[s] = seq.block_table[pos // bs] * bs + pos % bs
+            ctx_lens[s] = len(seq)
+            tables[s, : len(seq.block_table)] = seq.block_table
+        return DecodeBatch(
+            input_ids=jnp.asarray(input_ids),
+            positions=jnp.asarray(positions),
+            slot_mapping=jnp.asarray(slot_mapping),
+            block_tables=jnp.asarray(tables),
+            ctx_lens=jnp.asarray(ctx_lens),
+        )
+
+    # -- execution -----------------------------------------------------------
+
+    def run(self, seqs: list[Sequence], is_prefill: bool) -> list[int]:
+        """Execute one batch; returns one sampled token per sequence."""
+        if not seqs:
+            return []
+        S = len(seqs)
+        params_list = [seq.sampling_params for seq in seqs]
+        with_filters = any(
+            sp.top_k > 0
+            or sp.top_p < 1.0
+            or sp.min_p > 0.0
+            or sp.typical_p < 1.0
+            or sp.has_penalties
+            for sp in params_list
+        )
+        if is_prefill:
+            meta = self._prepare_prefill(seqs)
+            S_pad = int(meta.last_token_idx.shape[0])
+            fn = self._get_step_fn("prefill", with_filters)
+        else:
+            meta = self._prepare_decode(seqs)
+            S_pad = int(meta.input_ids.shape[0])
+            fn = self._get_step_fn("decode", with_filters)
+        state = make_state(params_list, S_pad)
+        key = jax.random.fold_in(self._base_key, self._step_counter)
+        self._step_counter += 1
+        toks, self.k_cache, self.v_cache = fn(
+            self.params, self.k_cache, self.v_cache, meta, state, key
+        )
+        out = np.asarray(toks[:S]).tolist()
+        self.inference_count += 1
+        if is_prefill:
+            self.total_prefill_tokens += sum(
+                len(s) - s.num_cached_tokens for s in seqs
+            )
+        else:
+            self.total_decode_tokens += S
+        return out
+
+    def warmup(self) -> None:
+        """Trigger compilation of the common step variants with a dummy
+        batch (reference analog: inference_executor.py:373-410)."""
+        seq = Sequence([1, 2, 3], block_size=self.block_size)
+        seq.block_table = [self.num_blocks - 1]
+        self.run([seq], is_prefill=True)
+        seq.append_token(4)
+        self.run([seq], is_prefill=False)
+        # Reset cache contents and counters touched by warmup.
+        self.k_cache = jnp.zeros_like(self.k_cache)
+        self.v_cache = jnp.zeros_like(self.v_cache)
+        self.total_prefill_tokens = 0
+        self.total_decode_tokens = 0
+        self.inference_count = 0
+
+    def get_model_info(self) -> dict:
+        m = self.model
+        return {
+            "num_layers": m.num_layers,
+            "hidden_size": m.hidden_size,
+            "num_heads": m.num_heads,
+            "num_kv_heads": m.num_kv_heads,
+            "head_dim": m.head_dim,
+            "vocab_size": m.vocab_size,
+            "dtype": str(self.dtype.dtype if hasattr(self.dtype, "dtype") else self.dtype),
+            "kv_blocks": self.num_blocks,
+            "block_size": self.block_size,
+            "attention_backend": self.attn_backend.name,
+        }

@@ -1,0 +1,161 @@
+"""In-jit vectorized sampling.
+
+Counterpart of the reference sampler pipeline
+(/root/reference/minivllm/sampling/sampler.py:27-110 and
+sampling/functional.py): penalties -> temperature -> typical -> top-k ->
+top-p -> min-p -> sample, with a greedy shortcut at temperature 0.
+
+TPU-first differences: everything is one fused jnp program executed inside
+the step function (no per-filter host round trips); top-k/top-p/typical
+run in a single descending-sort space and the token is drawn there with
+`jax.random.categorical`, so no scatter back to vocab order is needed.
+Per-sequence parameters arrive as arrays (SamplingState), padded to the
+same sequence bucket as the batch.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["SamplingState", "sample_tokens", "make_state"]
+
+NEG_INF = float(jnp.finfo(jnp.float32).min)
+
+
+class SamplingState(NamedTuple):
+    """Per-sequence sampling parameters, shape (S,) each."""
+
+    temperature: jnp.ndarray   # fp32; 0 => greedy
+    top_k: jnp.ndarray         # int32; <=0 => disabled
+    top_p: jnp.ndarray         # fp32; 1 => disabled
+    min_p: jnp.ndarray         # fp32; 0 => disabled
+    typical_p: jnp.ndarray     # fp32; 1 => disabled
+    repetition_penalty: jnp.ndarray  # fp32; 1 => disabled
+    frequency_penalty: jnp.ndarray   # fp32; 0 => disabled
+    presence_penalty: jnp.ndarray    # fp32; 0 => disabled
+
+
+def make_state(sampling_params_list, pad_to: int) -> "SamplingState":
+    """Build a padded SamplingState from host SamplingParams objects."""
+    import numpy as np
+
+    n = len(sampling_params_list)
+
+    def arr(get, fill, dtype):
+        a = np.full(pad_to, fill, dtype)
+        for i, sp in enumerate(sampling_params_list):
+            a[i] = get(sp)
+        return jnp.asarray(a)
+
+    return SamplingState(
+        temperature=arr(lambda s: s.temperature, 0.0, "float32"),
+        top_k=arr(lambda s: s.top_k, -1, "int32"),
+        top_p=arr(lambda s: s.top_p, 1.0, "float32"),
+        min_p=arr(lambda s: s.min_p, 0.0, "float32"),
+        typical_p=arr(lambda s: s.typical_p, 1.0, "float32"),
+        repetition_penalty=arr(lambda s: s.repetition_penalty, 1.0, "float32"),
+        frequency_penalty=arr(lambda s: s.frequency_penalty, 0.0, "float32"),
+        presence_penalty=arr(lambda s: s.presence_penalty, 0.0, "float32"),
+    )
+
+
+def apply_penalties(
+    logits: jnp.ndarray,
+    state: SamplingState,
+    all_tokens: jnp.ndarray,
+    out_tokens: jnp.ndarray,
+) -> jnp.ndarray:
+    """Repetition (over prompt+output, HF convention) and
+    frequency/presence (over output only, OpenAI convention) penalties
+    (reference: functional.py:342-407).
+
+    all_tokens/out_tokens: (S, H) int32 histories padded with -1.
+    """
+    S, V = logits.shape
+
+    def count(tokens):
+        valid = tokens >= 0
+        idx = jnp.where(valid, tokens, V)  # pad rows land in a trash column
+        cnt = jnp.zeros((S, V + 1), jnp.float32)
+        cnt = cnt.at[jnp.arange(S)[:, None], idx].add(valid.astype(jnp.float32))
+        return cnt[:, :V]
+
+    seen = count(all_tokens) > 0
+    rp = state.repetition_penalty[:, None]
+    penalized = jnp.where(logits > 0, logits / rp, logits * rp)
+    logits = jnp.where(seen, penalized, logits)
+
+    out_cnt = count(out_tokens)
+    logits = logits - state.frequency_penalty[:, None] * out_cnt
+    logits = logits - state.presence_penalty[:, None] * (out_cnt > 0)
+    return logits
+
+
+def _typical_mask(probs: jnp.ndarray, typical_p: jnp.ndarray) -> jnp.ndarray:
+    """Locally-typical filtering mask in vocab order
+    (reference: functional.py:236-285)."""
+    logp = jnp.log(jnp.maximum(probs, 1e-30))
+    ent = -jnp.sum(probs * logp, axis=-1, keepdims=True)
+    dev = jnp.abs(-logp - ent)
+    order = jnp.argsort(dev, axis=-1)  # ascending deviation
+    p_sorted = jnp.take_along_axis(probs, order, axis=-1)
+    cum = jnp.cumsum(p_sorted, axis=-1)
+    keep_sorted = (cum - p_sorted) < typical_p[:, None]  # always keeps first
+    keep = jnp.zeros_like(keep_sorted)
+    keep = keep.at[jnp.arange(probs.shape[0])[:, None], order].set(keep_sorted)
+    return keep
+
+
+def sample_tokens(
+    logits: jnp.ndarray,
+    state: SamplingState,
+    key: jax.Array,
+    all_tokens: jnp.ndarray | None = None,
+    out_tokens: jnp.ndarray | None = None,
+    with_filters: bool = True,
+) -> jnp.ndarray:
+    """Sample one token per row. logits (S, V) fp32 -> (S,) int32.
+
+    `with_filters=False` compiles the fast path (greedy/temperature only)
+    used when no sequence in the batch has filters active — the runner
+    decides statically per step.
+    """
+    logits = logits.astype(jnp.float32)
+    S, V = logits.shape
+    greedy_tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    temp = jnp.maximum(state.temperature, 1e-6)[:, None]
+    scaled = logits / temp
+
+    if not with_filters:
+        sampled = jax.random.categorical(key, scaled, axis=-1).astype(jnp.int32)
+        return jnp.where(state.temperature > 0, sampled, greedy_tok)
+
+    if all_tokens is not None:
+        scaled = apply_penalties(scaled, state, all_tokens, out_tokens)
+
+    # Typical filtering happens in vocab order before the ranking filters
+    # (reference order: sampler.py:27-110).
+    probs_full = jax.nn.softmax(scaled, axis=-1)
+    keep_typical = _typical_mask(probs_full, state.typical_p)
+    scaled = jnp.where(keep_typical, scaled, NEG_INF)
+
+    # Rank space: one descending sort serves top-k and top-p.
+    order = jnp.argsort(-scaled, axis=-1)
+    sorted_logits = jnp.take_along_axis(scaled, order, axis=-1)
+    sorted_probs = jax.nn.softmax(sorted_logits, axis=-1)
+    ranks = jnp.arange(V, dtype=jnp.int32)[None, :]
+    k = jnp.where(state.top_k <= 0, V, state.top_k)[:, None]
+    keep = ranks < k
+    cum = jnp.cumsum(sorted_probs, axis=-1)
+    keep &= (cum - sorted_probs) < state.top_p[:, None]
+    keep &= sorted_probs >= state.min_p[:, None] * sorted_probs[:, :1]
+    keep = keep.at[:, 0].set(True)  # never filter everything
+    masked = jnp.where(keep, sorted_logits, NEG_INF)
+    rank_sample = jax.random.categorical(key, masked, axis=-1)
+    sampled = jnp.take_along_axis(order, rank_sample[:, None], axis=-1)[:, 0]
+    return jnp.where(
+        state.temperature > 0, sampled.astype(jnp.int32), greedy_tok
+    )

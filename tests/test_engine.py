@@ -1,0 +1,156 @@
+"""End-to-end engine tests on a tiny random checkpoint (CPU, no network).
+
+Covers the reference's mocked integration tier (tests/test_llm_engine.py,
+test_llm.py) but with the real runner and real generation.
+"""
+
+import numpy as np
+import pytest
+
+from minivllm_tpu import Config, SamplingParams
+from minivllm_tpu.llm import LLM
+from minivllm_tpu.utils.testing import make_tiny_checkpoint
+
+
+@pytest.fixture(scope="module")
+def tiny_qwen3(tmp_path_factory):
+    return make_tiny_checkpoint("qwen3", tmp_path_factory.mktemp("m") / "qwen3")
+
+
+@pytest.fixture(scope="module")
+def llm(tiny_qwen3):
+    cfg = Config(
+        model=str(tiny_qwen3),
+        max_num_seqs=8,
+        max_model_len=256,
+        max_num_batched_tokens=256,
+        kvcache_block_size=16,
+        num_kvcache_blocks=128,
+        dtype="float32",
+        attention_impl="xla",
+    )
+    return LLM(cfg)
+
+
+def hf_greedy(model_dir, prompt, n):
+    import torch
+    from transformers import AutoModelForCausalLM
+
+    model = AutoModelForCausalLM.from_pretrained(model_dir).eval()
+    toks = list(prompt)
+    with torch.no_grad():
+        for _ in range(n):
+            logits = model(torch.tensor([toks])).logits[0, -1]
+            toks.append(int(logits.argmax()))
+    return toks[len(prompt):]
+
+
+def test_generate_greedy_matches_hf(llm, tiny_qwen3):
+    prompt = [11, 47, 3, 88, 120, 9, 55]
+    out = llm.generate(
+        [prompt],
+        SamplingParams(temperature=0.0, max_tokens=12, ignore_eos=True),
+        use_tqdm=False,
+    )
+    ref = hf_greedy(tiny_qwen3, prompt, 12)
+    assert out[0]["token_ids"] == ref
+
+
+def test_generate_batch_mixed_lengths(llm, tiny_qwen3):
+    rng = np.random.default_rng(0)
+    prompts = [list(rng.integers(1, 190, n)) for n in (5, 23, 17, 40)]
+    outs = llm.generate(
+        prompts,
+        SamplingParams(temperature=0.0, max_tokens=8, ignore_eos=True),
+        use_tqdm=False,
+    )
+    assert len(outs) == 4
+    for p, o in zip(prompts, outs):
+        assert o["token_ids"] == hf_greedy(tiny_qwen3, p, 8)
+
+
+def test_generate_per_prompt_params(llm):
+    prompts = [[1, 2, 3], [4, 5, 6, 7]]
+    outs = llm.generate(
+        prompts,
+        [
+            SamplingParams(temperature=0.0, max_tokens=3, ignore_eos=True),
+            SamplingParams(temperature=0.8, top_p=0.9, max_tokens=6, ignore_eos=True),
+        ],
+        use_tqdm=False,
+    )
+    assert len(outs[0]["token_ids"]) == 3
+    assert len(outs[1]["token_ids"]) == 6
+
+
+def test_prefix_cache_reuse_consistent(llm, tiny_qwen3):
+    """Second request sharing a >=1-block prefix must produce identical
+    greedy output despite skipping cached prefill tokens."""
+    rng = np.random.default_rng(1)
+    shared = list(rng.integers(1, 190, 16))  # exactly one 16-token block
+    a = shared + [7, 8]
+    b = shared + [9, 10, 11]
+    out_a = llm.generate(
+        [a], SamplingParams(temperature=0.0, max_tokens=6, ignore_eos=True),
+        use_tqdm=False,
+    )
+    hits_before = llm.scheduler.block_manager.stats["prefix_cache_hits"]
+    out_b = llm.generate(
+        [b], SamplingParams(temperature=0.0, max_tokens=6, ignore_eos=True),
+        use_tqdm=False,
+    )
+    hits_after = llm.scheduler.block_manager.stats["prefix_cache_hits"]
+    assert hits_after > hits_before
+    assert out_a[0]["token_ids"] == hf_greedy(tiny_qwen3, a, 6)
+    assert out_b[0]["token_ids"] == hf_greedy(tiny_qwen3, b, 6)
+
+
+def test_eos_stops_generation(llm, tiny_qwen3):
+    # Set eos to the first token value that makes its first appearance
+    # mid-continuation; generation must stop there (inclusive).
+    prompt = [11, 47, 3, 88]
+    ref = hf_greedy(tiny_qwen3, prompt, 8)
+    eos = ref[0]
+    k = ref.index(eos)
+    llm.config.eos = eos
+    llm.scheduler.eos = eos
+    try:
+        out = llm.generate(
+            [prompt], SamplingParams(temperature=0.0, max_tokens=8),
+            use_tqdm=False,
+        )
+        assert out[0]["token_ids"] == ref[: k + 1]
+    finally:
+        llm.config.eos = -1
+        llm.scheduler.eos = -1
+
+
+def test_add_request_and_step_api(llm):
+    sid = llm.add_request([5, 6, 7], SamplingParams(temperature=0.0, max_tokens=2, ignore_eos=True))
+    assert isinstance(sid, int)
+    outs = []
+    while not llm.is_finished():
+        finished, n = llm.step()
+        outs += finished
+    assert len(outs) == 1
+    assert outs[0][0] == sid
+    assert len(outs[0][1]) == 2
+
+
+def test_sampling_reproducible_with_seed(tiny_qwen3):
+    def run():
+        cfg = Config(
+            model=str(tiny_qwen3), max_num_seqs=4, max_model_len=128,
+            max_num_batched_tokens=128, kvcache_block_size=16,
+            num_kvcache_blocks=64, dtype="float32", attention_impl="xla",
+            seed=42,
+        )
+        llm = LLM(cfg)
+        out = llm.generate(
+            [[3, 1, 4, 1, 5]],
+            SamplingParams(temperature=1.0, top_p=0.9, max_tokens=10, ignore_eos=True),
+            use_tqdm=False,
+        )
+        return out[0]["token_ids"]
+
+    assert run() == run()
