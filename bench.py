@@ -1,0 +1,102 @@
+"""Benchmark harness.
+
+Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}.
+
+Workload mirrors the reference's published benchmark conditions
+(/root/reference/docs/npu_benchmark_report.md:13-27): Qwen3-0.6B-shaped
+model, max_num_seqs=8, max_model_len=512, 4 prompts, max_tokens=16,
+temperature 0.7 / top_p 0.95. Baseline: 39.9 tok/s end-to-end throughput on
+one Ascend 910 (BASELINE.md). Weights are random (zero-egress environment);
+throughput is weight-independent.
+
+On non-TPU backends a tiny model is used and vs_baseline is reported
+against the reference's CPU number instead (8.7 tok/s).
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+QWEN3_06B = {
+    "architectures": ["Qwen3ForCausalLM"],
+    "model_type": "qwen3",
+    "hidden_size": 1024,
+    "intermediate_size": 3072,
+    "num_attention_heads": 16,
+    "num_key_value_heads": 8,
+    "num_hidden_layers": 28,
+    "head_dim": 128,
+    "vocab_size": 151936,
+    "max_position_embeddings": 40960,
+    "rms_norm_eps": 1e-6,
+    "rope_theta": 1000000.0,
+    "attention_bias": False,
+    "tie_word_embeddings": True,
+}
+
+
+def main() -> None:
+    import jax
+
+    on_tpu = jax.default_backend() not in ("cpu",)
+    from transformers import AutoConfig
+
+    from minivllm_tpu import Config, SamplingParams
+    from minivllm_tpu.llm import LLM
+    from minivllm_tpu.utils.testing import TINY_CONFIGS
+
+    tmp = Path(tempfile.mkdtemp())
+    cfg_dict = dict(QWEN3_06B if on_tpu else TINY_CONFIGS["qwen3"])
+    (tmp / "config.json").write_text(json.dumps(cfg_dict))
+    hf_config = AutoConfig.from_pretrained(tmp)
+
+    config = Config(
+        model=str(tmp),
+        hf_config=hf_config,
+        max_num_seqs=8,
+        max_model_len=512,
+        max_num_batched_tokens=2048,
+        kvcache_block_size=64,
+        num_kvcache_blocks=256 if on_tpu else 64,
+        dtype="bfloat16" if on_tpu else "float32",
+    )
+    t0 = time.perf_counter()
+    llm = LLM(config, init_random=True)
+    print(f"engine up in {time.perf_counter() - t0:.1f}s", file=sys.stderr)
+
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+    vocab = cfg_dict["vocab_size"]
+    prompts = [list(rng.integers(1, vocab, size=n)) for n in (57, 123, 89, 251)]
+    sp = SamplingParams(temperature=0.7, top_p=0.95, max_tokens=16, ignore_eos=True)
+
+    # Warm every bucket this workload touches, then measure.
+    llm.generate(prompts, sp, use_tqdm=False)
+    t0 = time.perf_counter()
+    outs = llm.generate(prompts, sp, use_tqdm=False)
+    elapsed = time.perf_counter() - t0
+    gen_tokens = sum(len(o["token_ids"]) for o in outs)
+    tok_s = gen_tokens / elapsed
+
+    baseline = 39.9 if on_tpu else 8.7  # BASELINE.md Qwen3-0.6B NPU / CPU
+    print(
+        json.dumps(
+            {
+                "metric": "qwen3_0.6b_e2e_throughput"
+                if on_tpu
+                else "qwen3_tiny_cpu_e2e_throughput",
+                "value": round(tok_s, 2),
+                "unit": "tok/s",
+                "vs_baseline": round(tok_s / baseline, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

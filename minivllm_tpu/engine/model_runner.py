@@ -93,7 +93,17 @@ class ModelRunner:
         else:
             model_dir = resolve_model_dir(config.model)
             self.params = load_model_params(self.model, model_dir)
-        self.params = jax.device_put(self.params)
+        if mesh is None and config.tensor_parallel_size > 1:
+            from minivllm_tpu.parallel.sharding import make_mesh
+
+            mesh = make_mesh(config.tensor_parallel_size)
+        self.mesh = mesh
+        if self.mesh is not None:
+            from minivllm_tpu.parallel.sharding import shard_params
+
+            self.params = shard_params(self.model, self.params, self.mesh)
+        else:
+            self.params = jax.device_put(self.params)
         jax.block_until_ready(jax.tree.leaves(self.params)[0])
         logger.info("weights ready in %.1fs", time.perf_counter() - t0)
 
@@ -105,8 +115,22 @@ class ModelRunner:
         kvh = self.model.num_kv_heads
         hd = self.model.head_dim
         num_slots = (self.num_blocks + 1) * self.block_size
-        self.k_cache = jnp.zeros((L, num_slots, kvh, hd), self.kv_dtype)
-        self.v_cache = jnp.zeros((L, num_slots, kvh, hd), self.kv_dtype)
+        cache_shape = (L, num_slots, kvh, hd)
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding
+
+            from minivllm_tpu.parallel.sharding import cache_pspec
+
+            sharding = NamedSharding(self.mesh, cache_pspec())
+            zeros = jax.jit(
+                lambda: jnp.zeros(cache_shape, self.kv_dtype),
+                out_shardings=sharding,
+            )
+            self.k_cache = zeros()
+            self.v_cache = zeros()
+        else:
+            self.k_cache = jnp.zeros(cache_shape, self.kv_dtype)
+            self.v_cache = jnp.zeros(cache_shape, self.kv_dtype)
         logger.info(
             "KV cache: %d blocks x %d tokens (%.2f GiB)",
             self.num_blocks,

@@ -14,7 +14,18 @@ from typing import Callable
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["WeightCollector", "init_linear", "init_norm"]
+__all__ = ["WeightCollector", "init_linear", "init_norm", "mask_pad_logits"]
+
+
+def mask_pad_logits(logits: jnp.ndarray, vocab_size: int) -> jnp.ndarray:
+    """Set logits of vocab-padding columns to -inf so they are never
+    sampled (vocab is padded to a TP/lane-friendly multiple)."""
+    if logits.shape[-1] == vocab_size:
+        return logits
+    col = jnp.arange(logits.shape[-1], dtype=jnp.int32)
+    return jnp.where(
+        col[None, :] < vocab_size, logits, jnp.finfo(jnp.float32).min
+    )
 
 
 class WeightCollector:

@@ -20,7 +20,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax import lax
 
-from minivllm_tpu.models.common import WeightCollector
+from minivllm_tpu.models.common import WeightCollector, mask_pad_logits
 from minivllm_tpu.ops.attention import DecodeBatch, PrefillBatch
 from minivllm_tpu.ops.norm import rms_norm
 from minivllm_tpu.ops.activation import silu_and_mul
@@ -62,6 +62,9 @@ class QwenForCausalLM:
         self.rope_scaling_factor = float(scaling.get("factor", 1.0))
         self.scale = self.head_dim**-0.5
         self.attn_backend = attn_backend
+        # Vocab padded to a lane-and-TP-friendly multiple; pad logits are
+        # masked to -inf in compute_logits so they are never sampled.
+        self.padded_vocab_size = -(-self.vocab_size // 256) * 256
 
     # -- parameters ----------------------------------------------------------
 
@@ -96,7 +99,9 @@ class QwenForCausalLM:
             layers["k_norm"] = jnp.ones((L, hd), self.dtype)
         params = {
             "embed": (
-                jax.random.normal(next(keys), (self.vocab_size, D), jnp.float32)
+                jax.random.normal(
+                    next(keys), (self.padded_vocab_size, D), jnp.float32
+                )
                 * 0.02
             ).astype(self.dtype),
             "layers": layers,
@@ -104,7 +109,9 @@ class QwenForCausalLM:
         }
         if not self.tie_embeddings:
             params["lm_head"] = (
-                jax.random.normal(next(keys), (D, self.vocab_size), jnp.float32)
+                jax.random.normal(
+                    next(keys), (D, self.padded_vocab_size), jnp.float32
+                )
                 * 0.02
             ).astype(self.dtype)
         return params
@@ -117,8 +124,16 @@ class QwenForCausalLM:
         """
         col = WeightCollector(self.num_layers, self.dtype)
         T = np.transpose
+        pad_v = self.padded_vocab_size - self.vocab_size
+
+        def pad_rows(t):
+            return np.pad(t, ((0, pad_v), (0, 0)))
+
+        def pad_cols_t(t):
+            return np.pad(np.transpose(t), ((0, 0), (0, pad_v)))
+
         for hf, path, tr in [
-            (r"model\.embed_tokens\.weight", ("embed",), None),
+            (r"model\.embed_tokens\.weight", ("embed",), pad_rows),
             (r"model\.norm\.weight", ("final_norm",), None),
             ("input_layernorm.weight", ("layers", "input_ln"), None),
             ("post_attention_layernorm.weight", ("layers", "post_ln"), None),
@@ -139,7 +154,7 @@ class QwenForCausalLM:
                 hf = r"model\.layers\.{L}\." + hf.replace(".", r"\.")
             col.rule(hf, path, tr)
         if not self.tie_embeddings:
-            col.rule(r"lm_head\.weight", ("lm_head",), T)
+            col.rule(r"lm_head\.weight", ("lm_head",), pad_cols_t)
         unmatched = []
         for name, tensor in weights:
             if not col.add(name, tensor):
@@ -149,6 +164,42 @@ class QwenForCausalLM:
         if unmatched:
             raise ValueError(f"unmatched checkpoint tensors: {unmatched[:8]}")
         return col.build()
+
+    def param_pspecs(self) -> dict:
+        """PartitionSpecs for tensor parallelism (see parallel/sharding.py):
+        attention/MLP in Megatron column->row pattern, vocab-sharded
+        embedding and lm_head."""
+        from jax.sharding import PartitionSpec as P
+
+        col = P(None, None, "tp")   # (L, in, out): shard out
+        row = P(None, "tp", None)   # (L, in, out): shard in
+        rep2 = P(None, None)
+        layers = {
+            "input_ln": rep2,
+            "q_proj": col,
+            "k_proj": col,
+            "v_proj": col,
+            "o_proj": row,
+            "post_ln": rep2,
+            "gate_proj": col,
+            "up_proj": col,
+            "down_proj": row,
+        }
+        if self.qkv_bias:
+            layers["q_bias"] = P(None, "tp")
+            layers["k_bias"] = P(None, "tp")
+            layers["v_bias"] = P(None, "tp")
+        if self.qk_norm:
+            layers["q_norm"] = rep2
+            layers["k_norm"] = rep2
+        specs = {
+            "embed": P("tp", None),
+            "layers": layers,
+            "final_norm": P(None),
+        }
+        if not self.tie_embeddings:
+            specs["lm_head"] = P(None, "tp")
+        return specs
 
     # -- forward -------------------------------------------------------------
 
@@ -231,6 +282,7 @@ class QwenForCausalLM:
         return x, k_cache, v_cache
 
     def compute_logits(self, params: dict, hidden: jnp.ndarray) -> jnp.ndarray:
-        """hidden (N, D) -> logits (N, V) in fp32."""
+        """hidden (N, D) -> logits (N, padded_V) fp32; pad columns -inf."""
         w = params["embed"].T if self.tie_embeddings else params["lm_head"]
-        return jnp.dot(hidden, w, preferred_element_type=jnp.float32)
+        logits = jnp.dot(hidden, w, preferred_element_type=jnp.float32)
+        return mask_pad_logits(logits, self.vocab_size)

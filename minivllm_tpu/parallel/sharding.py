@@ -1,0 +1,72 @@
+"""SPMD tensor-parallel sharding.
+
+This is the TPU-native replacement for the reference's entire TP runtime
+(/root/reference/minivllm/models/layers/linear.py,
+embed_head.py, engine/distributed_manager.py, model_runner worker loop):
+instead of spawning one process per rank and hand-writing all_reduce /
+gather calls, weights are placed with NamedShardings over a Mesh("tp")
+and GSPMD inserts the ICI collectives:
+
+- column-parallel (q/k/v/gate/up: out-dim sharded)  -> no collective
+- row-parallel (o_proj/down_proj: in-dim sharded)   -> psum (all-reduce),
+  exactly where the reference calls dist.all_reduce (linear.py:314-319)
+- vocab-sharded embedding + lm_head                 -> masked gather +
+  psum / logits all-gather (embed_head.py:43-231)
+- KV cache sharded on the kv-head axis              -> attention is fully
+  local per shard (GQA groups stay with their KV head)
+
+The same specs extend to multi-host meshes (DCN axis) unchanged.
+"""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+__all__ = ["make_mesh", "shard_params", "shard_cache", "cache_pspec"]
+
+TP_AXIS = "tp"
+
+
+def make_mesh(tp_size: int, devices=None) -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    if len(devices) < tp_size:
+        raise ValueError(
+            f"tensor_parallel_size={tp_size} but only {len(devices)} devices"
+        )
+    return Mesh(np.asarray(devices[:tp_size]), (TP_AXIS,))
+
+
+def _tp_divisible(model, tp: int) -> None:
+    if model.num_heads % tp:
+        raise ValueError(
+            f"num_attention_heads={model.num_heads} not divisible by tp={tp}"
+        )
+    if getattr(model, "num_kv_heads", model.num_heads) % tp:
+        raise ValueError(
+            f"num_key_value_heads={model.num_kv_heads} not divisible by tp={tp}"
+        )
+
+
+def shard_params(model, params: dict, mesh: Mesh) -> dict:
+    """Place a parameter pytree onto the mesh per the model's pspecs."""
+    tp = mesh.shape[TP_AXIS]
+    if tp > 1:
+        _tp_divisible(model, tp)
+    specs = model.param_pspecs()
+    return jax.tree.map(
+        lambda x, spec: jax.device_put(x, NamedSharding(mesh, spec)),
+        params,
+        specs,
+        is_leaf=lambda x: x is None,
+    )
+
+
+def cache_pspec() -> P:
+    """KV cache (L, num_slots, kv_heads, head_dim): shard kv heads."""
+    return P(None, None, TP_AXIS, None)
+
+
+def shard_cache(cache, mesh: Mesh):
+    return jax.device_put(cache, NamedSharding(mesh, cache_pspec()))

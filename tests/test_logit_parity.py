@@ -62,6 +62,7 @@ def run_parity(model_type, tmp_path, cos_bar=0.99):
     meta, block_tables = build_prefill_batch(token_lists, BS, NUM_BLOCKS)
     hidden, kc, vc = model.forward(params, meta, kc, vc, is_prefill=True)
     logits = np.asarray(model.compute_logits(params, hidden))
+    logits = logits[:, : ref[0].shape[-1]]  # drop vocab padding columns
     ofs = 0
     for toks, ref_l in zip(token_lists, ref):
         ours = logits[ofs : ofs + len(toks)]
@@ -74,9 +75,26 @@ def run_parity(model_type, tmp_path, cos_bar=0.99):
     return model, params, kc, vc, token_lists, block_tables, model_dir
 
 
-@pytest.mark.parametrize("model_type", ["qwen3", "qwen2"])
+@pytest.mark.parametrize("model_type", ["qwen3", "qwen2", "opt", "gpt2"])
 def test_prefill_parity(model_type, tmp_path):
     run_parity(model_type, tmp_path)
+
+
+@pytest.mark.parametrize("model_type", ["opt", "gpt2"])
+def test_decode_parity_non_rope(model_type, tmp_path):
+    model, params, kc, vc, token_lists, block_tables, model_dir = run_parity(
+        model_type, tmp_path
+    )
+    rng = np.random.default_rng(13)
+    extended = [toks + [int(rng.integers(0, 199))] for toks in token_lists]
+    meta, block_tables = build_decode_batch(extended, block_tables, BS, NUM_BLOCKS)
+    hidden, kc, vc = model.forward(params, meta, kc, vc, is_prefill=False)
+    logits = np.asarray(model.compute_logits(params, hidden))
+    ref = hf_logits(model_dir, extended)
+    for s, ref_l in enumerate(ref):
+        np.testing.assert_allclose(
+            logits[s, : ref_l.shape[-1]], ref_l[-1], rtol=2e-3, atol=2e-3
+        )
 
 
 def test_decode_parity_qwen3(tmp_path):
@@ -93,4 +111,6 @@ def test_decode_parity_qwen3(tmp_path):
     logits = np.asarray(model.compute_logits(params, hidden))
     ref = hf_logits(model_dir, extended)
     for s, ref_l in enumerate(ref):
-        np.testing.assert_allclose(logits[s], ref_l[-1], rtol=2e-3, atol=2e-3)
+        np.testing.assert_allclose(
+            logits[s, : ref_l.shape[-1]], ref_l[-1], rtol=2e-3, atol=2e-3
+        )
