@@ -75,7 +75,11 @@ def main() -> None:
     prompts = [list(rng.integers(1, vocab, size=n)) for n in (57, 123, 89, 251)]
     sp = SamplingParams(temperature=0.7, top_p=0.95, max_tokens=16, ignore_eos=True)
 
-    # Warm every bucket this workload touches, then measure.
+    # Warm every bucket this workload touches. Two passes: prefix-cache
+    # hits on repeat runs shrink the packed prefill token count into a
+    # smaller compile bucket, so the second pass warms the steady-state
+    # bucket the measured run will use.
+    llm.generate(prompts, sp, use_tqdm=False)
     llm.generate(prompts, sp, use_tqdm=False)
     t0 = time.perf_counter()
     outs = llm.generate(prompts, sp, use_tqdm=False)

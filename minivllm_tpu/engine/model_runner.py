@@ -78,6 +78,19 @@ class ModelRunner:
         init_random: bool = False,
         mesh=None,
     ) -> None:
+        # Persistent compile cache: bucket programs survive process
+        # restarts (the TPU-side analog of reusing captured device graphs;
+        # first-compile latency is the dominant cold-start cost).
+        import os
+
+        cache_dir = os.environ.get(
+            "MINIVLLM_TPU_COMPILE_CACHE",
+            os.path.expanduser("~/.cache/minivllm_tpu/xla"),
+        )
+        if cache_dir and jax.config.jax_compilation_cache_dir is None:
+            os.makedirs(cache_dir, exist_ok=True)
+            jax.config.update("jax_compilation_cache_dir", cache_dir)
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
         self.config = config
         self.dtype = _DTYPES[config.model_dtype]
         self.kv_dtype = _DTYPES.get(config.kv_dtype, jnp.bfloat16)
@@ -141,6 +154,10 @@ class ModelRunner:
         self._base_key = jax.random.PRNGKey(config.seed if config.seed is not None else 0)
         self._step_counter = 0
         self._compiled: dict = {}
+        # Device-resident SamplingState cache: batches usually reuse the
+        # same per-seq sampling params, so the 8 small H2D transfers of
+        # make_state happen once per distinct batch signature.
+        self._state_cache: dict = {}
         self._max_width = (
             config.max_model_len + self.block_size - 1
         ) // self.block_size
@@ -190,7 +207,27 @@ class ModelRunner:
 
     # -- step compilation ----------------------------------------------------
 
-    def _prefill_step(self, with_filters, params, k_cache, v_cache, meta, state, key):
+    # Metadata crosses host->device as a couple of packed int32 arrays (one
+    # H2D transfer each) and is unpacked into the batch pytree inside the
+    # jitted program — per-transfer latency, not bytes, dominates small
+    # host->device copies.
+
+    def _prefill_step(
+        self, with_filters, params, k_cache, v_cache, packed_t, packed_c,
+        packed_s, tables, state, key,
+    ):
+        meta = PrefillBatch(
+            input_ids=packed_t[0],
+            positions=packed_t[1],
+            q_seg=packed_t[2],
+            slot_mapping=packed_t[3],
+            ctx_slot_mapping=packed_c[0],
+            k_seg=packed_c[1],
+            k_pos=packed_c[2],
+            last_token_idx=packed_s[0],
+            ctx_lens=packed_s[1],
+            block_tables=tables,
+        )
         hidden, k_cache, v_cache = self.model.forward(
             params, meta, k_cache, v_cache, is_prefill=True
         )
@@ -199,7 +236,16 @@ class ModelRunner:
         toks = sample_tokens(logits, state, key, with_filters=with_filters)
         return toks, k_cache, v_cache
 
-    def _decode_step(self, with_filters, params, k_cache, v_cache, meta, state, key):
+    def _decode_step(
+        self, with_filters, params, k_cache, v_cache, packed, tables, state, key
+    ):
+        meta = DecodeBatch(
+            input_ids=packed[0],
+            positions=packed[1],
+            slot_mapping=packed[2],
+            ctx_lens=packed[3],
+            block_tables=tables,
+        )
         hidden, k_cache, v_cache = self.model.forward(
             params, meta, k_cache, v_cache, is_prefill=False
         )
@@ -216,9 +262,29 @@ class ModelRunner:
             self._compiled[cache_key] = fn
         return fn
 
+    def _get_state(self, params_list, S_pad: int):
+        sig = (
+            S_pad,
+            tuple(
+                (
+                    sp.temperature, sp.top_k, sp.top_p, sp.min_p,
+                    sp.typical_p, sp.repetition_penalty,
+                    sp.frequency_penalty, sp.presence_penalty,
+                )
+                for sp in params_list
+            ),
+        )
+        state = self._state_cache.get(sig)
+        if state is None:
+            if len(self._state_cache) > 256:
+                self._state_cache.clear()
+            state = make_state(params_list, S_pad)
+            self._state_cache[sig] = state
+        return state
+
     # -- batch preparation ---------------------------------------------------
 
-    def _prepare_prefill(self, seqs: list[Sequence]) -> PrefillBatch:
+    def _prepare_prefill(self, seqs: list[Sequence]):
         bs = self.block_size
         S = len(seqs)
         input_ids, positions, q_seg, slot_mapping = [], [], [], []
@@ -242,52 +308,53 @@ class ModelRunner:
         S_pad = _next_pow2(S, 8)
         W = self._max_width
 
-        def pad(lst, n, fill):
-            return np.asarray(lst + [fill] * (n - len(lst)), np.int32)
-
+        packed_t = np.zeros((4, T), np.int32)
+        n = len(input_ids)
+        packed_t[0, :n] = input_ids
+        packed_t[1, :n] = positions
+        packed_t[2, :n] = q_seg
+        packed_t[2, n:] = -1
+        packed_t[3, :n] = slot_mapping
+        packed_t[3, n:] = self.trash_slot
+        packed_c = np.zeros((3, C), np.int32)
+        m = len(ctx_slots)
+        packed_c[0, :m] = ctx_slots
+        packed_c[0, m:] = self.trash_slot
+        packed_c[1, :m] = k_seg
+        packed_c[1, m:] = -2
+        packed_c[2, :m] = k_pos
+        packed_s = np.zeros((2, S_pad), np.int32)
+        packed_s[0, :S] = last_idx
+        packed_s[0, S:] = T - 1
+        packed_s[1, :S] = [len(seq) for seq in seqs]
         tables = np.full((S_pad, W), self.trash_block, np.int32)
         for s, seq in enumerate(seqs):
             tables[s, : len(seq.block_table)] = seq.block_table
-        return PrefillBatch(
-            input_ids=jnp.asarray(pad(input_ids, T, 0)),
-            positions=jnp.asarray(pad(positions, T, 0)),
-            q_seg=jnp.asarray(pad(q_seg, T, -1)),
-            slot_mapping=jnp.asarray(pad(slot_mapping, T, self.trash_slot)),
-            ctx_slot_mapping=jnp.asarray(pad(ctx_slots, C, self.trash_slot)),
-            k_seg=jnp.asarray(pad(k_seg, C, -2)),
-            k_pos=jnp.asarray(pad(k_pos, C, 0)),
-            last_token_idx=jnp.asarray(pad(last_idx, S_pad, T - 1)),
-            block_tables=jnp.asarray(tables),
-            ctx_lens=jnp.asarray(
-                pad([len(seq) for seq in seqs], S_pad, 0)
-            ),
+        return (
+            jnp.asarray(packed_t),
+            jnp.asarray(packed_c),
+            jnp.asarray(packed_s),
+            jnp.asarray(tables),
+            S_pad,
         )
 
-    def _prepare_decode(self, seqs: list[Sequence]) -> DecodeBatch:
+    def _prepare_decode(self, seqs: list[Sequence]):
         bs = self.block_size
         S = len(seqs)
         S_pad = _pick_bucket(S, self.config.decode_seq_buckets)
         width = max(len(seq.block_table) for seq in seqs)
         W = _next_pow2(width, 1)
-        input_ids = np.zeros(S_pad, np.int32)
-        positions = np.zeros(S_pad, np.int32)
-        slot_mapping = np.full(S_pad, self.trash_slot, np.int32)
-        ctx_lens = np.zeros(S_pad, np.int32)
+        packed = np.zeros((4, S_pad), np.int32)
+        packed[2, S:] = self.trash_slot
         tables = np.full((S_pad, W), self.trash_block, np.int32)
         for s, seq in enumerate(seqs):
             pos = len(seq) - 1
-            input_ids[s] = seq.last_token
-            positions[s] = pos
-            slot_mapping[s] = seq.block_table[pos // bs] * bs + pos % bs
-            ctx_lens[s] = len(seq)
+            packed[0, s] = seq.token_ids[-1]
+            packed[1, s] = pos
+            packed[2, s] = seq.block_table[pos // bs] * bs + pos % bs
+            packed[3, s] = len(seq)
             tables[s, : len(seq.block_table)] = seq.block_table
-        return DecodeBatch(
-            input_ids=jnp.asarray(input_ids),
-            positions=jnp.asarray(positions),
-            slot_mapping=jnp.asarray(slot_mapping),
-            block_tables=jnp.asarray(tables),
-            ctx_lens=jnp.asarray(ctx_lens),
-        )
+        return jnp.asarray(packed), jnp.asarray(tables), S_pad
 
     # -- execution -----------------------------------------------------------
 
@@ -306,18 +373,18 @@ class ModelRunner:
             for sp in params_list
         )
         if is_prefill:
-            meta = self._prepare_prefill(seqs)
-            S_pad = int(meta.last_token_idx.shape[0])
+            packed_t, packed_c, packed_s, tables, S_pad = self._prepare_prefill(seqs)
             fn = self._get_step_fn("prefill", with_filters)
+            args = (packed_t, packed_c, packed_s, tables)
         else:
-            meta = self._prepare_decode(seqs)
-            S_pad = int(meta.input_ids.shape[0])
+            packed, tables, S_pad = self._prepare_decode(seqs)
             fn = self._get_step_fn("decode", with_filters)
-        state = make_state(params_list, S_pad)
+            args = (packed, tables)
+        state = self._get_state(params_list, S_pad)
         key = jax.random.fold_in(self._base_key, self._step_counter)
         self._step_counter += 1
         toks, self.k_cache, self.v_cache = fn(
-            self.params, self.k_cache, self.v_cache, meta, state, key
+            self.params, self.k_cache, self.v_cache, *args, state, key
         )
         out = np.asarray(toks[:S]).tolist()
         self.inference_count += 1

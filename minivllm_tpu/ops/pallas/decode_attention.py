@@ -1,17 +1,204 @@
-"""Pallas paged flash-decode attention (placeholder until the kernel lands).
+"""Pallas (Mosaic TPU) paged flash-decode attention.
 
-The kernel will stream each sequence's KV blocks HBM->VMEM by block-table
-lookup with double buffering and fuse the online-softmax flash loop
-(SURVEY.md §7.2 step 4). Until then `is_supported` returns False and the
-backend uses the XLA oracle.
+The hot kernel of decode serving (SURVEY.md §7.3 "the single most
+performance-critical artifact"; reference analog: the vendor
+flash_attn_with_kvcache / npu_incre_flash_attention calls,
+attention.py:394-449). One grid step per sequence:
+
+- the sequence's KV blocks are streamed HBM -> VMEM by block-table lookup
+  (scalar-prefetched indices) with double buffering, so the kernel runs at
+  HBM speed-of-light on the KV bytes;
+- a block arrives as the contiguous (block_size, kvh, d) slab of the flat
+  slot cache — one DMA covers every KV head;
+- online-softmax (flash) accumulation in fp32 VMEM scratch, GQA groups
+  computed against their KV head without materializing repeats;
+- the context-length tail is masked, and whole invalid blocks are never
+  fetched (the fori_loop trip count is the sequence's actual block count).
+
+Layout contract (matches ops/attention.py):
+  q            (S, h, d)
+  k/v cache    (num_slots, kvh, d), slot = block_id * block_size + offset
+  block_tables (S, W) int32, padding entries point at the trash block
+  ctx_lens     (S,) int32 (0 for padding rows)
 """
 
 from __future__ import annotations
 
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = float(jnp.finfo(jnp.float32).min)
+
 
 def is_supported(q, k_cache) -> bool:
-    return False
+    h = q.shape[-2]
+    kvh = k_cache.shape[-2]
+    d = q.shape[-1]
+    return d % 128 == 0 and h % kvh == 0
 
 
-def decode_attention(q, k_cache, v_cache, meta, scale, block_size):
-    raise NotImplementedError
+def _decode_kernel(
+    # scalar prefetch
+    block_tables_ref,  # (S*W,) int32 in SMEM
+    ctx_lens_ref,      # (S,) int32 in SMEM
+    # inputs
+    q_ref,             # (1, h, d) VMEM — this sequence's queries
+    k_hbm,             # (num_slots, kvh, d) ANY/HBM
+    v_hbm,
+    # outputs
+    o_ref,             # (1, h, d) VMEM
+    # scratch
+    kbuf, vbuf,        # (2, bs, kvh, d) VMEM
+    acc, m_i, l_i,     # (h, d) fp32, (h, 128) fp32, (h, 128) fp32
+    sems,              # DMA semaphores (2, 2)
+    *,
+    block_size: int,
+    num_kv_heads: int,
+    scale: float,
+    max_blocks: int,
+):
+    s = pl.program_id(0)
+    ctx_len = ctx_lens_ref[s]
+    num_blocks = pl.cdiv(ctx_len, block_size)
+    h = q_ref.shape[1]
+    d = q_ref.shape[2]
+    g = h // num_kv_heads
+
+    def start_fetch(j, slot):
+        blk = block_tables_ref[s * max_blocks + j]
+        off = blk * block_size
+        pltpu.make_async_copy(
+            k_hbm.at[pl.ds(off, block_size)], kbuf.at[slot], sems.at[slot, 0]
+        ).start()
+        pltpu.make_async_copy(
+            v_hbm.at[pl.ds(off, block_size)], vbuf.at[slot], sems.at[slot, 1]
+        ).start()
+
+    def wait_fetch(slot):
+        pltpu.make_async_copy(
+            k_hbm.at[pl.ds(0, block_size)], kbuf.at[slot], sems.at[slot, 0]
+        ).wait()
+        pltpu.make_async_copy(
+            v_hbm.at[pl.ds(0, block_size)], vbuf.at[slot], sems.at[slot, 1]
+        ).wait()
+
+    @pl.when(num_blocks > 0)
+    def _():
+        start_fetch(0, 0)
+
+    acc[...] = jnp.zeros_like(acc)
+    m_i[...] = jnp.full_like(m_i, NEG_INF)
+    l_i[...] = jnp.zeros_like(l_i)
+
+    q = q_ref[0].astype(jnp.float32) * scale  # (h, d)
+
+    def body(j, _):
+        slot = j % 2
+
+        @pl.when(j + 1 < num_blocks)
+        def _():
+            start_fetch(j + 1, (j + 1) % 2)
+
+        wait_fetch(slot)
+        k = kbuf[slot].astype(jnp.float32)  # (bs, kvh, d)
+        v = vbuf[slot].astype(jnp.float32)
+        # Per-KV-head 2D matmuls (static unroll — Mosaic requires equal
+        # batch-dim positions, so grouped batched dots are avoided).
+        score_rows = []
+        for kv in range(num_kv_heads):
+            qh = q[kv * g : (kv + 1) * g, :]      # (g, d)
+            kh = k[:, kv, :]                       # (bs, d)
+            score_rows.append(
+                jax.lax.dot_general(
+                    qh, kh,
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+            )  # (g, bs)
+        scores = jnp.concatenate(score_rows, axis=0)  # (h, bs)
+        # mask context tail
+        pos = j * block_size + jax.lax.broadcasted_iota(
+            jnp.int32, (h, block_size), 1
+        )
+        scores = jnp.where(pos < ctx_len, scores, NEG_INF)
+
+        m_prev = m_i[:, 0:1]
+        m_new = jnp.maximum(m_prev, jnp.max(scores, axis=-1, keepdims=True))
+        alpha = jnp.exp(m_prev - m_new)
+        p = jnp.exp(scores - m_new)  # (h, bs)
+        l_new = alpha * l_i[:, 0:1] + jnp.sum(p, axis=-1, keepdims=True)
+        pv_rows = []
+        for kv in range(num_kv_heads):
+            ph = p[kv * g : (kv + 1) * g, :]       # (g, bs)
+            vh = v[:, kv, :]                        # (bs, d)
+            pv_rows.append(
+                jnp.dot(ph, vh, preferred_element_type=jnp.float32)
+            )  # (g, d)
+        pv = jnp.concatenate(pv_rows, axis=0)       # (h, d)
+        acc[...] = acc[...] * alpha + pv
+        m_i[...] = jnp.broadcast_to(m_new, m_i.shape)
+        l_i[...] = jnp.broadcast_to(l_new, l_i.shape)
+        return 0
+
+    jax.lax.fori_loop(0, num_blocks, body, 0)
+    denom = jnp.maximum(l_i[:, 0:1], 1e-30)
+    out = acc[...] / denom
+    # Fully-masked rows (padding sequences) produce 0/eps -> 0; keep finite.
+    o_ref[0] = out.astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("scale", "block_size", "interpret")
+)
+def decode_attention(
+    q: jnp.ndarray,
+    k_cache: jnp.ndarray,
+    v_cache: jnp.ndarray,
+    meta,
+    scale: float,
+    block_size: int,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Paged flash-decode. q (S, h, d) -> (S, h, d)."""
+    S, h, d = q.shape
+    kvh = k_cache.shape[1]
+    W = meta.block_tables.shape[1]
+    kernel = functools.partial(
+        _decode_kernel,
+        block_size=block_size,
+        num_kv_heads=kvh,
+        scale=scale,
+        max_blocks=W,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(S,),
+        in_specs=[
+            pl.BlockSpec((1, h, d), lambda s, *_: (s, 0, 0)),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((1, h, d), lambda s, *_: (s, 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((2, block_size, kvh, d), k_cache.dtype),
+            pltpu.VMEM((2, block_size, kvh, d), v_cache.dtype),
+            pltpu.VMEM((h, d), jnp.float32),
+            pltpu.VMEM((h, 128), jnp.float32),
+            pltpu.VMEM((h, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ],
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((S, h, d), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=interpret,
+    )(meta.block_tables.reshape(-1), meta.ctx_lens, q, k_cache, v_cache)
+    return out

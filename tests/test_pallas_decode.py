@@ -1,0 +1,82 @@
+"""Pallas paged flash-decode kernel vs the XLA oracle (interpret mode on
+CPU — the tier-2 strategy from SURVEY.md §4)."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from minivllm_tpu.ops.attention import DecodeBatch, decode_attention_xla, store_kv
+from minivllm_tpu.ops.pallas import decode_attention as pdec
+
+BS = 16
+
+
+def build_case(rng, ctx_lens, kvh, h, d, num_blocks=32, dtype=jnp.float32):
+    S = len(ctx_lens)
+    W = max(1, -(-max(ctx_lens) // BS))
+    slots_total = (num_blocks + 1) * BS
+    kc = jnp.zeros((slots_total, kvh, d), dtype)
+    vc = jnp.zeros((slots_total, kvh, d), dtype)
+    tables = np.full((S, W), num_blocks, np.int32)
+    nxt = 0
+    for s, L in enumerate(ctx_lens):
+        if L == 0:
+            continue
+        nb = -(-L // BS)
+        blocks = list(range(nxt, nxt + nb))
+        nxt += nb
+        tables[s, :nb] = blocks
+        slots = np.array([blocks[i // BS] * BS + i % BS for i in range(L)], np.int32)
+        k = rng.standard_normal((L, kvh, d)).astype(np.float32)
+        v = rng.standard_normal((L, kvh, d)).astype(np.float32)
+        kc, vc = store_kv(kc, vc, jnp.asarray(k, dtype), jnp.asarray(v, dtype), jnp.asarray(slots))
+    q = jnp.asarray(rng.standard_normal((S, h, d)).astype(np.float32), dtype)
+    meta = DecodeBatch(
+        input_ids=jnp.zeros(S, jnp.int32),
+        positions=jnp.maximum(jnp.asarray(np.array(ctx_lens, np.int32)) - 1, 0),
+        slot_mapping=jnp.zeros(S, jnp.int32),
+        block_tables=jnp.asarray(tables),
+        ctx_lens=jnp.asarray(np.array(ctx_lens, np.int32)),
+    )
+    return q, kc, vc, meta
+
+
+@pytest.mark.parametrize(
+    "ctx_lens,kvh,h",
+    [
+        ([17, 33, 5], 2, 4),     # GQA g=2, mixed partial blocks
+        ([16, 64], 4, 4),        # exact block multiples, MHA
+        ([1], 1, 8),             # single token context, g=8
+        ([40, 0, 23, 7], 2, 8),  # padding row with ctx_len=0
+    ],
+)
+def test_matches_oracle(ctx_lens, kvh, h):
+    rng = np.random.default_rng(0)
+    d = 128
+    q, kc, vc, meta = build_case(rng, ctx_lens, kvh, h, d)
+    ref = decode_attention_xla(q, kc, vc, meta, 0.125, BS)
+    out = pdec.decode_attention(q, kc, vc, meta, 0.125, BS, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5
+    )
+
+
+def test_bf16_cache():
+    rng = np.random.default_rng(1)
+    q, kc, vc, meta = build_case(rng, [29, 50], 2, 4, 128, dtype=jnp.bfloat16)
+    ref = decode_attention_xla(q, kc, vc, meta, 0.125, BS)
+    out = pdec.decode_attention(q, kc, vc, meta, 0.125, BS, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref, np.float32),
+        rtol=2e-2, atol=2e-2,
+    )
+
+
+def test_is_supported_gates():
+    q = jnp.zeros((2, 4, 64))
+    kc = jnp.zeros((32, 2, 64))
+    assert not pdec.is_supported(q, kc)  # d=64 not 128-aligned
+    q = jnp.zeros((2, 4, 128))
+    kc = jnp.zeros((32, 2, 128))
+    assert pdec.is_supported(q, kc)
