@@ -165,6 +165,9 @@ class ModelRunner:
         self.total_prefill_tokens = 0
         self.total_decode_tokens = 0
         self.inference_count = 0
+        # Speculative pipeline state (see _maybe_speculate).
+        self._spec = None
+        self.spec_hits = 0
 
     # -- sizing --------------------------------------------------------------
 
@@ -237,10 +240,13 @@ class ModelRunner:
         return toks, k_cache, v_cache
 
     def _decode_step(
-        self, with_filters, params, k_cache, v_cache, packed, tables, state, key
+        self, with_filters, params, k_cache, v_cache, packed, tables, state, key,
+        prev_toks=None,
     ):
         meta = DecodeBatch(
-            input_ids=packed[0],
+            # Speculative steps feed the previous step's sampled tokens
+            # straight from the device array — no host round trip.
+            input_ids=packed[0] if prev_toks is None else prev_toks,
             positions=packed[1],
             slot_mapping=packed[2],
             ctx_lens=packed[3],
@@ -261,6 +267,62 @@ class ModelRunner:
             fn = jax.jit(partial(raw, with_filters), donate_argnums=(1, 2))
             self._compiled[cache_key] = fn
         return fn
+
+    # -- speculative decode pipelining ---------------------------------------
+    #
+    # After dispatching decode step N, the next step is dispatched
+    # immediately with the step-N token array still on device as its input,
+    # and only then are step N's tokens fetched — the device->host transfer
+    # overlaps step N+1's compute. If the scheduler's next batch differs
+    # (a sequence finished, was preempted, or crossed a block boundary),
+    # the speculative step is discarded: its sampled tokens are ignored and
+    # its KV writes are harmless — for continuing sequences they are
+    # exactly the writes the real step would do (same slots, same values),
+    # and writes from finished rows land in blocks that any future owner
+    # fully rewrites during its own prefill.
+
+    def _decode_signature(self, seqs, S_pad, W):
+        return (
+            tuple(s.seq_id for s in seqs),
+            tuple(len(s) for s in seqs),
+            tuple(id(s.sampling_params) for s in seqs),
+            S_pad,
+            W,
+        )
+
+    def _maybe_speculate(self, seqs, toks_dev, with_filters, S_pad, W):
+        bs = self.block_size
+        # Only when no sequence needs a new block next step.
+        if any(len(s) % bs == 0 for s in seqs):
+            return
+        S = len(seqs)
+        packed = np.zeros((4, S_pad), np.int32)
+        packed[2, S:] = self.trash_slot
+        tables = np.full((S_pad, W), self.trash_block, np.int32)
+        for s, seq in enumerate(seqs):
+            pos = len(seq)  # the token postprocess is about to append
+            packed[1, s] = pos
+            packed[2, s] = seq.block_table[pos // bs] * bs + pos % bs
+            packed[3, s] = pos + 1
+            tables[s, : len(seq.block_table)] = seq.block_table
+        state = self._get_state([s.sampling_params for s in seqs], S_pad)
+        key = jax.random.fold_in(self._base_key, self._step_counter)
+        self._step_counter += 1
+        fn = self._get_step_fn("decode", with_filters)
+        toks, self.k_cache, self.v_cache = fn(
+            self.params, self.k_cache, self.v_cache,
+            jnp.asarray(packed), jnp.asarray(tables), state, key, toks_dev,
+        )
+        self._spec = {
+            "sig": (
+                tuple(s.seq_id for s in seqs),
+                tuple(len(s) + 1 for s in seqs),
+                tuple(id(s.sampling_params) for s in seqs),
+                S_pad,
+                W,
+            ),
+            "toks": toks,
+        }
 
     def _get_state(self, params_list, S_pad: int):
         sig = (
@@ -373,19 +435,37 @@ class ModelRunner:
             for sp in params_list
         )
         if is_prefill:
+            self._spec = None
             packed_t, packed_c, packed_s, tables, S_pad = self._prepare_prefill(seqs)
             fn = self._get_step_fn("prefill", with_filters)
-            args = (packed_t, packed_c, packed_s, tables)
+            state = self._get_state(params_list, S_pad)
+            key = jax.random.fold_in(self._base_key, self._step_counter)
+            self._step_counter += 1
+            toks, self.k_cache, self.v_cache = fn(
+                self.params, self.k_cache, self.v_cache,
+                packed_t, packed_c, packed_s, tables, state, key,
+            )
         else:
             packed, tables, S_pad = self._prepare_decode(seqs)
-            fn = self._get_step_fn("decode", with_filters)
-            args = (packed, tables)
-        state = self._get_state(params_list, S_pad)
-        key = jax.random.fold_in(self._base_key, self._step_counter)
-        self._step_counter += 1
-        toks, self.k_cache, self.v_cache = fn(
-            self.params, self.k_cache, self.v_cache, *args, state, key
-        )
+            W = int(tables.shape[1])
+            sig = self._decode_signature(seqs, S_pad, W)
+            spec = self._spec
+            self._spec = None
+            if spec is not None and spec["sig"] == sig:
+                toks = spec["toks"]
+                self.spec_hits += 1
+            else:
+                fn = self._get_step_fn("decode", with_filters)
+                state = self._get_state(params_list, S_pad)
+                key = jax.random.fold_in(self._base_key, self._step_counter)
+                self._step_counter += 1
+                toks, self.k_cache, self.v_cache = fn(
+                    self.params, self.k_cache, self.v_cache,
+                    packed, tables, state, key,
+                )
+            # Dispatch the likely next step before fetching this one's
+            # tokens, so the D2H overlaps its compute.
+            self._maybe_speculate(seqs, toks, with_filters, S_pad, W)
         out = np.asarray(toks[:S]).tolist()
         self.inference_count += 1
         if is_prefill:
