@@ -87,7 +87,11 @@ class ModelRunner:
             "MINIVLLM_TPU_COMPILE_CACHE",
             os.path.expanduser("~/.cache/minivllm_tpu/xla"),
         )
-        if cache_dir and jax.config.jax_compilation_cache_dir is None:
+        if (
+            cache_dir
+            and jax.config.jax_compilation_cache_dir is None
+            and jax.default_backend() != "cpu"
+        ):
             os.makedirs(cache_dir, exist_ok=True)
             jax.config.update("jax_compilation_cache_dir", cache_dir)
             jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
@@ -217,7 +221,7 @@ class ModelRunner:
 
     def _prefill_step(
         self, with_filters, params, k_cache, v_cache, packed_t, packed_c,
-        packed_s, tables, state, key,
+        packed_s, tables, state, key, hist=None,
     ):
         meta = PrefillBatch(
             input_ids=packed_t[0],
@@ -236,12 +240,17 @@ class ModelRunner:
         )
         last = hidden[meta.last_token_idx]
         logits = self.model.compute_logits(params, last)
-        toks = sample_tokens(logits, state, key, with_filters=with_filters)
+        toks = sample_tokens(
+            logits, state, key,
+            all_tokens=None if hist is None else hist[0],
+            out_tokens=None if hist is None else hist[1],
+            with_filters=with_filters,
+        )
         return toks, k_cache, v_cache
 
     def _decode_step(
         self, with_filters, params, k_cache, v_cache, packed, tables, state, key,
-        prev_toks=None,
+        prev_toks=None, hist=None,
     ):
         meta = DecodeBatch(
             # Speculative steps feed the previous step's sampled tokens
@@ -256,7 +265,12 @@ class ModelRunner:
             params, meta, k_cache, v_cache, is_prefill=False
         )
         logits = self.model.compute_logits(params, hidden)
-        toks = sample_tokens(logits, state, key, with_filters=with_filters)
+        toks = sample_tokens(
+            logits, state, key,
+            all_tokens=None if hist is None else hist[0],
+            out_tokens=None if hist is None else hist[1],
+            with_filters=with_filters,
+        )
         return toks, k_cache, v_cache
 
     def _get_step_fn(self, phase: str, with_filters: bool):
@@ -280,6 +294,20 @@ class ModelRunner:
     # exactly the writes the real step would do (same slots, same values),
     # and writes from finished rows land in blocks that any future owner
     # fully rewrites during its own prefill.
+
+    def _build_hist(self, seqs, S_pad):
+        """Token histories for penalty application: (all tokens, output
+        tokens), padded with -1 (reference passes the same tensors to its
+        penalty kernels, functional.py:342-407)."""
+        H = _next_pow2(max(len(s) for s in seqs), 32)
+        all_t = np.full((S_pad, H), -1, np.int32)
+        out_t = np.full((S_pad, H), -1, np.int32)
+        for i, s in enumerate(seqs):
+            all_t[i, : len(s)] = s.token_ids
+            ct = s.completion_token_ids
+            if ct:
+                out_t[i, : len(ct)] = ct
+        return (jnp.asarray(all_t), jnp.asarray(out_t))
 
     def _decode_signature(self, seqs, S_pad, W):
         return (
@@ -426,12 +454,12 @@ class ModelRunner:
             return []
         S = len(seqs)
         params_list = [seq.sampling_params for seq in seqs]
-        with_filters = any(
+        with_penalties = any(sp.has_penalties for sp in params_list)
+        with_filters = with_penalties or any(
             sp.top_k > 0
             or sp.top_p < 1.0
             or sp.min_p > 0.0
             or sp.typical_p < 1.0
-            or sp.has_penalties
             for sp in params_list
         )
         if is_prefill:
@@ -439,11 +467,12 @@ class ModelRunner:
             packed_t, packed_c, packed_s, tables, S_pad = self._prepare_prefill(seqs)
             fn = self._get_step_fn("prefill", with_filters)
             state = self._get_state(params_list, S_pad)
+            hist = self._build_hist(seqs, S_pad) if with_penalties else None
             key = jax.random.fold_in(self._base_key, self._step_counter)
             self._step_counter += 1
             toks, self.k_cache, self.v_cache = fn(
                 self.params, self.k_cache, self.v_cache,
-                packed_t, packed_c, packed_s, tables, state, key,
+                packed_t, packed_c, packed_s, tables, state, key, hist=hist,
             )
         else:
             packed, tables, S_pad = self._prepare_decode(seqs)
@@ -457,15 +486,19 @@ class ModelRunner:
             else:
                 fn = self._get_step_fn("decode", with_filters)
                 state = self._get_state(params_list, S_pad)
+                hist = self._build_hist(seqs, S_pad) if with_penalties else None
                 key = jax.random.fold_in(self._base_key, self._step_counter)
                 self._step_counter += 1
                 toks, self.k_cache, self.v_cache = fn(
                     self.params, self.k_cache, self.v_cache,
-                    packed, tables, state, key,
+                    packed, tables, state, key, hist=hist,
                 )
             # Dispatch the likely next step before fetching this one's
-            # tokens, so the D2H overlaps its compute.
-            self._maybe_speculate(seqs, toks, with_filters, S_pad, W)
+            # tokens, so the D2H overlaps its compute. Penalty histories
+            # grow with the (still unfetched) sampled token, so speculation
+            # is disabled when penalties are active.
+            if not with_penalties:
+                self._maybe_speculate(seqs, toks, with_filters, S_pad, W)
         out = np.asarray(toks[:S]).tolist()
         self.inference_count += 1
         if is_prefill:

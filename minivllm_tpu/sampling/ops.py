@@ -125,6 +125,10 @@ def sample_tokens(
     """
     logits = logits.astype(jnp.float32)
     S, V = logits.shape
+    # Penalties come first (reference order: sampler.py:27-110), so they
+    # affect the greedy argmax too.
+    if with_filters and all_tokens is not None:
+        logits = apply_penalties(logits, state, all_tokens, out_tokens)
     greedy_tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
     temp = jnp.maximum(state.temperature, 1e-6)[:, None]
     scaled = logits / temp
@@ -132,9 +136,6 @@ def sample_tokens(
     if not with_filters:
         sampled = jax.random.categorical(key, scaled, axis=-1).astype(jnp.int32)
         return jnp.where(state.temperature > 0, sampled, greedy_tok)
-
-    if all_tokens is not None:
-        scaled = apply_penalties(scaled, state, all_tokens, out_tokens)
 
     # Typical filtering happens in vocab order before the ranking filters
     # (reference order: sampler.py:27-110).

@@ -137,6 +137,24 @@ def test_add_request_and_step_api(llm):
     assert len(outs[0][1]) == 2
 
 
+def test_repetition_penalty_end_to_end(llm):
+    """Greedy decoding of a degenerate random model loops on one token; a
+    strong repetition penalty must break the loop."""
+    prompt = [11, 47, 3, 88, 120]
+    plain = llm.generate(
+        [prompt], SamplingParams(temperature=0.0, max_tokens=10, ignore_eos=True),
+        use_tqdm=False,
+    )[0]["token_ids"]
+    penalized = llm.generate(
+        [prompt],
+        SamplingParams(temperature=0.0, max_tokens=10, ignore_eos=True,
+                       repetition_penalty=50.0),
+        use_tqdm=False,
+    )[0]["token_ids"]
+    # plain greedy repeats; penalized must produce more distinct tokens
+    assert len(set(penalized)) > len(set(plain))
+
+
 def test_sampling_reproducible_with_seed(tiny_qwen3):
     def run():
         cfg = Config(
