@@ -81,10 +81,13 @@ def main() -> None:
     # bucket the measured run will use.
     llm.generate(prompts, sp, use_tqdm=False)
     llm.generate(prompts, sp, use_tqdm=False)
+    # Three measured passes to average out relay/dispatch jitter.
+    gen_tokens = 0
     t0 = time.perf_counter()
-    outs = llm.generate(prompts, sp, use_tqdm=False)
+    for _ in range(3):
+        outs = llm.generate(prompts, sp, use_tqdm=False)
+        gen_tokens += sum(len(o["token_ids"]) for o in outs)
     elapsed = time.perf_counter() - t0
-    gen_tokens = sum(len(o["token_ids"]) for o in outs)
     tok_s = gen_tokens / elapsed
 
     baseline = 39.9 if on_tpu else 8.7  # BASELINE.md Qwen3-0.6B NPU / CPU

@@ -234,6 +234,8 @@ class ModelRunner:
             last_token_idx=packed_s[0],
             ctx_lens=packed_s[1],
             block_tables=tables,
+            q_start=packed_s[2],
+            q_lens=packed_s[3],
         )
         hidden, k_cache, v_cache = self.model.forward(
             params, meta, k_cache, v_cache, is_prefill=True
@@ -375,37 +377,45 @@ class ModelRunner:
     # -- batch preparation ---------------------------------------------------
 
     def _prepare_prefill(self, seqs: list[Sequence]):
+        """Pack new tokens at Q_TILE-aligned per-sequence offsets (required
+        by the Pallas prefill kernel; the XLA oracle treats the alignment
+        holes as ordinary padding rows)."""
+        from minivllm_tpu.ops.pallas.prefill_attention import Q_TILE
+
         bs = self.block_size
         S = len(seqs)
-        input_ids, positions, q_seg, slot_mapping = [], [], [], []
+        q_lens = [len(seq) - seq.num_cached_tokens for seq in seqs]
+        q_start = []
+        ofs = 0
+        for ql in q_lens:
+            q_start.append(ofs)
+            ofs += -(-ql // Q_TILE) * Q_TILE
+        T = _pick_bucket(max(ofs, 1), self.config.prefill_token_buckets)
+        if T % Q_TILE:
+            T = -(-T // Q_TILE) * Q_TILE
+
+        packed_t = np.zeros((4, T), np.int32)
+        packed_t[2, :] = -1
+        packed_t[3, :] = self.trash_slot
         ctx_slots, k_seg, k_pos, last_idx = [], [], [], []
         for s, seq in enumerate(seqs):
             table = seq.block_table
             start = seq.num_cached_tokens
-            for i in range(start, len(seq)):
-                input_ids.append(seq.token_ids[i])
-                positions.append(i)
-                q_seg.append(s)
-                slot_mapping.append(table[i // bs] * bs + i % bs)
-            last_idx.append(len(input_ids) - 1)
+            o = q_start[s]
+            for j, i in enumerate(range(start, len(seq))):
+                packed_t[0, o + j] = seq.token_ids[i]
+                packed_t[1, o + j] = i
+                packed_t[2, o + j] = s
+                packed_t[3, o + j] = table[i // bs] * bs + i % bs
+            last_idx.append(o + q_lens[s] - 1)
             for i in range(len(seq)):
                 ctx_slots.append(table[i // bs] * bs + i % bs)
                 k_seg.append(s)
                 k_pos.append(i)
 
-        T = _pick_bucket(len(input_ids), self.config.prefill_token_buckets)
         C = _next_pow2(len(ctx_slots), 64)
         S_pad = _next_pow2(S, 8)
         W = self._max_width
-
-        packed_t = np.zeros((4, T), np.int32)
-        n = len(input_ids)
-        packed_t[0, :n] = input_ids
-        packed_t[1, :n] = positions
-        packed_t[2, :n] = q_seg
-        packed_t[2, n:] = -1
-        packed_t[3, :n] = slot_mapping
-        packed_t[3, n:] = self.trash_slot
         packed_c = np.zeros((3, C), np.int32)
         m = len(ctx_slots)
         packed_c[0, :m] = ctx_slots
@@ -413,10 +423,12 @@ class ModelRunner:
         packed_c[1, :m] = k_seg
         packed_c[1, m:] = -2
         packed_c[2, :m] = k_pos
-        packed_s = np.zeros((2, S_pad), np.int32)
+        packed_s = np.zeros((4, S_pad), np.int32)
         packed_s[0, :S] = last_idx
         packed_s[0, S:] = T - 1
         packed_s[1, :S] = [len(seq) for seq in seqs]
+        packed_s[2, :S] = q_start
+        packed_s[3, :S] = q_lens
         tables = np.full((S_pad, W), self.trash_block, np.int32)
         for s, seq in enumerate(seqs):
             tables[s, : len(seq.block_table)] = seq.block_table

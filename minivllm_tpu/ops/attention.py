@@ -57,6 +57,10 @@ class PrefillBatch(NamedTuple):
     last_token_idx: jnp.ndarray   # (S,) int32 index into T of each seq's last token
     block_tables: jnp.ndarray     # (S, W) int32; padding -> trash block
     ctx_lens: jnp.ndarray         # (S,) int32 total context length; padding -> 0
+    # Tile-aligned packing info for the Pallas prefill kernel (each seq's
+    # q rows start at a Q_TILE-aligned offset; the XLA oracle ignores these).
+    q_start: jnp.ndarray          # (S,) int32 row offset of each seq's q tokens
+    q_lens: jnp.ndarray           # (S,) int32 number of new q tokens; padding -> 0
 
 
 class DecodeBatch(NamedTuple):

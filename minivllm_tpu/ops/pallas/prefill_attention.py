@@ -1,14 +1,260 @@
-"""Pallas varlen causal prefill flash attention (placeholder).
+"""Pallas (Mosaic TPU) varlen causal prefill flash attention over the
+paged KV cache.
 
-See decode_attention.py — same staging strategy.
+Replaces the reference's flash_attn_varlen_func path
+(/root/reference/minivllm/models/layers/attention.py:394-449) with a
+packed, tile-aligned design:
+
+- The runner packs each sequence's query tokens at Q_TILE-aligned offsets
+  (PrefillBatch.q_start/q_lens), so every Q_TILE-row tile belongs to
+  exactly one sequence — the grid is simply (num_tiles,) with identity
+  q/out block maps, no dynamic output aliasing.
+- Per tile, the owning sequence's KV blocks are streamed HBM -> VMEM by
+  block-table lookup with double buffering; the causal structure bounds
+  the trip count (blocks entirely above the tile's last query position
+  are never fetched).
+- Online-softmax accumulation in fp32; GQA by per-KV-head matmuls with
+  all of a group's query rows folded into the M dimension
+  ((g * Q_TILE, d) x (d, block_size) on the MXU).
+- Prefix-cache hits come for free: cached context tokens live in the same
+  paged cache and q positions start at PrefillBatch.positions.
+
+Scalar-prefetch metadata (host-built in the runner):
+  tile_seq  (nt,) — owning sequence of each tile (padding tiles -> -1)
+  tile_pos0 (nt,) — absolute context position of the tile's first row
+  tile_rows (nt,) — valid rows in the tile
+  block_tables (S*W,), ctx_lens (S,)
 """
 
 from __future__ import annotations
 
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = float(jnp.finfo(jnp.float32).min)
+
+Q_TILE = 64
+
 
 def is_supported(q, k_cache) -> bool:
-    return False
+    h = q.shape[-2]
+    kvh = k_cache.shape[-2]
+    d = q.shape[-1]
+    return d % 128 == 0 and h % kvh == 0
 
 
-def prefill_attention(q, k_cache, v_cache, meta, scale, block_size):
-    raise NotImplementedError
+def _prefill_kernel(
+    # scalar prefetch
+    tile_seq_ref, tile_pos0_ref, tile_rows_ref, block_tables_ref, ctx_lens_ref,
+    # inputs
+    q_ref,            # (Q_TILE, h, d) VMEM
+    k_hbm, v_hbm,     # (num_slots, kvh, d) ANY
+    # outputs
+    o_ref,            # (Q_TILE, h, d) VMEM
+    # scratch
+    kbuf, vbuf,       # (2, bs, kvh, d) VMEM
+    acc,              # (h * Q_TILE, d) fp32
+    m_i, l_i,         # (h * Q_TILE, 128) fp32
+    sems,
+    *,
+    block_size: int,
+    num_kv_heads: int,
+    scale: float,
+    max_blocks: int,
+):
+    t = pl.program_id(0)
+    s = tile_seq_ref[t]
+    active = s >= 0
+    s = jnp.maximum(s, 0)
+    pos0 = tile_pos0_ref[t]
+    rows = jnp.where(active, tile_rows_ref[t], 0)
+    ctx_len = ctx_lens_ref[s]
+    h = q_ref.shape[1]
+    d = q_ref.shape[2]
+    g = h // num_kv_heads
+    bs = block_size
+    # Causal bound: only blocks whose first position <= last query position.
+    last_q_pos = pos0 + rows - 1
+    kv_limit = jnp.minimum(ctx_len, last_q_pos + 1)
+    num_blocks = jnp.where(active, pl.cdiv(kv_limit, bs), 0)
+
+    def start_fetch(j, slot):
+        blk = block_tables_ref[s * max_blocks + j]
+        off = blk * bs
+        pltpu.make_async_copy(
+            k_hbm.at[pl.ds(off, bs)], kbuf.at[slot], sems.at[slot, 0]
+        ).start()
+        pltpu.make_async_copy(
+            v_hbm.at[pl.ds(off, bs)], vbuf.at[slot], sems.at[slot, 1]
+        ).start()
+
+    def wait_fetch(slot):
+        pltpu.make_async_copy(
+            k_hbm.at[pl.ds(0, bs)], kbuf.at[slot], sems.at[slot, 0]
+        ).wait()
+        pltpu.make_async_copy(
+            v_hbm.at[pl.ds(0, bs)], vbuf.at[slot], sems.at[slot, 1]
+        ).wait()
+
+    @pl.when(num_blocks > 0)
+    def _():
+        start_fetch(0, 0)
+
+    acc[...] = jnp.zeros_like(acc)
+    m_i[...] = jnp.full_like(m_i, NEG_INF)
+    l_i[...] = jnp.zeros_like(l_i)
+
+    # q rows folded per KV-head group: (kvh, g*QT, d) conceptually; we
+    # slice per kv head below. Scale once.
+    q = q_ref[...].astype(jnp.float32) * scale      # (QT, h, d)
+    q_pos = pos0 + jax.lax.broadcasted_iota(jnp.int32, (Q_TILE, 1), 0)[:, 0]
+
+    def body(j, _):
+        slot = j % 2
+
+        @pl.when(j + 1 < num_blocks)
+        def _():
+            start_fetch(j + 1, (j + 1) % 2)
+
+        wait_fetch(slot)
+        k = kbuf[slot].astype(jnp.float32)           # (bs, kvh, d)
+        v = vbuf[slot].astype(jnp.float32)
+        k_pos = j * bs + jax.lax.broadcasted_iota(jnp.int32, (Q_TILE, bs), 1)
+        causal = (k_pos <= q_pos[:, None]) & (k_pos < ctx_len)  # (QT, bs)
+
+        score_rows = []
+        for kv in range(num_kv_heads):
+            qh = q[:, kv * g : (kv + 1) * g, :]      # (QT, g, d)
+            qh2 = qh.reshape(Q_TILE * g, d)
+            kh = k[:, kv, :]                          # (bs, d)
+            score_rows.append(
+                jax.lax.dot_general(
+                    qh2, kh,
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+            )  # (QT*g, bs)
+        scores = jnp.concatenate(score_rows, axis=0)  # (kvh*QT*g = h*QT, bs)
+        # Row r within a kv-head block corresponds to q row (r // g): same
+        # causal mask for every head in the group.
+        mask = jnp.broadcast_to(
+            causal[:, None, :], (Q_TILE, g, bs)
+        ).reshape(Q_TILE * g, bs)
+        mask = jnp.concatenate([mask] * num_kv_heads, axis=0)
+        scores = jnp.where(mask, scores, NEG_INF)
+
+        m_prev = m_i[:, 0:1]
+        m_new = jnp.maximum(m_prev, jnp.max(scores, axis=-1, keepdims=True))
+        m_new = jnp.maximum(m_new, NEG_INF)
+        alpha = jnp.exp(m_prev - m_new)
+        p = jnp.exp(scores - m_new)
+        p = jnp.where(mask, p, 0.0)
+        l_i[...] = jnp.broadcast_to(
+            alpha * l_i[:, 0:1] + jnp.sum(p, axis=-1, keepdims=True), l_i.shape
+        )
+        pv_rows = []
+        for kv in range(num_kv_heads):
+            ph = p[kv * Q_TILE * g : (kv + 1) * Q_TILE * g, :]
+            vh = v[:, kv, :]
+            pv_rows.append(jnp.dot(ph, vh, preferred_element_type=jnp.float32))
+        pv = jnp.concatenate(pv_rows, axis=0)         # (h*QT, d)
+        acc[...] = acc[...] * alpha + pv
+        m_i[...] = jnp.broadcast_to(m_new, m_i.shape)
+        return 0
+
+    jax.lax.fori_loop(0, num_blocks, body, 0)
+    denom = jnp.maximum(l_i[:, 0:1], 1e-30)
+    out = acc[...] / denom                            # (h*QT, d) kv-major rows
+    # rows are ordered (kv, q_row, g); restore (QT, h, d)
+    out = out.reshape(num_kv_heads, Q_TILE, g, d).transpose(1, 0, 2, 3)
+    o_ref[...] = out.reshape(Q_TILE, h, d).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("scale", "block_size", "interpret")
+)
+def prefill_attention(
+    q: jnp.ndarray,
+    k_cache: jnp.ndarray,
+    v_cache: jnp.ndarray,
+    meta,
+    scale: float,
+    block_size: int,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Tile-aligned packed varlen prefill flash attention.
+
+    Requires the runner's Q_TILE-aligned packing: meta.q_start (S,) row
+    offsets, meta.q_lens (S,), plus positions/ctx_lens/block_tables.
+    """
+    T, h, d = q.shape
+    kvh = k_cache.shape[1]
+    W = meta.block_tables.shape[1]
+    nt = T // Q_TILE
+    S = meta.q_start.shape[0]
+
+    # Host-free tile metadata (computed in-jit from per-seq arrays).
+    tile_idx = jnp.arange(nt, dtype=jnp.int32)
+    starts = meta.q_start // Q_TILE                  # (S,) first tile of seq
+    n_tiles = (meta.q_lens + Q_TILE - 1) // Q_TILE   # (S,)
+    # tile -> seq: mark tile ranges [starts, starts + n_tiles).
+    in_range = (tile_idx[None, :] >= starts[:, None]) & (
+        tile_idx[None, :] < (starts + n_tiles)[:, None]
+    )                                                 # (S, nt)
+    valid_seq = meta.q_lens > 0
+    in_range = in_range & valid_seq[:, None]
+    tile_seq = jnp.where(
+        jnp.any(in_range, axis=0),
+        jnp.argmax(in_range, axis=0).astype(jnp.int32),
+        -1,
+    )
+    s_clamped = jnp.maximum(tile_seq, 0)
+    local = tile_idx - starts[s_clamped]
+    qpos0_seq = meta.ctx_lens - meta.q_lens          # first q position per seq
+    tile_pos0 = qpos0_seq[s_clamped] + local * Q_TILE
+    tile_rows = jnp.clip(
+        meta.q_lens[s_clamped] - local * Q_TILE, 0, Q_TILE
+    )
+
+    kernel = functools.partial(
+        _prefill_kernel,
+        block_size=block_size,
+        num_kv_heads=kvh,
+        scale=scale,
+        max_blocks=W,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=5,
+        grid=(nt,),
+        in_specs=[
+            pl.BlockSpec((Q_TILE, h, d), lambda t, *_: (t, 0, 0)),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((Q_TILE, h, d), lambda t, *_: (t, 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((2, block_size, kvh, d), k_cache.dtype),
+            pltpu.VMEM((2, block_size, kvh, d), v_cache.dtype),
+            pltpu.VMEM((h * Q_TILE, d), jnp.float32),
+            pltpu.VMEM((h * Q_TILE, 128), jnp.float32),
+            pltpu.VMEM((h * Q_TILE, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((T, h, d), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=interpret,
+    )(
+        tile_seq, tile_pos0, tile_rows,
+        meta.block_tables.reshape(-1), meta.ctx_lens,
+        q, k_cache, v_cache,
+    )

@@ -136,6 +136,8 @@ class TestPrefill:
             last_token_idx=jnp.asarray(np.array([4, 13], np.int32)),
             block_tables=jnp.zeros((2, 3), jnp.int32),
             ctx_lens=jnp.asarray(np.array(lens, np.int32)),
+            q_start=jnp.asarray(np.array([0, lens[0]], np.int32)),
+            q_lens=jnp.asarray(np.array(lens, np.int32)),
         )
         out = np.asarray(prefill_attention_xla(q, kc, vc, meta, 0.25))
         ofs = 0
@@ -173,6 +175,8 @@ class TestPrefill:
             last_token_idx=jnp.asarray(np.array([N - 1], np.int32)),
             block_tables=jnp.zeros((1, 2), jnp.int32),
             ctx_lens=jnp.asarray(np.array([C], np.int32)),
+            q_start=jnp.zeros(1, jnp.int32),
+            q_lens=jnp.asarray(np.array([N], np.int32)),
         )
         q = jnp.asarray(q_new)
         out = np.asarray(prefill_attention_xla(q, kc, vc, meta, 0.25))
@@ -208,6 +212,8 @@ class TestPrefill:
             last_token_idx=jnp.asarray(np.array([L - 1], np.int32)),
             block_tables=jnp.zeros((1, 1), jnp.int32),
             ctx_lens=jnp.asarray(np.array([L], np.int32)),
+            q_start=jnp.zeros(1, jnp.int32),
+            q_lens=jnp.asarray(np.array([L], np.int32)),
         )
         q_padded = jnp.asarray(np.concatenate([qv, np.ones((T - L, h, d), np.float32)]))
         out = np.asarray(prefill_attention_xla(q_padded, kc, vc, meta, 0.3))

@@ -37,6 +37,11 @@ def build_prefill_batch(token_lists, block_size, num_blocks, pad_t=None, pad_c=N
         last_idx.append(len(input_ids) - 1)
     def pad(arr, n, fill):
         return np.asarray(arr + [fill] * (n - len(arr)), np.int32)
+    q_start = np.zeros(S, np.int32)
+    ofs = 0
+    for s, L in enumerate(lens):
+        q_start[s] = ofs
+        ofs += L
     meta = PrefillBatch(
         input_ids=jnp.asarray(pad(input_ids, pad_t, 0)),
         positions=jnp.asarray(pad(positions, pad_t, 0)),
@@ -48,6 +53,8 @@ def build_prefill_batch(token_lists, block_size, num_blocks, pad_t=None, pad_c=N
         last_token_idx=jnp.asarray(np.array(last_idx, np.int32)),
         block_tables=jnp.asarray(block_tables),
         ctx_lens=jnp.asarray(np.array(lens, np.int32)),
+        q_start=jnp.asarray(q_start),
+        q_lens=jnp.asarray(np.array(lens, np.int32)),
     )
     return meta, block_tables
 
