@@ -54,6 +54,9 @@ def main() -> None:
     (tmp / "config.json").write_text(json.dumps(cfg_dict))
     hf_config = AutoConfig.from_pretrained(tmp)
 
+    import os
+
+    quant = os.environ.get("MINIVLLM_BENCH_QUANT") or None
     config = Config(
         model=str(tmp),
         hf_config=hf_config,
@@ -63,6 +66,7 @@ def main() -> None:
         kvcache_block_size=64,
         num_kvcache_blocks=256 if on_tpu else 64,
         dtype="bfloat16" if on_tpu else "float32",
+        quantization=quant,
     )
     t0 = time.perf_counter()
     llm = LLM(config, init_random=True)

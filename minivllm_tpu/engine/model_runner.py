@@ -110,6 +110,12 @@ class ModelRunner:
         else:
             model_dir = resolve_model_dir(config.model)
             self.params = load_model_params(self.model, model_dir)
+        if config.quantization == "int8":
+            if not hasattr(self.model, "quantize_params"):
+                raise ValueError(
+                    f"model {type(self.model).__name__} has no int8 support"
+                )
+            self.params = self.model.quantize_params(self.params)
         if mesh is None and config.tensor_parallel_size > 1:
             from minivllm_tpu.parallel.sharding import make_mesh
 

@@ -20,6 +20,7 @@ from jax import lax
 from minivllm_tpu.models.common import WeightCollector, mask_pad_logits
 from minivllm_tpu.ops.activation import gelu_new
 from minivllm_tpu.ops.norm import layer_norm
+from minivllm_tpu.ops.quant import qdot, qlookup, qtranspose, quantize_tree
 
 __all__ = ["GPT2ForCausalLM"]
 
@@ -140,6 +141,18 @@ class GPT2ForCausalLM:
         params["layers"].update(v_col.build().get("layers", {}))
         return params
 
+    def quantize_params(self, params: dict) -> dict:
+        plan = {
+            ("embed",): (1,),
+            ("layers", "q_proj"): (1,),
+            ("layers", "k_proj"): (1,),
+            ("layers", "v_proj"): (1,),
+            ("layers", "o_proj"): (1,),
+            ("layers", "fc_in"): (1,),
+            ("layers", "fc_out"): (1,),
+        }
+        return quantize_tree(params, plan)
+
     def param_pspecs(self) -> dict:
         from jax.sharding import PartitionSpec as P
 
@@ -168,7 +181,7 @@ class GPT2ForCausalLM:
     def forward(self, params, batch, k_cache, v_cache, *, is_prefill: bool):
         H, hd = self.num_heads, self.head_dim
         eps = self.layer_norm_eps
-        x = params["embed"][batch.input_ids].astype(self.dtype)
+        x = qlookup(params["embed"], batch.input_ids, self.dtype)
         x = x + params["embed_pos"][batch.positions]
         backend = self.attn_backend
 
@@ -177,19 +190,19 @@ class GPT2ForCausalLM:
             lp, lidx = scanned
             T = x.shape[0]
             h_in = layer_norm(x, lp["ln1"], lp["ln1_bias"], eps)
-            q = (jnp.dot(h_in, lp["q_proj"]) + lp["q_bias"]).reshape(T, H, hd)
-            k = (jnp.dot(h_in, lp["k_proj"]) + lp["k_bias"]).reshape(T, H, hd)
-            v = (jnp.dot(h_in, lp["v_proj"]) + lp["v_bias"]).reshape(T, H, hd)
+            q = (qdot(h_in, lp["q_proj"]) + lp["q_bias"]).reshape(T, H, hd)
+            k = (qdot(h_in, lp["k_proj"]) + lp["k_bias"]).reshape(T, H, hd)
+            v = (qdot(h_in, lp["v_proj"]) + lp["v_bias"]).reshape(T, H, hd)
             k_cache = k_cache.at[lidx, batch.slot_mapping].set(k.astype(k_cache.dtype))
             v_cache = v_cache.at[lidx, batch.slot_mapping].set(v.astype(v_cache.dtype))
             if is_prefill:
                 attn = backend.prefill(q, k_cache[lidx], v_cache[lidx], batch, self.scale)
             else:
                 attn = backend.decode(q, k_cache[lidx], v_cache[lidx], batch, self.scale)
-            x = x + jnp.dot(attn.reshape(T, H * hd), lp["o_proj"]) + lp["o_bias"]
+            x = x + qdot(attn.reshape(T, H * hd), lp["o_proj"]) + lp["o_bias"]
             h_mlp = layer_norm(x, lp["ln2"], lp["ln2_bias"], eps)
-            h_mlp = gelu_new(jnp.dot(h_mlp, lp["fc_in"]) + lp["fc_in_bias"])
-            x = x + jnp.dot(h_mlp, lp["fc_out"]) + lp["fc_out_bias"]
+            h_mlp = gelu_new(qdot(h_mlp, lp["fc_in"]) + lp["fc_in_bias"])
+            x = x + qdot(h_mlp, lp["fc_out"]) + lp["fc_out_bias"]
             return (x, k_cache, v_cache), None
 
         lidx = jnp.arange(self.num_layers, dtype=jnp.int32)
@@ -200,7 +213,7 @@ class GPT2ForCausalLM:
         return x, k_cache, v_cache
 
     def compute_logits(self, params, hidden):
-        logits = jnp.dot(
-            hidden, params["embed"].T, preferred_element_type=jnp.float32
+        logits = qdot(
+            hidden, qtranspose(params["embed"]), preferred_element_type=jnp.float32
         )
         return mask_pad_logits(logits, self.vocab_size)

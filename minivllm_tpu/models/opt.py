@@ -19,6 +19,7 @@ from jax import lax
 
 from minivllm_tpu.models.common import WeightCollector, mask_pad_logits
 from minivllm_tpu.ops.norm import layer_norm
+from minivllm_tpu.ops.quant import qdot, qlookup, qtranspose, quantize_tree
 
 __all__ = ["OPTForCausalLM"]
 
@@ -134,6 +135,18 @@ class OPTForCausalLM:
             raise ValueError(f"unmatched checkpoint tensors: {unmatched[:8]}")
         return col.build()
 
+    def quantize_params(self, params: dict) -> dict:
+        plan = {
+            ("embed",): (1,),
+            ("layers", "q_proj"): (1,),
+            ("layers", "k_proj"): (1,),
+            ("layers", "v_proj"): (1,),
+            ("layers", "o_proj"): (1,),
+            ("layers", "fc1"): (1,),
+            ("layers", "fc2"): (1,),
+        }
+        return quantize_tree(params, plan)
+
     def param_pspecs(self) -> dict:
         from jax.sharding import PartitionSpec as P
 
@@ -166,7 +179,7 @@ class OPTForCausalLM:
 
     def forward(self, params, batch, k_cache, v_cache, *, is_prefill: bool):
         H, hd = self.num_heads, self.head_dim
-        x = params["embed"][batch.input_ids].astype(self.dtype)
+        x = qlookup(params["embed"], batch.input_ids, self.dtype)
         if self.needs_projection:
             x = jnp.dot(x, params["project_in"])
         x = x + params["embed_pos"][batch.positions + self.pos_offset]
@@ -182,16 +195,16 @@ class OPTForCausalLM:
                 if self.do_layer_norm_before
                 else x
             )
-            q = (jnp.dot(h_in, lp["q_proj"]) + lp["q_bias"]).reshape(T, H, hd)
-            k = (jnp.dot(h_in, lp["k_proj"]) + lp["k_bias"]).reshape(T, H, hd)
-            v = (jnp.dot(h_in, lp["v_proj"]) + lp["v_bias"]).reshape(T, H, hd)
+            q = (qdot(h_in, lp["q_proj"]) + lp["q_bias"]).reshape(T, H, hd)
+            k = (qdot(h_in, lp["k_proj"]) + lp["k_bias"]).reshape(T, H, hd)
+            v = (qdot(h_in, lp["v_proj"]) + lp["v_bias"]).reshape(T, H, hd)
             k_cache = k_cache.at[lidx, batch.slot_mapping].set(k.astype(k_cache.dtype))
             v_cache = v_cache.at[lidx, batch.slot_mapping].set(v.astype(v_cache.dtype))
             if is_prefill:
                 attn = backend.prefill(q, k_cache[lidx], v_cache[lidx], batch, self.scale)
             else:
                 attn = backend.decode(q, k_cache[lidx], v_cache[lidx], batch, self.scale)
-            x = residual + jnp.dot(attn.reshape(T, H * hd), lp["o_proj"]) + lp["o_bias"]
+            x = residual + qdot(attn.reshape(T, H * hd), lp["o_proj"]) + lp["o_bias"]
             if not self.do_layer_norm_before:
                 x = layer_norm(x, lp["attn_ln"], lp["attn_ln_bias"])
             residual = x
@@ -200,8 +213,8 @@ class OPTForCausalLM:
                 if self.do_layer_norm_before
                 else x
             )
-            h_mlp = jnp.maximum(jnp.dot(h_mlp, lp["fc1"]) + lp["fc1_bias"], 0)
-            x = residual + jnp.dot(h_mlp, lp["fc2"]) + lp["fc2_bias"]
+            h_mlp = jnp.maximum(qdot(h_mlp, lp["fc1"]) + lp["fc1_bias"], 0)
+            x = residual + qdot(h_mlp, lp["fc2"]) + lp["fc2_bias"]
             if not self.do_layer_norm_before:
                 x = layer_norm(x, lp["final_ln"], lp["final_ln_bias"])
             return (x, k_cache, v_cache), None
@@ -217,7 +230,7 @@ class OPTForCausalLM:
         return x, k_cache, v_cache
 
     def compute_logits(self, params, hidden):
-        logits = jnp.dot(
-            hidden, params["embed"].T, preferred_element_type=jnp.float32
+        logits = qdot(
+            hidden, qtranspose(params["embed"]), preferred_element_type=jnp.float32
         )
         return mask_pad_logits(logits, self.vocab_size)

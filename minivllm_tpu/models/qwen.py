@@ -21,6 +21,7 @@ import numpy as np
 from jax import lax
 
 from minivllm_tpu.models.common import WeightCollector, mask_pad_logits
+from minivllm_tpu.ops.quant import qdot, qlookup, qtranspose, quantize_tree
 from minivllm_tpu.ops.attention import DecodeBatch, PrefillBatch
 from minivllm_tpu.ops.norm import rms_norm
 from minivllm_tpu.ops.activation import silu_and_mul
@@ -165,6 +166,23 @@ class QwenForCausalLM:
             raise ValueError(f"unmatched checkpoint tensors: {unmatched[:8]}")
         return col.build()
 
+    def quantize_params(self, params: dict) -> dict:
+        """INT8 weight-only quantization of every large kernel, including
+        the (tied) embedding/logits table (per-vocab-row scales)."""
+        plan = {
+            ("embed",): (1,),
+            ("layers", "q_proj"): (1,),
+            ("layers", "k_proj"): (1,),
+            ("layers", "v_proj"): (1,),
+            ("layers", "o_proj"): (1,),
+            ("layers", "gate_proj"): (1,),
+            ("layers", "up_proj"): (1,),
+            ("layers", "down_proj"): (1,),
+        }
+        if not self.tie_embeddings:
+            plan[("lm_head",)] = (0,)
+        return quantize_tree(params, plan)
+
     def param_pspecs(self) -> dict:
         """PartitionSpecs for tensor parallelism (see parallel/sharding.py):
         attention/MLP in Megatron column->row pattern, vocab-sharded
@@ -228,7 +246,7 @@ class QwenForCausalLM:
         in place (donate them at the jit boundary).
         """
         H, KV, hd = self.num_heads, self.num_kv_heads, self.head_dim
-        x = params["embed"][batch.input_ids].astype(self.dtype)  # (T, D)
+        x = qlookup(params["embed"], batch.input_ids, self.dtype)  # (T, D)
         cos, sin = self._rope(batch.positions)
         backend = self.attn_backend
         eps = self.rms_eps
@@ -238,9 +256,9 @@ class QwenForCausalLM:
             lp, lidx = scanned
             T = x.shape[0]
             h_in = rms_norm(x, lp["input_ln"], eps)
-            q = jnp.dot(h_in, lp["q_proj"])
-            k = jnp.dot(h_in, lp["k_proj"])
-            v = jnp.dot(h_in, lp["v_proj"])
+            q = qdot(h_in, lp["q_proj"])
+            k = qdot(h_in, lp["k_proj"])
+            v = qdot(h_in, lp["v_proj"])
             if self.qkv_bias:
                 q = q + lp["q_bias"]
                 k = k + lp["k_bias"]
@@ -267,11 +285,11 @@ class QwenForCausalLM:
                 attn = backend.decode(
                     q, k_cache[lidx], v_cache[lidx], batch, self.scale
                 )
-            x = x + jnp.dot(attn.reshape(T, H * hd), lp["o_proj"])
+            x = x + qdot(attn.reshape(T, H * hd), lp["o_proj"])
             h_mlp = rms_norm(x, lp["post_ln"], eps)
-            gate = jnp.dot(h_mlp, lp["gate_proj"])
-            up = jnp.dot(h_mlp, lp["up_proj"])
-            x = x + jnp.dot(silu_and_mul(gate, up), lp["down_proj"])
+            gate = qdot(h_mlp, lp["gate_proj"])
+            up = qdot(h_mlp, lp["up_proj"])
+            x = x + qdot(silu_and_mul(gate, up), lp["down_proj"])
             return (x, k_cache, v_cache), None
 
         lidx = jnp.arange(self.num_layers, dtype=jnp.int32)
@@ -283,6 +301,10 @@ class QwenForCausalLM:
 
     def compute_logits(self, params: dict, hidden: jnp.ndarray) -> jnp.ndarray:
         """hidden (N, D) -> logits (N, padded_V) fp32; pad columns -inf."""
-        w = params["embed"].T if self.tie_embeddings else params["lm_head"]
-        logits = jnp.dot(hidden, w, preferred_element_type=jnp.float32)
+        w = (
+            qtranspose(params["embed"])
+            if self.tie_embeddings
+            else params["lm_head"]
+        )
+        logits = qdot(hidden, w, preferred_element_type=jnp.float32)
         return mask_pad_logits(logits, self.vocab_size)

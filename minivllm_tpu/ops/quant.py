@@ -1,0 +1,78 @@
+"""Weight quantization (INT8 weight-only, symmetric per-channel).
+
+Beyond-reference feature (BASELINE.json north star): weights are stored
+int8 in HBM with per-output-channel fp32 scales, halving the weight
+bytes-per-step that dominate memory-bound decode. The dequantized value
+never round-trips through HBM — XLA fuses `int8 -> bf16 multiply` into
+the matmul operand read on TPU (verified by inspecting fusions; a Pallas
+dequant-matmul kernel is the escalation path if a model/shape defeats the
+fusion).
+
+A quantized linear is the pytree {"w": int8 (in, out), "s": fp32 (out,)};
+`qdot` transparently accepts either a plain array or the quantized form,
+so model code calls one primitive everywhere.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["quantize_weight", "qdot", "qlookup", "is_quantized"]
+
+
+def is_quantized(w) -> bool:
+    return isinstance(w, dict) and "w" in w and "s" in w
+
+
+def quantize_weight(w, reduce_axes: tuple[int, ...]):
+    """Symmetric absmax int8 quantization.
+
+    reduce_axes: the contraction axes the absmax is taken over (every
+    other axis keeps its own scale). Returns {"w": int8 same shape,
+    "s": fp32 with keepdims-reduced shape}.
+    """
+    w = np.asarray(w, np.float32)
+    absmax = np.max(np.abs(w), axis=reduce_axes, keepdims=True)
+    scale = np.maximum(absmax, 1e-8) / 127.0
+    q = np.clip(np.round(w / scale), -127, 127).astype(np.int8)
+    return {"w": jnp.asarray(q), "s": jnp.asarray(scale.astype(np.float32))}
+
+
+def quantize_tree(params: dict, plan: dict[tuple[str, ...], tuple[int, ...]]) -> dict:
+    """Quantize the kernels named by `plan` (path -> reduce_axes) in a
+    nested params dict; everything else passes through unchanged."""
+    def walk(node, path):
+        if isinstance(node, dict) and not is_quantized(node):
+            return {k: walk(v, path + (k,)) for k, v in node.items()}
+        if path in plan:
+            return quantize_weight(node, plan[path])
+        return node
+
+    return walk(params, ())
+
+
+def qdot(x: jnp.ndarray, w, preferred_element_type=None) -> jnp.ndarray:
+    """x @ w for plain or quantized w. Dequant happens in-register: the
+    int8 operand is converted and scaled inside the fused matmul."""
+    if not is_quantized(w):
+        return jnp.dot(x, w, preferred_element_type=preferred_element_type)
+    wq = w["w"].astype(x.dtype) * w["s"].astype(x.dtype)
+    return jnp.dot(x, wq, preferred_element_type=preferred_element_type)
+
+
+def qlookup(table, ids: jnp.ndarray, dtype) -> jnp.ndarray:
+    """Embedding lookup for plain or quantized (per-row scaled) tables."""
+    if not is_quantized(table):
+        return table[ids].astype(dtype)
+    rows = table["w"][ids].astype(dtype)
+    scales = table["s"].reshape(-1)[ids].astype(dtype)
+    return rows * scales[..., None]
+
+
+def qtranspose(w):
+    """Transpose a (possibly quantized) matrix for tied-embedding logits:
+    (V, D) row-scaled -> (D, V) column-scaled."""
+    if not is_quantized(w):
+        return w.T
+    return {"w": w["w"].T, "s": w["s"].reshape(1, -1)}

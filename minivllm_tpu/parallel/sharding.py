@@ -49,18 +49,38 @@ def _tp_divisible(model, tp: int) -> None:
         )
 
 
+def _scale_spec(w_spec: P, s_shape) -> P:
+    """Sharding for per-channel quantization scales: an axis of size 1
+    (a reduced contraction axis) is replicated, otherwise it follows the
+    kernel's spec."""
+    entries = list(w_spec) + [None] * (len(s_shape) - len(w_spec))
+    return P(*[None if s_shape[i] == 1 else entries[i] for i in range(len(s_shape))])
+
+
 def shard_params(model, params: dict, mesh: Mesh) -> dict:
-    """Place a parameter pytree onto the mesh per the model's pspecs."""
+    """Place a parameter pytree onto the mesh per the model's pspecs.
+
+    Quantized kernels ({"w": int8, "s": scales}) shard the int8 tensor by
+    the kernel's spec and the scales by the surviving channel axes.
+    """
+    from minivllm_tpu.ops.quant import is_quantized
+
     tp = mesh.shape[TP_AXIS]
     if tp > 1:
         _tp_divisible(model, tp)
     specs = model.param_pspecs()
-    return jax.tree.map(
-        lambda x, spec: jax.device_put(x, NamedSharding(mesh, spec)),
-        params,
-        specs,
-        is_leaf=lambda x: x is None,
-    )
+
+    def put(x, spec):
+        if is_quantized(x):
+            return {
+                "w": jax.device_put(x["w"], NamedSharding(mesh, spec)),
+                "s": jax.device_put(
+                    x["s"], NamedSharding(mesh, _scale_spec(spec, x["s"].shape))
+                ),
+            }
+        return jax.device_put(x, NamedSharding(mesh, spec))
+
+    return jax.tree.map(put, params, specs, is_leaf=is_quantized)
 
 
 def cache_pspec() -> P:

@@ -1,0 +1,126 @@
+"""INT8 weight-only quantization tests: op-level round trip, model logit
+fidelity vs fp32 (cosine > 0.99, the reference's parity bar), end-to-end
+generation, and TP sharding of quantized params."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from minivllm_tpu import Config, SamplingParams
+from minivllm_tpu.llm import LLM
+from minivllm_tpu.ops.quant import qdot, qlookup, qtranspose, quantize_weight
+from minivllm_tpu.utils.testing import make_tiny_checkpoint
+
+
+def test_quantize_roundtrip_error():
+    rng = np.random.default_rng(0)
+    w = rng.normal(0, 0.05, (64, 128)).astype(np.float32)
+    qw = quantize_weight(w, (0,))
+    deq = np.asarray(qw["w"], np.float32) * np.asarray(qw["s"])
+    assert np.abs(deq - w).max() < np.abs(w).max() / 100
+
+
+def test_qdot_matches_dense_closely():
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.normal(0, 1, (8, 64)).astype(np.float32))
+    w = rng.normal(0, 0.05, (64, 32)).astype(np.float32)
+    qw = quantize_weight(w, (0,))
+    ref = np.asarray(jnp.dot(x, jnp.asarray(w)))
+    out = np.asarray(qdot(x, qw))
+    rel = np.abs(out - ref).max() / np.abs(ref).max()
+    assert rel < 0.02
+
+
+def test_qlookup_and_transpose():
+    rng = np.random.default_rng(2)
+    table = rng.normal(0, 0.1, (10, 16)).astype(np.float32)
+    qt = quantize_weight(table, (1,))
+    ids = jnp.asarray([3, 7, 0])
+    ref = table[np.asarray(ids)]
+    out = np.asarray(qlookup(qt, ids, jnp.float32))
+    np.testing.assert_allclose(out, ref, atol=0.01)
+    h = jnp.asarray(rng.normal(0, 1, (2, 16)).astype(np.float32))
+    ref_l = np.asarray(jnp.dot(h, jnp.asarray(table.T)))
+    out_l = np.asarray(qdot(h, qtranspose(qt)))
+    assert np.abs(out_l - ref_l).max() / np.abs(ref_l).max() < 0.02
+
+
+@pytest.mark.parametrize("model_type", ["qwen3", "opt", "gpt2"])
+def test_int8_generation_close_to_fp32(model_type, tmp_path):
+    ckpt = make_tiny_checkpoint(model_type, tmp_path / model_type)
+
+    def gen(quant):
+        cfg = Config(
+            model=str(ckpt), max_num_seqs=4, max_model_len=128,
+            max_num_batched_tokens=128, kvcache_block_size=16,
+            num_kvcache_blocks=32, dtype="float32", attention_impl="xla",
+            quantization=quant,
+        )
+        llm = LLM(cfg)
+        out = llm.generate(
+            [[5, 9, 13, 44, 7]],
+            SamplingParams(temperature=0.0, max_tokens=6, ignore_eos=True),
+            use_tqdm=False,
+        )
+        return out[0]["token_ids"]
+
+    fp = gen(None)
+    q8 = gen("int8")
+    # Greedy trajectories of a *random* tiny model are extremely sensitive;
+    # require the first tokens to agree (logit argmax fidelity).
+    assert q8[0] == fp[0]
+
+
+def test_int8_logit_cosine(tmp_path):
+    """Cosine similarity of int8 vs fp32 logits > 0.99 (the reference's
+    parity bar, test_qwen3_logit_match.py:307-312)."""
+    from transformers import AutoConfig
+
+    from minivllm_tpu.models.registry import create_model
+    from minivllm_tpu.ops.backend import XlaAttentionBackend
+    from minivllm_tpu.utils.loader import load_model_params
+
+    import sys
+    sys.path.insert(0, str(__import__("pathlib").Path(__file__).parent))
+    from util_modeling import build_prefill_batch
+
+    ckpt = make_tiny_checkpoint("qwen3", tmp_path / "m")
+    hf_config = AutoConfig.from_pretrained(ckpt)
+    model = create_model(hf_config, jnp.float32, XlaAttentionBackend(16))
+    params = load_model_params(model, ckpt)
+    qparams = model.quantize_params(params)
+    toks = [list(np.random.default_rng(3).integers(0, 199, 20))]
+    kc = jnp.zeros((model.num_layers, 33 * 16, model.num_kv_heads, model.head_dim), jnp.float32)
+    vc = jnp.zeros_like(kc)
+    meta, _ = build_prefill_batch(toks, 16, 32)
+    h_fp, _, _ = model.forward(params, meta, kc, vc, is_prefill=True)
+    h_q, _, _ = model.forward(qparams, meta, jnp.zeros_like(kc), jnp.zeros_like(vc), is_prefill=True)
+    V = model.vocab_size
+    l_fp = np.asarray(model.compute_logits(params, h_fp))[19, :V]
+    l_q = np.asarray(model.compute_logits(qparams, h_q))[19, :V]
+    cos = np.dot(l_fp, l_q) / (np.linalg.norm(l_fp) * np.linalg.norm(l_q))
+    assert cos > 0.99, cos
+
+
+@pytest.mark.skipif(len(jax.devices()) < 4, reason="needs virtual devices")
+def test_int8_tp_sharding(tmp_path):
+    from minivllm_tpu.engine.model_runner import ModelRunner
+    from minivllm_tpu.engine.sequence import Sequence
+    from minivllm_tpu.parallel.sharding import make_mesh
+
+    ckpt = make_tiny_checkpoint(
+        "qwen3", tmp_path / "tp", num_attention_heads=8,
+        num_key_value_heads=8, head_dim=16, hidden_size=64,
+    )
+    cfg = Config(
+        model=str(ckpt), max_num_seqs=4, max_model_len=128,
+        max_num_batched_tokens=128, kvcache_block_size=16,
+        num_kvcache_blocks=32, dtype="float32", attention_impl="xla",
+        tensor_parallel_size=4, quantization="int8",
+    )
+    runner = ModelRunner(cfg, mesh=make_mesh(4))
+    seq = Sequence([1, 2, 3, 4, 5], SamplingParams(temperature=0.0), block_size=16)
+    seq.block_table = [0]
+    toks = runner.run([seq], is_prefill=True)
+    assert len(toks) == 1
