@@ -36,6 +36,9 @@ class LLMEngine:
         if not config.enforce_eager:
             self.model_runner.warmup()
         self.scheduler = Scheduler(config)
+        from minivllm_tpu.utils.metrics import StepTimer
+
+        self.metrics = StepTimer()
         self._exited = False
         atexit.register(self.exit)
 
@@ -96,6 +99,7 @@ class LLMEngine:
         seq = Sequence(
             prompt_tokens, sampling_params, block_size=self.config.kvcache_block_size
         )
+        seq.arrival_time = perf_counter()
         self.scheduler.add(seq)
         return seq.seq_id
 
@@ -103,9 +107,20 @@ class LLMEngine:
         """One engine step. Returns (finished outputs, ±token count):
         positive counts are prefill tokens, negative decode tokens
         (reference convention, llm_engine.py:203-251)."""
+        t0 = perf_counter()
         seqs, is_prefill = self.scheduler.schedule()
         token_ids = self.model_runner.run(seqs, is_prefill)
         self.scheduler.postprocess(seqs, token_ids)
+        now = perf_counter()
+        if is_prefill:
+            n = sum(len(s) - s.num_cached_tokens for s in seqs)
+            for seq in seqs:
+                if seq.arrival_time is not None:
+                    self.metrics.record_ttft(now - seq.arrival_time)
+                    seq.arrival_time = None  # only the first token counts
+        else:
+            n = len(seqs)
+        self.metrics.record("prefill" if is_prefill else "decode", n, now - t0)
         outputs = [
             (seq.seq_id, seq.completion_token_ids)
             for seq in seqs
@@ -120,6 +135,22 @@ class LLMEngine:
 
     def is_finished(self) -> bool:
         return self.scheduler.is_finished()
+
+    def get_stats(self) -> dict:
+        """Serving statistics: timing percentiles, throughput, prefix-cache
+        hit rate, speculative-pipeline hits, preemptions."""
+        bm = self.scheduler.block_manager
+        stats = {
+            **self.metrics.summary(),
+            "prefix_cache_hit_rate": bm.prefix_cache_hit_rate,
+            "prefix_cache_hits": bm.stats["prefix_cache_hits"],
+            "num_free_blocks": bm.num_free_blocks,
+            "num_preemptions": self.scheduler.num_preemptions,
+            "total_prefill_tokens": self.model_runner.total_prefill_tokens,
+            "total_decode_tokens": self.model_runner.total_decode_tokens,
+            "spec_pipeline_hits": self.model_runner.spec_hits,
+        }
+        return stats
 
     def generate(
         self,

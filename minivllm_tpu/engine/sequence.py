@@ -52,6 +52,8 @@ class Sequence:
         self.block_table: list[int] = []
         # Steps this sequence was preempted (for observability).
         self.num_preemptions: int = 0
+        # Set by the engine at add_request time; used for TTFT metrics.
+        self.arrival_time: float | None = None
 
     # -- token/block math ----------------------------------------------------
 

