@@ -91,6 +91,13 @@ class Config:
     enable_prefix_caching: bool = True
     # Weight quantization: None | "int8" (weight-only).
     quantization: str | None = None
+    # Decode steps fused into one device dispatch (multi-step decode):
+    # sampled tokens feed back on-device and K tokens per sequence are
+    # fetched at once, dividing dispatch + device->host overhead by K.
+    # Finish checks (EOS/max_tokens) lag up to K-1 steps, whose extra
+    # compute is discarded. 1 = classic single-step with speculative
+    # pipelining.
+    decode_multi_step: int = 4
 
     # Backward-compat alias used by reference callers
     # (/root/reference/minivllm/config.py:80-88).
@@ -149,6 +156,10 @@ class Config:
             )
         if self.quantization not in (None, "int8"):
             raise ValueError(f"unsupported quantization {self.quantization!r}")
+        if not 1 <= self.decode_multi_step <= 64:
+            raise ValueError(
+                f"decode_multi_step must be in [1, 64], got {self.decode_multi_step}"
+            )
 
     def _validate_ranges(self) -> None:
         if not (

@@ -170,34 +170,40 @@ class BlockManager:
         seq.block_table = []
         seq.num_cached_tokens = 0
 
-    def can_append(self, seq: Sequence) -> bool:
-        """True if the KV slot for this decode step's input token exists or
-        can be allocated.
+    def _blocks_needed(self, seq: Sequence, lookahead: int) -> int:
+        """Blocks to add so positions [len-1, len-1+lookahead) have slots.
 
         At decode-schedule time the sequence already holds the token sampled
-        last step (index len-1); its KV is written this step. A new physical
-        block is needed exactly when that position opens a fresh block.
+        last step (index len-1); its KV is written this step, and a
+        multi-step dispatch writes `lookahead` consecutive positions.
         """
-        needs_block = (len(seq) - 1) % self.block_size == 0
-        return self.num_free_blocks >= (1 if needs_block else 0)
+        last_pos = len(seq) - 2 + lookahead
+        return max(0, last_pos // self.block_size + 1 - len(seq.block_table))
 
-    def may_append(self, seq: Sequence) -> None:
-        """Prepare block state for one appended token (decode step).
+    def can_append(self, seq: Sequence, lookahead: int = 1) -> bool:
+        """True if the next `lookahead` decode positions can get slots."""
+        return self.num_free_blocks >= self._blocks_needed(seq, lookahead)
 
-        Called after the token is appended to the sequence. Allocates a
-        block on boundary crossing and finalizes the previous block's hash
-        when it just became full (reference: block_manager.py:404-450).
+    def may_append(self, seq: Sequence, lookahead: int = 1) -> None:
+        """Allocate blocks for the next `lookahead` decode positions.
+
+        Hash finalization of freshly filled blocks happens separately at
+        token-append time (on_token_appended) — with lookahead allocation a
+        block may exist before its tokens do.
         """
         if not seq.block_table:
             raise RuntimeError("may_append before allocate")
-        last_len = (len(seq) - 1) % self.block_size  # tokens in last block
-        if last_len == 0:
-            # Previous block just became full -> finalize its hash; the new
-            # token opens a fresh block.
-            if self.enable_prefix_caching:
-                self._finalize_full_block(seq, seq.num_blocks - 2)
+        for _ in range(self._blocks_needed(seq, lookahead)):
             block = self._take_block(self.free_block_ids[0])
             seq.block_table.append(block.block_id)
+
+    def on_token_appended(self, seq: Sequence) -> None:
+        """Called after each real token append; finalizes the hash of a
+        block the moment it fills (reference: block_manager.py:404-450)."""
+        if not self.enable_prefix_caching:
+            return
+        if len(seq) % self.block_size == 0:
+            self._finalize_full_block(seq, len(seq) // self.block_size - 1)
 
     def _finalize_full_block(self, seq: Sequence, logical_idx: int) -> None:
         if logical_idx < 0:

@@ -109,8 +109,34 @@ class LLMEngine:
         (reference convention, llm_engine.py:203-251)."""
         t0 = perf_counter()
         seqs, is_prefill = self.scheduler.schedule()
-        token_ids = self.model_runner.run(seqs, is_prefill)
-        self.scheduler.postprocess(seqs, token_ids)
+        K = self.config.decode_multi_step
+        multi = (
+            not is_prefill
+            and K > 1
+            and seqs
+            and not any(s.sampling_params.has_penalties for s in seqs)
+            and min(
+                s.sampling_params.max_tokens - s.num_completion_tokens
+                for s in seqs
+            )
+            >= K
+        )
+        appended = 0
+        if multi:
+            for step_toks in self.model_runner.run_multi(seqs, K):
+                active, toks = [], []
+                for s, t in zip(seqs, step_toks):
+                    if not s.is_finished:
+                        active.append(s)
+                        toks.append(t)
+                if not active:
+                    break
+                self.scheduler.postprocess(active, toks)
+                appended += len(active)
+        else:
+            token_ids = self.model_runner.run(seqs, is_prefill)
+            self.scheduler.postprocess(seqs, token_ids)
+            appended = len(seqs)
         now = perf_counter()
         if is_prefill:
             n = sum(len(s) - s.num_cached_tokens for s in seqs)
@@ -119,7 +145,7 @@ class LLMEngine:
                     self.metrics.record_ttft(now - seq.arrival_time)
                     seq.arrival_time = None  # only the first token counts
         else:
-            n = len(seqs)
+            n = appended
         self.metrics.record("prefill" if is_prefill else "decode", n, now - t0)
         outputs = [
             (seq.seq_id, seq.completion_token_ids)
@@ -129,7 +155,7 @@ class LLMEngine:
         num_tokens = (
             sum(len(s) - s.num_cached_tokens for s in seqs)
             if is_prefill
-            else -len(seqs)
+            else -appended
         )
         return outputs, num_tokens
 

@@ -62,6 +62,13 @@ def _pick_bucket(n: int, buckets: list[int]) -> int:
     return _next_pow2(n, buckets[-1] if buckets else 8)
 
 
+def lax_scan_steps(body, init, num_steps: int):
+    """lax.scan over a static iteration count with the index as xs."""
+    from jax import lax
+
+    return lax.scan(body, init, jnp.arange(num_steps, dtype=jnp.int32))
+
+
 class ModelRunner:
     """Owns the model, its parameters, the paged KV cache, and the compiled
     step functions."""
@@ -281,12 +288,64 @@ class ModelRunner:
         )
         return toks, k_cache, v_cache
 
-    def _get_step_fn(self, phase: str, with_filters: bool):
-        cache_key = (phase, with_filters)
+    def _decode_multi_step(
+        self, with_filters, num_steps, params, k_cache, v_cache, packed,
+        tables, state, key,
+    ):
+        """`num_steps` fused decode iterations: sampled tokens feed the next
+        iteration on device; returns (num_steps, S) tokens.
+
+        packed rows: [0]=first input token, [1]=base position, [2]=unused,
+        [3]=base context length. Per-iteration slots are derived from the
+        block tables in-jit (the scheduler pre-allocated the window).
+        """
+        bs = self.block_size
+
+        def body(carry, i):
+            k_cache, v_cache, toks = carry
+            pos = packed[1] + i
+            blk = jnp.take_along_axis(tables, (pos // bs)[:, None], axis=1)[:, 0]
+            meta = DecodeBatch(
+                input_ids=toks,
+                positions=pos,
+                slot_mapping=blk * bs + pos % bs,
+                ctx_lens=packed[3] + i,
+                block_tables=tables,
+            )
+            hidden, k_cache, v_cache = self.model.forward(
+                params, meta, k_cache, v_cache, is_prefill=False
+            )
+            logits = self.model.compute_logits(params, hidden)
+            toks = sample_tokens(
+                logits, state, jax.random.fold_in(key, i),
+                with_filters=with_filters,
+            )
+            return (k_cache, v_cache, toks), toks
+
+        (k_cache, v_cache, _), all_toks = lax_scan_steps(
+            body, (k_cache, v_cache, packed[0]), num_steps
+        )
+        return all_toks, k_cache, v_cache
+
+    def _get_step_fn(self, phase: str, with_filters: bool, num_steps: int = 1):
+        cache_key = (phase, with_filters, num_steps)
         fn = self._compiled.get(cache_key)
         if fn is None:
-            raw = self._prefill_step if phase == "prefill" else self._decode_step
-            fn = jax.jit(partial(raw, with_filters), donate_argnums=(1, 2))
+            if phase == "prefill":
+                fn = jax.jit(
+                    partial(self._prefill_step, with_filters),
+                    donate_argnums=(1, 2),
+                )
+            elif num_steps > 1:
+                fn = jax.jit(
+                    partial(self._decode_multi_step, with_filters, num_steps),
+                    donate_argnums=(1, 2),
+                )
+            else:
+                fn = jax.jit(
+                    partial(self._decode_step, with_filters),
+                    donate_argnums=(1, 2),
+                )
             self._compiled[cache_key] = fn
         return fn
 
@@ -526,6 +585,31 @@ class ModelRunner:
         else:
             self.total_decode_tokens += S
         return out
+
+    def run_multi(self, seqs: list[Sequence], num_steps: int) -> list[list[int]]:
+        """Fused multi-step decode: returns `num_steps` token lists (one
+        token per sequence per step). The scheduler must have reserved the
+        block window (may_append with lookahead=num_steps)."""
+        S = len(seqs)
+        params_list = [seq.sampling_params for seq in seqs]
+        with_filters = any(
+            sp.top_k > 0 or sp.top_p < 1.0 or sp.min_p > 0.0
+            or sp.typical_p < 1.0
+            for sp in params_list
+        )
+        self._spec = None
+        packed, tables, S_pad = self._prepare_decode(seqs)
+        fn = self._get_step_fn("decode", with_filters, num_steps)
+        state = self._get_state(params_list, S_pad)
+        key = jax.random.fold_in(self._base_key, self._step_counter)
+        self._step_counter += 1
+        all_toks, self.k_cache, self.v_cache = fn(
+            self.params, self.k_cache, self.v_cache, packed, tables, state, key
+        )
+        out = np.asarray(all_toks[:, :S])
+        self.inference_count += 1
+        self.total_decode_tokens += num_steps * S
+        return [row.tolist() for row in out]
 
     def warmup(self) -> None:
         """Trigger compilation of the common step variants with a dummy

@@ -94,13 +94,14 @@ class Scheduler:
                 f"{self.block_manager.num_blocks})"
             )
 
-        # Decode phase.
+        # Decode phase. Blocks are reserved for the full multi-step window
+        # so every fused decode iteration has its KV slot.
+        lookahead = self.config.decode_multi_step
         decode: list[Sequence] = []
         temp = deque(self.running)
         while temp:
             seq = temp.popleft()
-            # Ensure space for the token this step will append.
-            while not self.block_manager.can_append(seq):
+            while not self.block_manager.can_append(seq, lookahead):
                 if temp:
                     victim = temp.pop()  # youngest other running seq
                 else:
@@ -109,7 +110,7 @@ class Scheduler:
                 if victim is seq:
                     break
             else:
-                self.block_manager.may_append(seq)
+                self.block_manager.may_append(seq, lookahead)
                 decode.append(seq)
         self.running = deque(decode)
         return decode, False
@@ -134,6 +135,7 @@ class Scheduler:
             raise ValueError(f"{len(seqs)} seqs vs {len(token_ids)} tokens")
         for seq, token_id in zip(seqs, token_ids):
             seq.append_token(token_id)
+            self.block_manager.on_token_appended(seq)
             sp = seq.sampling_params
             finished = (
                 (not sp.ignore_eos and token_id == self.eos)

@@ -127,8 +127,10 @@ def test_hash_finalized_on_block_fill():
     b0 = bm.blocks[seq.block_table[0]]
     assert b0.hash == -1  # partial block
     seq.append_token(4)  # fills block 0
+    bm.on_token_appended(seq)
     bm.may_append(seq)
-    seq.append_token(5)  # position 4 -> new block, finalizes block 0
+    seq.append_token(5)  # position 4 -> new block
+    bm.on_token_appended(seq)
     bm.may_append(seq)
     assert b0.hash != -1
     assert b0.token_ids == [1, 2, 3, 4]
