@@ -233,8 +233,8 @@ class ModelRunner:
     # host->device copies.
 
     def _prefill_step(
-        self, with_filters, params, k_cache, v_cache, packed_t, packed_c,
-        packed_s, tables, state, key, hist=None,
+        self, with_filters, typical, params, k_cache, v_cache, packed_t,
+        packed_c, packed_s, tables, state, key, hist=None,
     ):
         meta = PrefillBatch(
             input_ids=packed_t[0],
@@ -260,12 +260,13 @@ class ModelRunner:
             all_tokens=None if hist is None else hist[0],
             out_tokens=None if hist is None else hist[1],
             with_filters=with_filters,
+            typical_active=typical,
         )
         return toks, k_cache, v_cache
 
     def _decode_step(
-        self, with_filters, params, k_cache, v_cache, packed, tables, state, key,
-        prev_toks=None, hist=None,
+        self, with_filters, typical, params, k_cache, v_cache, packed, tables,
+        state, key, prev_toks=None, hist=None,
     ):
         meta = DecodeBatch(
             # Speculative steps feed the previous step's sampled tokens
@@ -289,8 +290,8 @@ class ModelRunner:
         return toks, k_cache, v_cache
 
     def _decode_multi_step(
-        self, with_filters, num_steps, params, k_cache, v_cache, packed,
-        tables, state, key,
+        self, with_filters, typical, num_steps, params, k_cache, v_cache,
+        packed, tables, state, key,
     ):
         """`num_steps` fused decode iterations: sampled tokens feed the next
         iteration on device; returns (num_steps, S) tokens.
@@ -319,6 +320,7 @@ class ModelRunner:
             toks = sample_tokens(
                 logits, state, jax.random.fold_in(key, i),
                 with_filters=with_filters,
+                typical_active=typical,
             )
             return (k_cache, v_cache, toks), toks
 
@@ -327,23 +329,27 @@ class ModelRunner:
         )
         return all_toks, k_cache, v_cache
 
-    def _get_step_fn(self, phase: str, with_filters: bool, num_steps: int = 1):
-        cache_key = (phase, with_filters, num_steps)
+    def _get_step_fn(
+        self, phase: str, with_filters: bool, num_steps: int = 1,
+        typical: bool = False,
+    ):
+        cache_key = (phase, with_filters, num_steps, typical)
         fn = self._compiled.get(cache_key)
         if fn is None:
             if phase == "prefill":
                 fn = jax.jit(
-                    partial(self._prefill_step, with_filters),
+                    partial(self._prefill_step, with_filters, typical),
                     donate_argnums=(1, 2),
                 )
             elif num_steps > 1:
                 fn = jax.jit(
-                    partial(self._decode_multi_step, with_filters, num_steps),
+                    partial(self._decode_multi_step, with_filters, typical,
+                            num_steps),
                     donate_argnums=(1, 2),
                 )
             else:
                 fn = jax.jit(
-                    partial(self._decode_step, with_filters),
+                    partial(self._decode_step, with_filters, typical),
                     donate_argnums=(1, 2),
                 )
             self._compiled[cache_key] = fn
@@ -385,7 +391,7 @@ class ModelRunner:
             W,
         )
 
-    def _maybe_speculate(self, seqs, toks_dev, with_filters, S_pad, W):
+    def _maybe_speculate(self, seqs, toks_dev, with_filters, typical, S_pad, W):
         bs = self.block_size
         # Only when no sequence needs a new block next step.
         if any(len(s) % bs == 0 for s in seqs):
@@ -403,7 +409,7 @@ class ModelRunner:
         state = self._get_state([s.sampling_params for s in seqs], S_pad)
         key = jax.random.fold_in(self._base_key, self._step_counter)
         self._step_counter += 1
-        fn = self._get_step_fn("decode", with_filters)
+        fn = self._get_step_fn("decode", with_filters, typical=typical)
         toks, self.k_cache, self.v_cache = fn(
             self.params, self.k_cache, self.v_cache,
             jnp.asarray(packed), jnp.asarray(tables), state, key, toks_dev,
@@ -532,17 +538,17 @@ class ModelRunner:
         S = len(seqs)
         params_list = [seq.sampling_params for seq in seqs]
         with_penalties = any(sp.has_penalties for sp in params_list)
-        with_filters = with_penalties or any(
+        typical = any(sp.typical_p < 1.0 for sp in params_list)
+        with_filters = with_penalties or typical or any(
             sp.top_k > 0
             or sp.top_p < 1.0
             or sp.min_p > 0.0
-            or sp.typical_p < 1.0
             for sp in params_list
         )
         if is_prefill:
             self._spec = None
             packed_t, packed_c, packed_s, tables, S_pad = self._prepare_prefill(seqs)
-            fn = self._get_step_fn("prefill", with_filters)
+            fn = self._get_step_fn("prefill", with_filters, typical=typical)
             state = self._get_state(params_list, S_pad)
             hist = self._build_hist(seqs, S_pad) if with_penalties else None
             key = jax.random.fold_in(self._base_key, self._step_counter)
@@ -561,7 +567,7 @@ class ModelRunner:
                 toks = spec["toks"]
                 self.spec_hits += 1
             else:
-                fn = self._get_step_fn("decode", with_filters)
+                fn = self._get_step_fn("decode", with_filters, typical=typical)
                 state = self._get_state(params_list, S_pad)
                 hist = self._build_hist(seqs, S_pad) if with_penalties else None
                 key = jax.random.fold_in(self._base_key, self._step_counter)
@@ -575,7 +581,7 @@ class ModelRunner:
             # grow with the (still unfetched) sampled token, so speculation
             # is disabled when penalties are active.
             if not with_penalties:
-                self._maybe_speculate(seqs, toks, with_filters, S_pad, W)
+                self._maybe_speculate(seqs, toks, with_filters, typical, S_pad, W)
         out = np.asarray(toks[:S]).tolist()
         self.inference_count += 1
         if is_prefill:
@@ -592,14 +598,14 @@ class ModelRunner:
         block window (may_append with lookahead=num_steps)."""
         S = len(seqs)
         params_list = [seq.sampling_params for seq in seqs]
-        with_filters = any(
+        typical = any(sp.typical_p < 1.0 for sp in params_list)
+        with_filters = typical or any(
             sp.top_k > 0 or sp.top_p < 1.0 or sp.min_p > 0.0
-            or sp.typical_p < 1.0
             for sp in params_list
         )
         self._spec = None
         packed, tables, S_pad = self._prepare_decode(seqs)
-        fn = self._get_step_fn("decode", with_filters, num_steps)
+        fn = self._get_step_fn("decode", with_filters, num_steps, typical)
         state = self._get_state(params_list, S_pad)
         key = jax.random.fold_in(self._base_key, self._step_counter)
         self._step_counter += 1

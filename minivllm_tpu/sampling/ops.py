@@ -24,6 +24,10 @@ __all__ = ["SamplingState", "sample_tokens", "make_state"]
 
 NEG_INF = float(jnp.finfo(jnp.float32).min)
 
+# Candidate pool for the fast top-k/top-p path; a top-p cutoff virtually
+# always lies within the top-512 tokens at serving temperatures.
+NUM_CANDIDATES = 512
+
 
 class SamplingState(NamedTuple):
     """Per-sequence sampling parameters, shape (S,) each."""
@@ -116,6 +120,7 @@ def sample_tokens(
     all_tokens: jnp.ndarray | None = None,
     out_tokens: jnp.ndarray | None = None,
     with_filters: bool = True,
+    typical_active: bool = False,
 ) -> jnp.ndarray:
     """Sample one token per row. logits (S, V) fp32 -> (S,) int32.
 
@@ -137,26 +142,49 @@ def sample_tokens(
         sampled = jax.random.categorical(key, scaled, axis=-1).astype(jnp.int32)
         return jnp.where(state.temperature > 0, sampled, greedy_tok)
 
-    # Typical filtering happens in vocab order before the ranking filters
-    # (reference order: sampler.py:27-110).
-    probs_full = jax.nn.softmax(scaled, axis=-1)
-    keep_typical = _typical_mask(probs_full, state.typical_p)
-    scaled = jnp.where(keep_typical, scaled, NEG_INF)
+    if typical_active:
+        # Typical filtering needs the full distribution's deviation order;
+        # take the exact full-sort path (rare in serving).
+        probs_full = jax.nn.softmax(scaled, axis=-1)
+        keep_typical = _typical_mask(probs_full, state.typical_p)
+        scaled = jnp.where(keep_typical, scaled, NEG_INF)
+        order = jnp.argsort(-scaled, axis=-1)
+        sorted_logits = jnp.take_along_axis(scaled, order, axis=-1)
+        sorted_probs = jax.nn.softmax(sorted_logits, axis=-1)
+        ranks = jnp.arange(V, dtype=jnp.int32)[None, :]
+        k = jnp.where(state.top_k <= 0, V, state.top_k)[:, None]
+        keep = ranks < k
+        cum = jnp.cumsum(sorted_probs, axis=-1)
+        keep &= (cum - sorted_probs) < state.top_p[:, None]
+        keep &= sorted_probs >= state.min_p[:, None] * sorted_probs[:, :1]
+        keep = keep.at[:, 0].set(True)  # never filter everything
+        masked = jnp.where(keep, sorted_logits, NEG_INF)
+        rank_sample = jax.random.categorical(key, masked, axis=-1)
+        sampled = jnp.take_along_axis(order, rank_sample[:, None], axis=-1)[:, 0]
+        return jnp.where(
+            state.temperature > 0, sampled.astype(jnp.int32), greedy_tok
+        )
 
-    # Rank space: one descending sort serves top-k and top-p.
-    order = jnp.argsort(-scaled, axis=-1)
-    sorted_logits = jnp.take_along_axis(scaled, order, axis=-1)
-    sorted_probs = jax.nn.softmax(sorted_logits, axis=-1)
-    ranks = jnp.arange(V, dtype=jnp.int32)[None, :]
-    k = jnp.where(state.top_k <= 0, V, state.top_k)[:, None]
+    # Fast path: rank filters operate on the top-NUM_CANDIDATES logits
+    # (lax.top_k instead of a full vocab sort — the sort was the dominant
+    # sampler cost at large batch). Probabilities stay exact w.r.t. the
+    # full distribution via a full logsumexp; the top-p cutoff is exact
+    # whenever it falls inside the candidate set, and top-k requests are
+    # clamped to NUM_CANDIDATES.
+    K = min(V, NUM_CANDIDATES)
+    denom = jax.scipy.special.logsumexp(scaled, axis=-1, keepdims=True)
+    cand, idx = jax.lax.top_k(scaled, K)           # (S, K) descending
+    probs = jnp.exp(cand - denom)                  # true probabilities
+    ranks = jnp.arange(K, dtype=jnp.int32)[None, :]
+    k = jnp.where(state.top_k <= 0, K, jnp.minimum(state.top_k, K))[:, None]
     keep = ranks < k
-    cum = jnp.cumsum(sorted_probs, axis=-1)
-    keep &= (cum - sorted_probs) < state.top_p[:, None]
-    keep &= sorted_probs >= state.min_p[:, None] * sorted_probs[:, :1]
-    keep = keep.at[:, 0].set(True)  # never filter everything
-    masked = jnp.where(keep, sorted_logits, NEG_INF)
-    rank_sample = jax.random.categorical(key, masked, axis=-1)
-    sampled = jnp.take_along_axis(order, rank_sample[:, None], axis=-1)[:, 0]
+    cum = jnp.cumsum(probs, axis=-1)
+    keep &= (cum - probs) < state.top_p[:, None]
+    keep &= probs >= state.min_p[:, None] * probs[:, :1]
+    keep = keep.at[:, 0].set(True)
+    masked = jnp.where(keep, cand, NEG_INF)
+    r = jax.random.categorical(key, masked, axis=-1)
+    sampled = jnp.take_along_axis(idx, r[:, None], axis=-1)[:, 0]
     return jnp.where(
         state.temperature > 0, sampled.astype(jnp.int32), greedy_tok
     )

@@ -58,8 +58,27 @@ def test_min_p_threshold():
 def test_typical_p_filters_unusual():
     logits = jnp.asarray([[4.0, 4.0, 4.0, 4.0, -8.0]])
     st = state_of(temperature=1.0, typical_p=0.5)
-    toks = sample_many(logits, st, 200)
+    toks = sample_many(logits, st, 200, typical_active=True)
     assert 4 not in set(toks)
+    # the typical path must also still honor top-k etc. in the same pass
+    st2 = state_of(temperature=1.0, typical_p=0.99, top_k=2)
+    toks2 = sample_many(logits, st2, 100, typical_active=True)
+    assert set(toks2) <= {0, 1, 2, 3}
+
+
+def test_fast_path_candidate_pool_exactness():
+    """Fast path (top-k candidates) must match the exact full-sort path's
+    support on a distribution whose top-p cutoff is inside the pool."""
+    rng = np.random.default_rng(9)
+    logits = jnp.asarray(rng.normal(0, 2, (2, 2048)), jnp.float32)
+    st = make_state([SamplingParams(temperature=1.0, top_p=0.7, top_k=10)] * 2, 2)
+    fast = {int(sample_tokens(logits, st, jax.random.fold_in(KEY, i))[0])
+            for i in range(200)}
+    exact = {int(sample_tokens(logits, st, jax.random.fold_in(KEY, i),
+                               typical_active=True)[0])
+             for i in range(200)}
+    # identical support under both implementations
+    assert fast == exact
 
 
 def test_temperature_sharpens():
