@@ -116,11 +116,9 @@ class Config:
         if self.hf_config is None:
             self._load_hf_config()
         self._adjust_max_model_len()
-        if self.max_num_batched_tokens < self.max_model_len:
-            raise ValueError(
-                f"max_num_batched_tokens ({self.max_num_batched_tokens}) must be "
-                f">= max_model_len ({self.max_model_len})"
-            )
+        # Note: the reference requires max_num_batched_tokens >= max_model_len
+        # (config.py:257-264); chunked prefill removes that constraint here —
+        # prompts longer than the batch budget prefill in chunks.
         if self.decode_seq_buckets is None:
             self.decode_seq_buckets = _default_decode_buckets(self.max_num_seqs)
         if self.prefill_token_buckets is None:

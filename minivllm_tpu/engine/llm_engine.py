@@ -109,6 +109,14 @@ class LLMEngine:
         (reference convention, llm_engine.py:203-251)."""
         t0 = perf_counter()
         seqs, is_prefill = self.scheduler.schedule()
+        if is_prefill:
+            chunk_tokens = sum(
+                (s.chunk_range[1] - s.chunk_range[0]) if s.chunk_range else 0
+                for s in seqs
+            )
+            completing = [
+                s for s in seqs if s.num_computed_tokens >= len(s)
+            ]
         K = self.config.decode_multi_step
         multi = (
             not is_prefill
@@ -139,8 +147,8 @@ class LLMEngine:
             appended = len(seqs)
         now = perf_counter()
         if is_prefill:
-            n = sum(len(s) - s.num_cached_tokens for s in seqs)
-            for seq in seqs:
+            n = chunk_tokens
+            for seq in completing:
                 if seq.arrival_time is not None:
                     self.metrics.record_ttft(now - seq.arrival_time)
                     seq.arrival_time = None  # only the first token counts
@@ -152,11 +160,7 @@ class LLMEngine:
             for seq in seqs
             if seq.is_finished
         ]
-        num_tokens = (
-            sum(len(s) - s.num_cached_tokens for s in seqs)
-            if is_prefill
-            else -appended
-        )
+        num_tokens = chunk_tokens if is_prefill else -appended
         return outputs, num_tokens
 
     def is_finished(self) -> bool:

@@ -455,7 +455,12 @@ class ModelRunner:
 
         bs = self.block_size
         S = len(seqs)
-        q_lens = [len(seq) - seq.num_cached_tokens for seq in seqs]
+        # Chunked prefill: each sequence computes its scheduler-assigned
+        # [start, end) token window; context covers [0, end).
+        ranges = [
+            seq.chunk_range or (seq.num_cached_tokens, len(seq)) for seq in seqs
+        ]
+        q_lens = [end - start for start, end in ranges]
         q_start = []
         ofs = 0
         for ql in q_lens:
@@ -471,15 +476,15 @@ class ModelRunner:
         ctx_slots, k_seg, k_pos, last_idx = [], [], [], []
         for s, seq in enumerate(seqs):
             table = seq.block_table
-            start = seq.num_cached_tokens
+            start, end = ranges[s]
             o = q_start[s]
-            for j, i in enumerate(range(start, len(seq))):
+            for j, i in enumerate(range(start, end)):
                 packed_t[0, o + j] = seq.token_ids[i]
                 packed_t[1, o + j] = i
                 packed_t[2, o + j] = s
                 packed_t[3, o + j] = table[i // bs] * bs + i % bs
             last_idx.append(o + q_lens[s] - 1)
-            for i in range(len(seq)):
+            for i in range(end):
                 ctx_slots.append(table[i // bs] * bs + i % bs)
                 k_seg.append(s)
                 k_pos.append(i)
@@ -497,7 +502,7 @@ class ModelRunner:
         packed_s = np.zeros((4, S_pad), np.int32)
         packed_s[0, :S] = last_idx
         packed_s[0, S:] = T - 1
-        packed_s[1, :S] = [len(seq) for seq in seqs]
+        packed_s[1, :S] = [end for _, end in ranges]  # context length
         packed_s[2, :S] = q_start
         packed_s[3, :S] = q_lens
         tables = np.full((S_pad, W), self.trash_block, np.int32)
@@ -586,7 +591,10 @@ class ModelRunner:
         self.inference_count += 1
         if is_prefill:
             self.total_prefill_tokens += sum(
-                len(s) - s.num_cached_tokens for s in seqs
+                (s.chunk_range[1] - s.chunk_range[0])
+                if s.chunk_range
+                else len(s) - s.num_cached_tokens
+                for s in seqs
             )
         else:
             self.total_decode_tokens += S

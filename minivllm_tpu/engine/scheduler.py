@@ -65,33 +65,51 @@ class Scheduler:
         the most recently scheduled sequence (recompute-from-scratch).
         """
         scheduled: list[Sequence] = []
-        num_batched_tokens = 0
-        while self.waiting and len(self.running) + len(scheduled) < self.max_num_seqs:
+        budget = self.max_num_batched_tokens
+        # Completed admissions move into self.running inside the loop, so
+        # the running count alone is the concurrency gauge (a partial chunk
+        # ends the loop before it could be miscounted).
+        while (
+            self.waiting
+            and budget > 0
+            and len(self.running) < self.max_num_seqs
+        ):
             seq = self.waiting[0]
-            new_tokens = len(seq)  # conservative: assume no cache hits yet
-            if num_batched_tokens + new_tokens > self.max_num_batched_tokens:
+            if not seq.block_table:
+                if not self.block_manager.can_allocate(seq):
+                    break
+                self.block_manager.allocate(seq)
+                seq.num_computed_tokens = seq.num_cached_tokens
+            start = seq.num_computed_tokens
+            remaining = len(seq) - start
+            chunk = min(remaining, budget)
+            if chunk <= 0:
                 break
-            if not self.block_manager.can_allocate(seq):
-                break
-            self.waiting.popleft()
-            self.block_manager.allocate(seq)
-            # After allocation the actual compute cost excludes cached tokens.
-            num_batched_tokens += len(seq) - seq.num_cached_tokens
-            seq.status = SequenceStatus.RUNNING
+            # Chunked prefill: a prompt larger than the remaining budget
+            # computes [start, start+chunk) now and continues next round
+            # (beyond-reference capability; the reference requires the whole
+            # prompt to fit max_num_batched_tokens, config.py:257-264).
+            seq.chunk_range = (start, start + chunk)
+            seq.num_computed_tokens = start + chunk
+            budget -= chunk
             scheduled.append(seq)
+            if seq.num_computed_tokens >= len(seq):
+                self.waiting.popleft()
+                seq.status = SequenceStatus.RUNNING
+                self.running.append(seq)
+            else:
+                break  # budget exhausted mid-prompt
         if scheduled:
-            self.running.extend(scheduled)
             return scheduled, True
 
         if self.waiting and not self.running:
             # Nothing admitted and nothing running: the head request can
-            # never fit (prompt exceeds token budget or total blocks).
+            # never fit (needs more blocks than exist).
             seq = self.waiting[0]
             raise RuntimeError(
                 f"request seq_id={seq.seq_id} with {len(seq)} tokens cannot be "
-                f"scheduled (max_num_batched_tokens="
-                f"{self.max_num_batched_tokens}, total blocks="
-                f"{self.block_manager.num_blocks})"
+                f"scheduled (total blocks={self.block_manager.num_blocks}, "
+                f"block_size={self.block_manager.block_size})"
             )
 
         # Decode phase. Blocks are reserved for the full multi-step window
@@ -134,7 +152,11 @@ class Scheduler:
         if len(seqs) != len(token_ids):
             raise ValueError(f"{len(seqs)} seqs vs {len(token_ids)} tokens")
         for seq, token_id in zip(seqs, token_ids):
+            seq.chunk_range = None
+            if seq.num_computed_tokens < len(seq):
+                continue  # mid-prompt chunk: its sampled token is discarded
             seq.append_token(token_id)
+            seq.num_computed_tokens = len(seq)
             self.block_manager.on_token_appended(seq)
             sp = seq.sampling_params
             finished = (

@@ -47,6 +47,11 @@ class Sequence:
         # Tokens whose KV is already present via prefix-cache hits; prefill
         # starts computing at this offset.
         self.num_cached_tokens: int = 0
+        # Prompt tokens whose KV exists (cached or computed) — advances in
+        # chunks during chunked prefill; the scheduler sets chunk_range to
+        # the [start, end) token window of the current prefill step.
+        self.num_computed_tokens: int = 0
+        self.chunk_range: tuple[int, int] | None = None
         # Physical block ids, in order (block i covers tokens
         # [i*block_size, (i+1)*block_size)).
         self.block_table: list[int] = []
@@ -118,6 +123,8 @@ class Sequence:
         self.status = SequenceStatus.WAITING
         self.block_table = []
         self.num_cached_tokens = 0
+        self.num_computed_tokens = 0
+        self.chunk_range = None
         self.num_preemptions += 1
 
     def __repr__(self) -> str:

@@ -21,10 +21,12 @@ def test_max_model_len_clamped_to_model(fake_model_dir):
     assert cfg.max_model_len == 2048  # fake model max_position_embeddings
 
 
-def test_batched_tokens_must_cover_model_len(fake_model_dir):
-    with pytest.raises(ValueError, match="max_num_batched_tokens"):
-        Config(model=fake_model_dir, max_num_batched_tokens=128,
-               max_model_len=512)
+def test_batched_tokens_below_model_len_allowed(fake_model_dir):
+    """The reference rejects budgets below max_model_len; chunked prefill
+    makes this configuration valid here."""
+    cfg = Config(model=fake_model_dir, max_num_batched_tokens=128,
+                 max_model_len=512)
+    assert cfg.max_num_batched_tokens == 128
 
 
 @pytest.mark.parametrize("util", [0.05, 1.5])

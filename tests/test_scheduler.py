@@ -8,8 +8,8 @@ from minivllm_tpu.engine.sequence import Sequence, SequenceStatus
 from minivllm_tpu.sampling_params import SamplingParams
 
 
-def mk_seq(n_tokens, block_size=64, **sp):
-    return Sequence(list(range(1, n_tokens + 1)),
+def mk_seq(n_tokens, block_size=64, offset=1, **sp):
+    return Sequence(list(range(offset, n_tokens + offset)),
                     SamplingParams(**sp), block_size=block_size)
 
 
@@ -25,16 +25,26 @@ def test_prefill_first(default_config):
     assert s.num_waiting == 0
 
 
-def test_prefill_token_budget(default_config):
+def test_prefill_token_budget_chunks(default_config):
     s = Scheduler(default_config)
     a = mk_seq(400)
-    b = mk_seq(400)
+    b = mk_seq(400, offset=5000)  # distinct tokens: no prefix-cache hits
     s.add(a)
     s.add(b)
     seqs, is_prefill = s.schedule()
     assert is_prefill
-    assert seqs == [a]  # 800 > max_num_batched_tokens=512
-    assert s.num_waiting == 1
+    # a fits fully; b gets the remaining 112-token chunk and stays waiting
+    assert seqs == [a, b]
+    assert a.chunk_range == (0, 400)
+    assert b.chunk_range == (0, 112)
+    assert b.num_computed_tokens == 112
+    assert s.num_waiting == 1  # b continues next round
+    s.postprocess(seqs, [1, 2])
+    assert len(a) == 401  # a sampled a token
+    assert len(b) == 400  # b's mid-chunk sample discarded
+    seqs2, is_prefill = s.schedule()
+    assert is_prefill and seqs2 == [b]
+    assert b.chunk_range == (112, 400)
 
 
 def test_decode_after_prefill(default_config):
@@ -110,11 +120,39 @@ def test_preemption_under_memory_pressure(limited_cache_config):
     assert b.block_table == []
 
 
-def test_unschedulable_request_raises(default_config):
-    s = Scheduler(default_config)
-    s.add(mk_seq(600))  # exceeds max_num_batched_tokens=512
+def test_unschedulable_request_raises(fake_model_dir):
+    from minivllm_tpu.config import Config
+
+    cfg = Config(model=fake_model_dir, max_num_seqs=8, max_model_len=512,
+                 max_num_batched_tokens=512)
+    cfg.num_kvcache_blocks = 2  # 128-token capacity
+    s = Scheduler(cfg)
+    s.add(mk_seq(300))  # needs 5 blocks, only 2 exist
     with pytest.raises(RuntimeError, match="cannot be scheduled"):
         s.schedule()
+
+
+def test_oversized_prompt_chunks(fake_model_dir):
+    """A prompt above the batch budget schedules in chunks (the reference
+    rejects this configuration)."""
+    from minivllm_tpu.config import Config
+
+    cfg = Config(model=fake_model_dir, max_num_seqs=8, max_model_len=512,
+                 max_num_batched_tokens=256)
+    cfg.num_kvcache_blocks = 100
+    s = Scheduler(cfg)
+    big = mk_seq(400)
+    s.add(big)
+    seqs, is_prefill = s.schedule()
+    assert is_prefill and seqs == [big]
+    assert big.chunk_range == (0, 256)
+    s.postprocess(seqs, [1])
+    assert len(big) == 400  # mid-chunk sample discarded
+    seqs, _ = s.schedule()
+    assert big.chunk_range == (256, 400)
+    s.postprocess(seqs, [5])
+    assert big.token_ids[-1] == 5
+    assert s.num_running == 1
 
 
 def test_max_num_seqs_cap(fake_model_dir):
