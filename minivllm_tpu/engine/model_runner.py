@@ -145,7 +145,10 @@ class ModelRunner:
         kvh = self.model.num_kv_heads
         hd = self.model.head_dim
         num_slots = (self.num_blocks + 1) * self.block_size
-        cache_shape = (L, num_slots, kvh, hd)
+        # Flat multi-layer cache: slot for (layer, block, offset) =
+        # layer * num_slots + block * block_size + offset. No per-layer
+        # slicing ever materializes a layer copy.
+        cache_shape = (L * num_slots, kvh, hd)
         if self.mesh is not None:
             from jax.sharding import NamedSharding
 

@@ -185,9 +185,12 @@ class OPTForCausalLM:
         x = x + params["embed_pos"][batch.positions + self.pos_offset]
         backend = self.attn_backend
 
+        stride = k_cache.shape[0] // self.num_layers
+
         def layer(carry, scanned):
             x, k_cache, v_cache = carry
             lp, lidx = scanned
+            base = lidx * stride
             T = x.shape[0]
             residual = x
             h_in = (
@@ -198,12 +201,13 @@ class OPTForCausalLM:
             q = (qdot(h_in, lp["q_proj"]) + lp["q_bias"]).reshape(T, H, hd)
             k = (qdot(h_in, lp["k_proj"]) + lp["k_bias"]).reshape(T, H, hd)
             v = (qdot(h_in, lp["v_proj"]) + lp["v_bias"]).reshape(T, H, hd)
-            k_cache = k_cache.at[lidx, batch.slot_mapping].set(k.astype(k_cache.dtype))
-            v_cache = v_cache.at[lidx, batch.slot_mapping].set(v.astype(v_cache.dtype))
+            slots = base + batch.slot_mapping
+            k_cache = k_cache.at[slots].set(k.astype(k_cache.dtype))
+            v_cache = v_cache.at[slots].set(v.astype(v_cache.dtype))
             if is_prefill:
-                attn = backend.prefill(q, k_cache[lidx], v_cache[lidx], batch, self.scale)
+                attn = backend.prefill(q, k_cache, v_cache, batch, self.scale, base)
             else:
-                attn = backend.decode(q, k_cache[lidx], v_cache[lidx], batch, self.scale)
+                attn = backend.decode(q, k_cache, v_cache, batch, self.scale, base)
             x = residual + qdot(attn.reshape(T, H * hd), lp["o_proj"]) + lp["o_bias"]
             if not self.do_layer_norm_before:
                 x = layer_norm(x, lp["attn_ln"], lp["attn_ln_bias"])

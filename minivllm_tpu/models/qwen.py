@@ -251,9 +251,12 @@ class QwenForCausalLM:
         backend = self.attn_backend
         eps = self.rms_eps
 
+        stride = k_cache.shape[0] // self.num_layers
+
         def layer(carry, scanned):
             x, k_cache, v_cache = carry
             lp, lidx = scanned
+            base = lidx * stride
             T = x.shape[0]
             h_in = rms_norm(x, lp["input_ln"], eps)
             q = qdot(h_in, lp["q_proj"])
@@ -271,19 +274,16 @@ class QwenForCausalLM:
                 k = rms_norm(k, lp["k_norm"], eps)
             q = apply_rope(q, cos, sin)
             k = apply_rope(k, cos, sin)
-            k_cache = k_cache.at[lidx, batch.slot_mapping].set(
-                k.astype(k_cache.dtype)
-            )
-            v_cache = v_cache.at[lidx, batch.slot_mapping].set(
-                v.astype(v_cache.dtype)
-            )
+            slots = base + batch.slot_mapping
+            k_cache = k_cache.at[slots].set(k.astype(k_cache.dtype))
+            v_cache = v_cache.at[slots].set(v.astype(v_cache.dtype))
             if is_prefill:
                 attn = backend.prefill(
-                    q, k_cache[lidx], v_cache[lidx], batch, self.scale
+                    q, k_cache, v_cache, batch, self.scale, base
                 )
             else:
                 attn = backend.decode(
-                    q, k_cache[lidx], v_cache[lidx], batch, self.scale
+                    q, k_cache, v_cache, batch, self.scale, base
                 )
             x = x + qdot(attn.reshape(T, H * hd), lp["o_proj"])
             h_mlp = rms_norm(x, lp["post_ln"], eps)

@@ -131,6 +131,7 @@ def prefill_attention_xla(
     v_cache: jnp.ndarray,
     meta: PrefillBatch,
     scale: float,
+    base=0,
 ) -> jnp.ndarray:
     """Packed varlen causal prefill attention over the paged cache.
 
@@ -138,9 +139,13 @@ def prefill_attention_xla(
     gathered from the cache at the packed context slots (which include any
     prefix-cache-hit tokens plus this step's freshly scattered tokens).
     Valid (query, key) pairs: same sequence and k_pos <= q_pos.
+
+    `base` offsets slots into a flat multi-layer cache (layer * stride);
+    the caches are the whole (L*num_slots, kvh, d) arrays so no per-layer
+    slice is ever materialized.
     """
-    k = k_cache[meta.ctx_slot_mapping]          # (C, kvh, d)
-    v = v_cache[meta.ctx_slot_mapping]
+    k = k_cache[base + meta.ctx_slot_mapping]   # (C, kvh, d)
+    v = v_cache[base + meta.ctx_slot_mapping]
     scores = _grouped_scores(q, k, scale)        # (kvh, g, T, C)
     same_seq = meta.q_seg[:, None] == meta.k_seg[None, :]
     causal = meta.k_pos[None, :] <= meta.positions[:, None]
@@ -157,19 +162,23 @@ def decode_attention_xla(
     meta: DecodeBatch,
     scale: float,
     block_size: int,
+    base=0,
 ) -> jnp.ndarray:
     """Paged decode attention: one query per sequence against its block
     table (reference oracle: page_attention.py:25-133).
 
     q: (S, h, d). Gathers each sequence's context (S, W*bs, kvh, d) from
-    the flat cache and applies a context-length mask.
+    the flat cache and applies a context-length mask. `base` offsets into
+    a flat multi-layer cache.
     """
     S, h, d = q.shape
     W = meta.block_tables.shape[1]
     bs = block_size
     # Flat slots for every (block, offset) pair in the table.
     offs = jnp.arange(bs, dtype=jnp.int32)
-    slots = (meta.block_tables[:, :, None] * bs + offs[None, None, :]).reshape(S, W * bs)
+    slots = base + (
+        meta.block_tables[:, :, None] * bs + offs[None, None, :]
+    ).reshape(S, W * bs)
     k = k_cache[slots]                           # (S, C, kvh, d)
     v = v_cache[slots]
     kvh = k.shape[2]

@@ -26,12 +26,12 @@ class XlaAttentionBackend:
     def __init__(self, block_size: int) -> None:
         self.block_size = block_size
 
-    def prefill(self, q, k_cache, v_cache, meta: A.PrefillBatch, scale):
-        return A.prefill_attention_xla(q, k_cache, v_cache, meta, scale)
+    def prefill(self, q, k_cache, v_cache, meta: A.PrefillBatch, scale, base=0):
+        return A.prefill_attention_xla(q, k_cache, v_cache, meta, scale, base)
 
-    def decode(self, q, k_cache, v_cache, meta: A.DecodeBatch, scale):
+    def decode(self, q, k_cache, v_cache, meta: A.DecodeBatch, scale, base=0):
         return A.decode_attention_xla(
-            q, k_cache, v_cache, meta, scale, self.block_size
+            q, k_cache, v_cache, meta, scale, self.block_size, base
         )
 
 
@@ -48,23 +48,23 @@ class PallasAttentionBackend:
         self.block_size = block_size
         self._oracle = XlaAttentionBackend(block_size)
 
-    def prefill(self, q, k_cache, v_cache, meta: A.PrefillBatch, scale):
+    def prefill(self, q, k_cache, v_cache, meta: A.PrefillBatch, scale, base=0):
         from minivllm_tpu.ops.pallas import prefill_attention as kernel
 
         if kernel.is_supported(q, k_cache):
             return kernel.prefill_attention(
-                q, k_cache, v_cache, meta, scale, self.block_size
+                q, k_cache, v_cache, meta, scale, self.block_size, base
             )
-        return self._oracle.prefill(q, k_cache, v_cache, meta, scale)
+        return self._oracle.prefill(q, k_cache, v_cache, meta, scale, base)
 
-    def decode(self, q, k_cache, v_cache, meta: A.DecodeBatch, scale):
+    def decode(self, q, k_cache, v_cache, meta: A.DecodeBatch, scale, base=0):
         from minivllm_tpu.ops.pallas import decode_attention as kernel
 
         if kernel.is_supported(q, k_cache):
             return kernel.decode_attention(
-                q, k_cache, v_cache, meta, scale, self.block_size
+                q, k_cache, v_cache, meta, scale, self.block_size, base
             )
-        return self._oracle.decode(q, k_cache, v_cache, meta, scale)
+        return self._oracle.decode(q, k_cache, v_cache, meta, scale, base)
 
 
 def make_backend(name: str, block_size: int):

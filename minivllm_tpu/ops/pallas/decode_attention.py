@@ -45,6 +45,7 @@ def _decode_kernel(
     # scalar prefetch
     block_tables_ref,  # (S*W,) int32 in SMEM
     ctx_lens_ref,      # (S,) int32 in SMEM
+    base_ref,          # (1,) int32 — flat-cache layer offset
     # inputs
     q_ref,             # (1, h, d) VMEM — this sequence's queries
     k_hbm,             # (num_slots, kvh, d) ANY/HBM
@@ -70,7 +71,7 @@ def _decode_kernel(
 
     def start_fetch(j, slot):
         blk = block_tables_ref[s * max_blocks + j]
-        off = blk * block_size
+        off = base_ref[0] + blk * block_size
         pltpu.make_async_copy(
             k_hbm.at[pl.ds(off, block_size)], kbuf.at[slot], sems.at[slot, 0]
         ).start()
@@ -161,6 +162,7 @@ def decode_attention(
     meta,
     scale: float,
     block_size: int,
+    base=0,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Paged flash-decode. q (S, h, d) -> (S, h, d)."""
@@ -175,7 +177,7 @@ def decode_attention(
         max_blocks=W,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(S,),
         in_specs=[
             pl.BlockSpec((1, h, d), lambda s, *_: (s, 0, 0)),
@@ -200,5 +202,12 @@ def decode_attention(
             dimension_semantics=("arbitrary",),
         ),
         interpret=interpret,
-    )(meta.block_tables.reshape(-1), meta.ctx_lens, q, k_cache, v_cache)
+    )(
+        meta.block_tables.reshape(-1),
+        meta.ctx_lens,
+        jnp.asarray(base, jnp.int32).reshape(1),
+        q,
+        k_cache,
+        v_cache,
+    )
     return out

@@ -50,6 +50,7 @@ def is_supported(q, k_cache) -> bool:
 def _prefill_kernel(
     # scalar prefetch
     tile_seq_ref, tile_pos0_ref, tile_rows_ref, block_tables_ref, ctx_lens_ref,
+    base_ref,
     # inputs
     q_ref,            # (Q_TILE, h, d) VMEM
     k_hbm, v_hbm,     # (num_slots, kvh, d) ANY
@@ -84,7 +85,7 @@ def _prefill_kernel(
 
     def start_fetch(j, slot):
         blk = block_tables_ref[s * max_blocks + j]
-        off = blk * bs
+        off = base_ref[0] + blk * bs
         pltpu.make_async_copy(
             k_hbm.at[pl.ds(off, bs)], kbuf.at[slot], sems.at[slot, 0]
         ).start()
@@ -184,6 +185,7 @@ def prefill_attention(
     meta,
     scale: float,
     block_size: int,
+    base=0,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Tile-aligned packed varlen prefill flash attention.
@@ -228,7 +230,7 @@ def prefill_attention(
         max_blocks=W,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=5,
+        num_scalar_prefetch=6,
         grid=(nt,),
         in_specs=[
             pl.BlockSpec((Q_TILE, h, d), lambda t, *_: (t, 0, 0)),
@@ -256,5 +258,6 @@ def prefill_attention(
     )(
         tile_seq, tile_pos0, tile_rows,
         meta.block_tables.reshape(-1), meta.ctx_lens,
+        jnp.asarray(base, jnp.int32).reshape(1),
         q, k_cache, v_cache,
     )

@@ -84,8 +84,8 @@ def shard_params(model, params: dict, mesh: Mesh) -> dict:
 
 
 def cache_pspec() -> P:
-    """KV cache (L, num_slots, kv_heads, head_dim): shard kv heads."""
-    return P(None, None, TP_AXIS, None)
+    """Flat KV cache (L*num_slots, kv_heads, head_dim): shard kv heads."""
+    return P(None, TP_AXIS, None)
 
 
 def shard_cache(cache, mesh: Mesh):

@@ -48,8 +48,8 @@ def our_model_and_cache(model_dir):
     kvh = getattr(model, "num_kv_heads", model.num_heads)
     hd = model.head_dim
     slots = (NUM_BLOCKS + 1) * BS
-    kc = jnp.zeros((L, slots, kvh, hd), jnp.float32)
-    vc = jnp.zeros((L, slots, kvh, hd), jnp.float32)
+    kc = jnp.zeros((L * slots, kvh, hd), jnp.float32)
+    vc = jnp.zeros((L * slots, kvh, hd), jnp.float32)
     return model, params, kc, vc
 
 

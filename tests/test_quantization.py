@@ -91,7 +91,7 @@ def test_int8_logit_cosine(tmp_path):
     params = load_model_params(model, ckpt)
     qparams = model.quantize_params(params)
     toks = [list(np.random.default_rng(3).integers(0, 199, 20))]
-    kc = jnp.zeros((model.num_layers, 33 * 16, model.num_kv_heads, model.head_dim), jnp.float32)
+    kc = jnp.zeros((model.num_layers * 33 * 16, model.num_kv_heads, model.head_dim), jnp.float32)
     vc = jnp.zeros_like(kc)
     meta, _ = build_prefill_batch(toks, 16, 32)
     h_fp, _, _ = model.forward(params, meta, kc, vc, is_prefill=True)
