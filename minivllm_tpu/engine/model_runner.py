@@ -104,7 +104,11 @@ class ModelRunner:
             jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
         self.config = config
         self.dtype = _DTYPES[config.model_dtype]
-        self.kv_dtype = _DTYPES.get(config.kv_dtype, jnp.bfloat16)
+        self.kv_quantized = config.kv_dtype == "int8"
+        self.kv_dtype = (
+            jnp.int8 if self.kv_quantized
+            else _DTYPES.get(config.kv_dtype, jnp.bfloat16)
+        )
         self.block_size = config.kvcache_block_size
         self.mesh = mesh
         backend_name = "pallas" if config.use_pallas_attention else "xla"
@@ -149,26 +153,41 @@ class ModelRunner:
         # layer * num_slots + block * block_size + offset. No per-layer
         # slicing ever materializes a layer copy.
         cache_shape = (L * num_slots, kvh, hd)
+        from minivllm_tpu.ops.attention import QuantizedCache
+
+        def make_zeros():
+            if self.kv_quantized:
+                return QuantizedCache(
+                    data=jnp.zeros(cache_shape, jnp.int8),
+                    scale=jnp.zeros(cache_shape[:2], jnp.float32),
+                )
+            return jnp.zeros(cache_shape, self.kv_dtype)
+
         if self.mesh is not None:
-            from jax.sharding import NamedSharding
+            from jax.sharding import NamedSharding, PartitionSpec as P
 
             from minivllm_tpu.parallel.sharding import cache_pspec
 
-            sharding = NamedSharding(self.mesh, cache_pspec())
-            zeros = jax.jit(
-                lambda: jnp.zeros(cache_shape, self.kv_dtype),
-                out_shardings=sharding,
-            )
+            spec = NamedSharding(self.mesh, cache_pspec())
+            if self.kv_quantized:
+                out_sh = QuantizedCache(
+                    data=spec, scale=NamedSharding(self.mesh, P(None, "tp"))
+                )
+            else:
+                out_sh = spec
+            zeros = jax.jit(make_zeros, out_shardings=out_sh)
             self.k_cache = zeros()
             self.v_cache = zeros()
         else:
-            self.k_cache = jnp.zeros(cache_shape, self.kv_dtype)
-            self.v_cache = jnp.zeros(cache_shape, self.kv_dtype)
+            self.k_cache = make_zeros()
+            self.v_cache = make_zeros()
+        cache_bytes = sum(x.nbytes for x in jax.tree.leaves(self.k_cache))
         logger.info(
-            "KV cache: %d blocks x %d tokens (%.2f GiB)",
+            "KV cache: %d blocks x %d tokens (%.2f GiB%s)",
             self.num_blocks,
             self.block_size,
-            2 * self.k_cache.nbytes / 2**30,
+            2 * cache_bytes / 2**30,
+            ", int8" if self.kv_quantized else "",
         )
 
         self._base_key = jax.random.PRNGKey(config.seed if config.seed is not None else 0)
@@ -637,8 +656,8 @@ class ModelRunner:
         seq.append_token(4)
         self.run([seq], is_prefill=False)
         # Reset cache contents and counters touched by warmup.
-        self.k_cache = jnp.zeros_like(self.k_cache)
-        self.v_cache = jnp.zeros_like(self.v_cache)
+        self.k_cache = jax.tree.map(jnp.zeros_like, self.k_cache)
+        self.v_cache = jax.tree.map(jnp.zeros_like, self.v_cache)
         self.total_prefill_tokens = 0
         self.total_decode_tokens = 0
         self.inference_count = 0

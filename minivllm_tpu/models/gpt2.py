@@ -19,6 +19,7 @@ from jax import lax
 
 from minivllm_tpu.models.common import WeightCollector, mask_pad_logits
 from minivllm_tpu.ops.activation import gelu_new
+from minivllm_tpu.ops.attention import cache_len, cache_write
 from minivllm_tpu.ops.norm import layer_norm
 from minivllm_tpu.ops.quant import qdot, qlookup, qtranspose, quantize_tree
 
@@ -185,7 +186,7 @@ class GPT2ForCausalLM:
         x = x + params["embed_pos"][batch.positions]
         backend = self.attn_backend
 
-        stride = k_cache.shape[0] // self.num_layers
+        stride = cache_len(k_cache) // self.num_layers
 
         def layer(carry, scanned):
             x, k_cache, v_cache = carry
@@ -197,8 +198,8 @@ class GPT2ForCausalLM:
             k = (qdot(h_in, lp["k_proj"]) + lp["k_bias"]).reshape(T, H, hd)
             v = (qdot(h_in, lp["v_proj"]) + lp["v_bias"]).reshape(T, H, hd)
             slots = base + batch.slot_mapping
-            k_cache = k_cache.at[slots].set(k.astype(k_cache.dtype))
-            v_cache = v_cache.at[slots].set(v.astype(v_cache.dtype))
+            k_cache = cache_write(k_cache, slots, k)
+            v_cache = cache_write(v_cache, slots, v)
             if is_prefill:
                 attn = backend.prefill(q, k_cache, v_cache, batch, self.scale, base)
             else:

@@ -22,7 +22,12 @@ from jax import lax
 
 from minivllm_tpu.models.common import WeightCollector, mask_pad_logits
 from minivllm_tpu.ops.quant import qdot, qlookup, qtranspose, quantize_tree
-from minivllm_tpu.ops.attention import DecodeBatch, PrefillBatch
+from minivllm_tpu.ops.attention import (
+    DecodeBatch,
+    PrefillBatch,
+    cache_len,
+    cache_write,
+)
 from minivllm_tpu.ops.norm import rms_norm
 from minivllm_tpu.ops.activation import silu_and_mul
 from minivllm_tpu.ops.rotary import apply_rope, compute_cos_sin
@@ -251,7 +256,7 @@ class QwenForCausalLM:
         backend = self.attn_backend
         eps = self.rms_eps
 
-        stride = k_cache.shape[0] // self.num_layers
+        stride = cache_len(k_cache) // self.num_layers
 
         def layer(carry, scanned):
             x, k_cache, v_cache = carry
@@ -275,8 +280,8 @@ class QwenForCausalLM:
             q = apply_rope(q, cos, sin)
             k = apply_rope(k, cos, sin)
             slots = base + batch.slot_mapping
-            k_cache = k_cache.at[slots].set(k.astype(k_cache.dtype))
-            v_cache = v_cache.at[slots].set(v.astype(v_cache.dtype))
+            k_cache = cache_write(k_cache, slots, k)
+            v_cache = cache_write(v_cache, slots, v)
             if is_prefill:
                 attn = backend.prefill(
                     q, k_cache, v_cache, batch, self.scale, base

@@ -32,6 +32,9 @@ import jax.numpy as jnp
 __all__ = [
     "PrefillBatch",
     "DecodeBatch",
+    "QuantizedCache",
+    "cache_write",
+    "cache_gather",
     "store_kv",
     "prefill_attention_xla",
     "decode_attention_xla",
@@ -73,23 +76,62 @@ class DecodeBatch(NamedTuple):
     ctx_lens: jnp.ndarray         # (S,) int32; padding -> 0
 
 
+class QuantizedCache(NamedTuple):
+    """INT8 KV cache: per-slot-per-head symmetric scales (north-star
+    feature — halves KV HBM traffic and doubles cache capacity)."""
+
+    data: jnp.ndarray   # (num_slots, kv_heads, head_dim) int8
+    scale: jnp.ndarray  # (num_slots, kv_heads) float32
+
+
+def cache_write(cache, slots: jnp.ndarray, values: jnp.ndarray):
+    """Scatter new K/V rows (T, kvh, hd) into the flat slot cache at
+    `slots` (T,). Under buffer donation XLA lowers this to an in-place
+    scatter (the reference needed a Triton kernel for the same operation,
+    attention_backend.py:52-78). Quantized caches quantize per row/head."""
+    if isinstance(cache, QuantizedCache):
+        v32 = values.astype(jnp.float32)
+        absmax = jnp.max(jnp.abs(v32), axis=-1)              # (T, kvh)
+        scale = jnp.maximum(absmax, 1e-8) / 127.0
+        q = jnp.clip(jnp.round(v32 / scale[..., None]), -127, 127).astype(
+            jnp.int8
+        )
+        return QuantizedCache(
+            data=cache.data.at[slots].set(q),
+            scale=cache.scale.at[slots].set(scale),
+        )
+    return cache.at[slots].set(values.astype(cache.dtype))
+
+
+def cache_gather(cache, idx):
+    """Gather rows by flat slot index, dequantizing if needed. Returns
+    float arrays shaped idx.shape + (kvh, hd)."""
+    if isinstance(cache, QuantizedCache):
+        return cache.data[idx].astype(jnp.float32) * cache.scale[idx][..., None]
+    return cache[idx]
+
+
+def cache_kv_heads(cache) -> int:
+    return (cache.data if isinstance(cache, QuantizedCache) else cache).shape[1]
+
+
+def cache_len(cache) -> int:
+    """Total flat slot count of a plain or quantized cache."""
+    return (cache.data if isinstance(cache, QuantizedCache) else cache).shape[0]
+
+
 def store_kv(
-    k_cache: jnp.ndarray,
-    v_cache: jnp.ndarray,
+    k_cache,
+    v_cache,
     k: jnp.ndarray,
     v: jnp.ndarray,
     slot_mapping: jnp.ndarray,
-) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """Scatter new K/V rows into the flat slot cache.
-
-    k_cache/v_cache: (num_slots, kv_heads, head_dim); k/v: (T, kv_heads,
-    head_dim); slot_mapping: (T,). Under buffer donation XLA lowers this to
-    an in-place scatter (the reference needed a Triton kernel for the same
-    operation, attention_backend.py:52-78).
-    """
-    k_cache = k_cache.at[slot_mapping].set(k.astype(k_cache.dtype))
-    v_cache = v_cache.at[slot_mapping].set(v.astype(v_cache.dtype))
-    return k_cache, v_cache
+):
+    """Scatter new K/V rows into both flat caches (plain or quantized)."""
+    return (
+        cache_write(k_cache, slot_mapping, k),
+        cache_write(v_cache, slot_mapping, v),
+    )
 
 
 def _grouped_scores(q: jnp.ndarray, k: jnp.ndarray, scale: float) -> jnp.ndarray:
@@ -144,8 +186,8 @@ def prefill_attention_xla(
     the caches are the whole (L*num_slots, kvh, d) arrays so no per-layer
     slice is ever materialized.
     """
-    k = k_cache[base + meta.ctx_slot_mapping]   # (C, kvh, d)
-    v = v_cache[base + meta.ctx_slot_mapping]
+    k = cache_gather(k_cache, base + meta.ctx_slot_mapping)   # (C, kvh, d)
+    v = cache_gather(v_cache, base + meta.ctx_slot_mapping)
     scores = _grouped_scores(q, k, scale)        # (kvh, g, T, C)
     same_seq = meta.q_seg[:, None] == meta.k_seg[None, :]
     causal = meta.k_pos[None, :] <= meta.positions[:, None]
@@ -179,8 +221,8 @@ def decode_attention_xla(
     slots = base + (
         meta.block_tables[:, :, None] * bs + offs[None, None, :]
     ).reshape(S, W * bs)
-    k = k_cache[slots]                           # (S, C, kvh, d)
-    v = v_cache[slots]
+    k = cache_gather(k_cache, slots)             # (S, C, kvh, d)
+    v = cache_gather(v_cache, slots)
     kvh = k.shape[2]
     g = h // kvh
     qg = q.reshape(S, kvh, g, d).astype(jnp.float32)

@@ -35,6 +35,8 @@ NEG_INF = float(jnp.finfo(jnp.float32).min)
 
 
 def is_supported(q, k_cache) -> bool:
+    if not hasattr(k_cache, "shape"):  # QuantizedCache: oracle path for now
+        return False
     h = q.shape[-2]
     kvh = k_cache.shape[-2]
     d = q.shape[-1]

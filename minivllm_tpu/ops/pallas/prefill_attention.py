@@ -41,6 +41,8 @@ Q_TILE = 64
 
 
 def is_supported(q, k_cache) -> bool:
+    if not hasattr(k_cache, "shape"):  # QuantizedCache: oracle path for now
+        return False
     h = q.shape[-2]
     kvh = k_cache.shape[-2]
     d = q.shape[-1]
