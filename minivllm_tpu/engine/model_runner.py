@@ -116,17 +116,25 @@ class ModelRunner:
         self.model = create_model(config.hf_config, self.dtype, self.attn_backend)
 
         t0 = time.perf_counter()
+        if config.quantization == "int8" and not hasattr(
+            self.model, "quantize_params"
+        ):
+            raise ValueError(
+                f"model {type(self.model).__name__} has no int8 support"
+            )
         if init_random:
-            self.params = self.model.init_params(jax.random.PRNGKey(0))
+            if config.quantization == "int8":
+                # Build random int8 params directly on device — a full-
+                # precision intermediate of a many-billion-param model
+                # would not fit HBM (weights are random anyway: bench path).
+                self.params = self._init_random_quantized()
+            else:
+                self.params = self.model.init_params(jax.random.PRNGKey(0))
         else:
             model_dir = resolve_model_dir(config.model)
             self.params = load_model_params(self.model, model_dir)
-        if config.quantization == "int8":
-            if not hasattr(self.model, "quantize_params"):
-                raise ValueError(
-                    f"model {type(self.model).__name__} has no int8 support"
-                )
-            self.params = self.model.quantize_params(self.params)
+            if config.quantization == "int8":
+                self.params = self.model.quantize_params(self.params)
         if mesh is None and config.tensor_parallel_size > 1:
             from minivllm_tpu.parallel.sharding import make_mesh
 
@@ -207,6 +215,41 @@ class ModelRunner:
         # Speculative pipeline state (see _maybe_speculate).
         self._spec = None
         self.spec_hits = 0
+
+    def _init_random_quantized(self) -> dict:
+        """Random parameters with quant-plan kernels generated as int8 +
+        scales directly (no full-precision intermediate)."""
+        shapes = jax.eval_shape(self.model.init_params, jax.random.PRNGKey(0))
+        plan = self.model.quant_plan()
+        key = jax.random.PRNGKey(0)
+
+        def walk(node, path):
+            if isinstance(node, dict):
+                return {k: walk(v, path + (k,)) for k, v in node.items()}
+            nonlocal key
+            key, sub = jax.random.split(key)
+            if path in plan:
+                reduce_axes = plan[path]
+                s_shape = tuple(
+                    1 if i in reduce_axes else d
+                    for i, d in enumerate(node.shape)
+                )
+                return {
+                    "w": jax.random.randint(
+                        sub, node.shape, -127, 128, jnp.int8
+                    ),
+                    "s": jnp.full(s_shape, 0.02 / 127.0, jnp.float32),
+                }
+            name = path[-1]
+            if "norm" in name or name.startswith("ln") or "_ln" in name:
+                return jnp.ones(node.shape, node.dtype)
+            if "bias" in name:
+                return jnp.zeros(node.shape, node.dtype)
+            return jax.random.normal(sub, node.shape, node.dtype) * jnp.asarray(
+                0.02, node.dtype
+            )
+
+        return walk(shapes, ())
 
     # -- sizing --------------------------------------------------------------
 

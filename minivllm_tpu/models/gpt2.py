@@ -51,8 +51,8 @@ class GPT2ForCausalLM:
         keys = iter(jax.random.split(rng, 12))
 
         def lin(shape):
-            return (jax.random.normal(next(keys), shape, jnp.float32) * 0.02).astype(
-                self.dtype
+            return jax.random.normal(next(keys), shape, self.dtype) * jnp.asarray(
+                0.02, self.dtype
             )
 
         layers = {
@@ -142,7 +142,7 @@ class GPT2ForCausalLM:
         params["layers"].update(v_col.build().get("layers", {}))
         return params
 
-    def quantize_params(self, params: dict) -> dict:
+    def quant_plan(self) -> dict:
         plan = {
             ("embed",): (1,),
             ("layers", "q_proj"): (1,),
@@ -152,7 +152,10 @@ class GPT2ForCausalLM:
             ("layers", "fc_in"): (1,),
             ("layers", "fc_out"): (1,),
         }
-        return quantize_tree(params, plan)
+        return plan
+
+    def quantize_params(self, params: dict) -> dict:
+        return quantize_tree(params, self.quant_plan())
 
     def param_pspecs(self) -> dict:
         from jax.sharding import PartitionSpec as P

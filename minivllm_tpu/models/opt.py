@@ -54,8 +54,8 @@ class OPTForCausalLM:
         keys = iter(jax.random.split(rng, 12))
 
         def lin(shape):
-            return (jax.random.normal(next(keys), shape, jnp.float32) * 0.02).astype(
-                self.dtype
+            return jax.random.normal(next(keys), shape, self.dtype) * jnp.asarray(
+                0.02, self.dtype
             )
 
         layers = {
@@ -136,7 +136,7 @@ class OPTForCausalLM:
             raise ValueError(f"unmatched checkpoint tensors: {unmatched[:8]}")
         return col.build()
 
-    def quantize_params(self, params: dict) -> dict:
+    def quant_plan(self) -> dict:
         plan = {
             ("embed",): (1,),
             ("layers", "q_proj"): (1,),
@@ -146,7 +146,10 @@ class OPTForCausalLM:
             ("layers", "fc1"): (1,),
             ("layers", "fc2"): (1,),
         }
-        return quantize_tree(params, plan)
+        return plan
+
+    def quantize_params(self, params: dict) -> dict:
+        return quantize_tree(params, self.quant_plan())
 
     def param_pspecs(self) -> dict:
         from jax.sharding import PartitionSpec as P

@@ -81,9 +81,9 @@ class QwenForCausalLM:
         keys = iter(jax.random.split(rng, 16))
 
         def lin(in_d, out_d):
-            return (
-                jax.random.normal(next(keys), (L, in_d, out_d), jnp.float32) * 0.02
-            ).astype(self.dtype)
+            return jax.random.normal(
+                next(keys), (L, in_d, out_d), self.dtype
+            ) * jnp.asarray(0.02, self.dtype)
 
         layers = {
             "input_ln": jnp.ones((L, D), self.dtype),
@@ -104,22 +104,17 @@ class QwenForCausalLM:
             layers["q_norm"] = jnp.ones((L, hd), self.dtype)
             layers["k_norm"] = jnp.ones((L, hd), self.dtype)
         params = {
-            "embed": (
-                jax.random.normal(
-                    next(keys), (self.padded_vocab_size, D), jnp.float32
-                )
-                * 0.02
-            ).astype(self.dtype),
+            "embed": jax.random.normal(
+                next(keys), (self.padded_vocab_size, D), self.dtype
+            )
+            * jnp.asarray(0.02, self.dtype),
             "layers": layers,
             "final_norm": jnp.ones((D,), self.dtype),
         }
         if not self.tie_embeddings:
-            params["lm_head"] = (
-                jax.random.normal(
-                    next(keys), (D, self.padded_vocab_size), jnp.float32
-                )
-                * 0.02
-            ).astype(self.dtype)
+            params["lm_head"] = jax.random.normal(
+                next(keys), (D, self.padded_vocab_size), self.dtype
+            ) * jnp.asarray(0.02, self.dtype)
         return params
 
     def load_weights(self, weights) -> dict:
@@ -171,9 +166,9 @@ class QwenForCausalLM:
             raise ValueError(f"unmatched checkpoint tensors: {unmatched[:8]}")
         return col.build()
 
-    def quantize_params(self, params: dict) -> dict:
-        """INT8 weight-only quantization of every large kernel, including
-        the (tied) embedding/logits table (per-vocab-row scales)."""
+    def quant_plan(self) -> dict:
+        """Kernels to quantize (path -> contraction axes): every large
+        matmul including the (tied) embedding/logits table."""
         plan = {
             ("embed",): (1,),
             ("layers", "q_proj"): (1,),
@@ -186,7 +181,10 @@ class QwenForCausalLM:
         }
         if not self.tie_embeddings:
             plan[("lm_head",)] = (0,)
-        return quantize_tree(params, plan)
+        return plan
+
+    def quantize_params(self, params: dict) -> dict:
+        return quantize_tree(params, self.quant_plan())
 
     def param_pspecs(self) -> dict:
         """PartitionSpecs for tensor parallelism (see parallel/sharding.py):
