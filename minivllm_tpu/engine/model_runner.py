@@ -498,6 +498,7 @@ class ModelRunner:
                     sp.temperature, sp.top_k, sp.top_p, sp.min_p,
                     sp.typical_p, sp.repetition_penalty,
                     sp.frequency_penalty, sp.presence_penalty,
+                    sp.avoid_top_k,
                 )
                 for sp in params_list
             ),
@@ -613,6 +614,7 @@ class ModelRunner:
             sp.top_k > 0
             or sp.top_p < 1.0
             or sp.min_p > 0.0
+            or sp.avoid_top_k > 0
             for sp in params_list
         )
         if is_prefill:
@@ -674,6 +676,7 @@ class ModelRunner:
         typical = any(sp.typical_p < 1.0 for sp in params_list)
         with_filters = typical or any(
             sp.top_k > 0 or sp.top_p < 1.0 or sp.min_p > 0.0
+            or sp.avoid_top_k > 0
             for sp in params_list
         )
         self._spec = None

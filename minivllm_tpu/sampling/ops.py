@@ -2,8 +2,9 @@
 
 Counterpart of the reference sampler pipeline
 (/root/reference/minivllm/sampling/sampler.py:27-110 and
-sampling/functional.py): penalties -> temperature -> typical -> top-k ->
-top-p -> min-p -> sample, with a greedy shortcut at temperature 0.
+sampling/functional.py): penalties -> avoid-top-k -> temperature ->
+typical -> top-k -> top-p -> min-p -> sample, with a greedy shortcut at
+temperature 0.
 
 TPU-first differences: everything is one fused jnp program executed inside
 the step function (no per-filter host round trips); top-k/top-p/typical
@@ -40,6 +41,7 @@ class SamplingState(NamedTuple):
     repetition_penalty: jnp.ndarray  # fp32; 1 => disabled
     frequency_penalty: jnp.ndarray   # fp32; 0 => disabled
     presence_penalty: jnp.ndarray    # fp32; 0 => disabled
+    avoid_top_k: jnp.ndarray         # int32; 0 => disabled
 
 
 def make_state(sampling_params_list, pad_to: int) -> "SamplingState":
@@ -63,6 +65,7 @@ def make_state(sampling_params_list, pad_to: int) -> "SamplingState":
         repetition_penalty=arr(lambda s: s.repetition_penalty, 1.0, "float32"),
         frequency_penalty=arr(lambda s: s.frequency_penalty, 0.0, "float32"),
         presence_penalty=arr(lambda s: s.presence_penalty, 0.0, "float32"),
+        avoid_top_k=arr(lambda s: s.avoid_top_k, 0, "int32"),
     )
 
 
@@ -145,6 +148,16 @@ def sample_tokens(
     if typical_active:
         # Typical filtering needs the full distribution's deviation order;
         # take the exact full-sort path (rare in serving).
+        # avoid-top-k comes first (reference order: sampler.py:61-82 —
+        # penalties -> avoid -> temperature -> typical -> ...): mask the
+        # `avoid_top_k` most likely tokens to -inf in vocab space.
+        avoid = jnp.clip(state.avoid_top_k, 0, V - 1)[:, None]
+        K0 = min(V, NUM_CANDIDATES)
+        _, aidx = jax.lax.top_k(scaled, K0)
+        amask_cand = jnp.arange(K0, dtype=jnp.int32)[None, :] < avoid
+        amask = jnp.zeros((S, V), bool)
+        amask = amask.at[jnp.arange(S)[:, None], aidx].set(amask_cand)
+        scaled = jnp.where(amask, NEG_INF, scaled)
         probs_full = jax.nn.softmax(scaled, axis=-1)
         keep_typical = _typical_mask(probs_full, state.typical_p)
         scaled = jnp.where(keep_typical, scaled, NEG_INF)
@@ -161,6 +174,10 @@ def sample_tokens(
         masked = jnp.where(keep, sorted_logits, NEG_INF)
         rank_sample = jax.random.categorical(key, masked, axis=-1)
         sampled = jnp.take_along_axis(order, rank_sample[:, None], axis=-1)[:, 0]
+        # Greedy respects the filters like the reference (argmax runs after
+        # the whole pipeline, sampler.py:108-110): rank 0 of the filtered
+        # order is always kept.
+        greedy_tok = order[:, 0].astype(jnp.int32)
         return jnp.where(
             state.temperature > 0, sampled.astype(jnp.int32), greedy_tok
         )
@@ -176,15 +193,28 @@ def sample_tokens(
     cand, idx = jax.lax.top_k(scaled, K)           # (S, K) descending
     probs = jnp.exp(cand - denom)                  # true probabilities
     ranks = jnp.arange(K, dtype=jnp.int32)[None, :]
+    # avoid-top-k (reference functional.py:288-302): exclude the `avoid`
+    # most likely tokens, i.e. candidate ranks [0, avoid). The remaining
+    # distribution renormalizes over the surviving mass (the reference's
+    # downstream softmax over -inf-masked logits does the same), and the
+    # top-k window shifts to ranks [avoid, avoid+k).
+    avoid = jnp.clip(state.avoid_top_k, 0, K - 1)[:, None]
+    avoided = ranks < avoid
+    p_avoid = jnp.sum(jnp.where(avoided, probs, 0.0), axis=-1, keepdims=True)
+    probs = jnp.where(avoided, 0.0, probs) / jnp.maximum(1.0 - p_avoid, 1e-30)
     k = jnp.where(state.top_k <= 0, K, jnp.minimum(state.top_k, K))[:, None]
-    keep = ranks < k
+    keep = (ranks >= avoid) & (ranks < avoid + k)
     cum = jnp.cumsum(probs, axis=-1)
     keep &= (cum - probs) < state.top_p[:, None]
-    keep &= probs >= state.min_p[:, None] * probs[:, :1]
-    keep = keep.at[:, 0].set(True)
+    top_prob = jnp.take_along_axis(probs, avoid, axis=-1)
+    keep &= probs >= state.min_p[:, None] * top_prob
+    keep |= ranks == avoid  # never filter everything
     masked = jnp.where(keep, cand, NEG_INF)
     r = jax.random.categorical(key, masked, axis=-1)
     sampled = jnp.take_along_axis(idx, r[:, None], axis=-1)[:, 0]
+    # Greedy respects avoid-top-k (reference applies argmax after the
+    # filter pipeline): the best surviving token sits at rank `avoid`.
+    greedy_tok = jnp.take_along_axis(idx, avoid, axis=-1)[:, 0].astype(jnp.int32)
     return jnp.where(
         state.temperature > 0, sampled.astype(jnp.int32), greedy_tok
     )

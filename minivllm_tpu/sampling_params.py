@@ -34,6 +34,7 @@ class SamplingParams:
     repetition_penalty: float = 1.0
     frequency_penalty: float = 0.0
     presence_penalty: float = 0.0
+    avoid_top_k: int = 0
     seed: int | None = None
 
     def __post_init__(self) -> None:
@@ -52,6 +53,10 @@ class SamplingParams:
         if self.repetition_penalty <= 0:
             raise ValueError(
                 f"repetition_penalty must be > 0, got {self.repetition_penalty}"
+            )
+        if self.avoid_top_k < 0:
+            raise ValueError(
+                f"avoid_top_k must be non-negative, got {self.avoid_top_k}"
             )
 
     @property

@@ -173,3 +173,49 @@ def test_distribution_roughly_matches_softmax():
     p = np.exp([2.0, 1.0, 0.0]); p /= p.sum()
     freq = np.bincount(toks, minlength=3) / len(toks)
     np.testing.assert_allclose(freq, p, atol=0.05)
+
+
+def test_avoid_top_k_masks_best_tokens():
+    """avoid_top_k excludes the k most likely tokens
+    (reference: sampling/functional.py:288-302)."""
+    logits = jnp.asarray([[5.0, 4.0, 3.0, 2.0, 1.0]])
+    st = state_of(temperature=1.0, avoid_top_k=2)
+    toks = sample_many(logits, st, 300)
+    assert set(toks) <= {2, 3, 4}
+    # exact (typical) path applies the same restriction
+    toks2 = sample_many(logits, st, 300, typical_active=True)
+    assert set(toks2) <= {2, 3, 4}
+
+
+def test_avoid_top_k_greedy_shifts_argmax():
+    """Greedy runs after the filter pipeline in the reference
+    (sampler.py:108-110), so avoid_top_k shifts the argmax."""
+    logits = jnp.asarray([[5.0, 4.0, 3.0, 2.0, 1.0]])
+    st = state_of(temperature=0.0, avoid_top_k=1)
+    assert int(sample_tokens(logits, st, KEY)[0]) == 1
+    assert int(sample_tokens(logits, st, KEY, typical_active=True)[0]) == 1
+
+
+def test_avoid_top_k_composes_with_top_k():
+    """top-k keeps the best k of the *surviving* tokens (the reference
+    applies it to the -inf-masked logits)."""
+    logits = jnp.asarray([[5.0, 4.0, 3.0, 2.0, 1.0]])
+    st = state_of(temperature=1.0, avoid_top_k=1, top_k=2)
+    toks = sample_many(logits, st, 300)
+    assert set(toks) == {1, 2}
+
+
+def test_avoid_top_k_renormalizes_top_p():
+    """top-p mass is measured over the renormalized surviving
+    distribution, matching softmax over -inf-masked logits."""
+    # after avoiding token 0, survivors renormalize; top_p=0.9 keeps the
+    # bulk of the surviving mass (tokens 1 and 2 at ~[0.84, 0.12]).
+    logits = jnp.asarray([[9.0, 4.0, 2.0, 0.0, -1.0]])
+    st = state_of(temperature=1.0, avoid_top_k=1, top_p=0.9)
+    toks = sample_many(logits, st, 400)
+    assert set(toks) == {1, 2}
+
+
+def test_avoid_top_k_validation():
+    with pytest.raises(ValueError):
+        SamplingParams(avoid_top_k=-1)
