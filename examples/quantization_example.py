@@ -1,4 +1,4 @@
-"""INT8 weight-only quantization: memory savings and output fidelity."""
+"""INT8/FP8 weight-only quantization: memory savings and output fidelity."""
 
 import jax
 
@@ -12,7 +12,7 @@ def main() -> None:
     sp = SamplingParams(temperature=0.0, max_tokens=args.max_tokens,
                         ignore_eos=True)
     prompt = [5, 9, 13, 44, 7]
-    for quant in (None, "int8"):
+    for quant in (None, "int8", "fp8"):
         llm = LLM(Config(model=model, max_num_seqs=4, max_model_len=512,
                          max_num_batched_tokens=512, quantization=quant))
         nbytes = sum(x.nbytes for x in jax.tree.leaves(llm.model_runner.params))

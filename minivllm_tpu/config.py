@@ -89,7 +89,8 @@ class Config:
     prefill_token_buckets: list[int] | None = None
     # Enable hash-based prefix caching (reference: block_manager.py:128-152).
     enable_prefix_caching: bool = True
-    # Weight quantization: None | "int8" (weight-only).
+    # Weight quantization: None | "int8" | "fp8" (both weight-only;
+    # fp8 = float8_e4m3 with per-channel scales).
     quantization: str | None = None
     # Decode steps fused into one device dispatch (multi-step decode):
     # sampled tokens feed back on-device and K tokens per sequence are
@@ -152,7 +153,7 @@ class Config:
                 f"num_kvcache_blocks must be -1 (auto) or >= 1, got "
                 f"{self.num_kvcache_blocks}"
             )
-        if self.quantization not in (None, "int8"):
+        if self.quantization not in (None, "int8", "fp8"):
             raise ValueError(f"unsupported quantization {self.quantization!r}")
         if not 1 <= self.decode_multi_step <= 64:
             raise ValueError(

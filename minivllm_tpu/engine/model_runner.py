@@ -116,25 +116,28 @@ class ModelRunner:
         self.model = create_model(config.hf_config, self.dtype, self.attn_backend)
 
         t0 = time.perf_counter()
-        if config.quantization == "int8" and not hasattr(
+        if config.quantization is not None and not hasattr(
             self.model, "quantize_params"
         ):
             raise ValueError(
-                f"model {type(self.model).__name__} has no int8 support"
+                f"model {type(self.model).__name__} has no "
+                f"{config.quantization} support"
             )
         if init_random:
-            if config.quantization == "int8":
-                # Build random int8 params directly on device — a full-
+            if config.quantization is not None:
+                # Build random quantized params directly on device — a full-
                 # precision intermediate of a many-billion-param model
                 # would not fit HBM (weights are random anyway: bench path).
-                self.params = self._init_random_quantized()
+                self.params = self._init_random_quantized(config.quantization)
             else:
                 self.params = self.model.init_params(jax.random.PRNGKey(0))
         else:
             model_dir = resolve_model_dir(config.model)
             self.params = load_model_params(self.model, model_dir)
-            if config.quantization == "int8":
-                self.params = self.model.quantize_params(self.params)
+            if config.quantization is not None:
+                self.params = self.model.quantize_params(
+                    self.params, config.quantization
+                )
         if mesh is None and config.tensor_parallel_size > 1:
             from minivllm_tpu.parallel.sharding import make_mesh
 
@@ -216,8 +219,8 @@ class ModelRunner:
         self._spec = None
         self.spec_hits = 0
 
-    def _init_random_quantized(self) -> dict:
-        """Random parameters with quant-plan kernels generated as int8 +
+    def _init_random_quantized(self, fmt: str = "int8") -> dict:
+        """Random parameters with quant-plan kernels generated as int8/fp8 +
         scales directly (no full-precision intermediate)."""
         shapes = jax.eval_shape(self.model.init_params, jax.random.PRNGKey(0))
         plan = self.model.quant_plan()
@@ -234,6 +237,14 @@ class ModelRunner:
                     1 if i in reduce_axes else d
                     for i, d in enumerate(node.shape)
                 )
+                if fmt == "fp8":
+                    w = (jax.random.normal(sub, node.shape) * 150.0).astype(
+                        jnp.float8_e4m3fn
+                    )
+                    return {
+                        "w": w,
+                        "s": jnp.full(s_shape, 0.02 / 150.0, jnp.float32),
+                    }
                 return {
                     "w": jax.random.randint(
                         sub, node.shape, -127, 128, jnp.int8

@@ -154,8 +154,8 @@ class GPT2ForCausalLM:
         }
         return plan
 
-    def quantize_params(self, params: dict) -> dict:
-        return quantize_tree(params, self.quant_plan())
+    def quantize_params(self, params: dict, fmt: str = "int8") -> dict:
+        return quantize_tree(params, self.quant_plan(), fmt)
 
     def param_pspecs(self) -> dict:
         from jax.sharding import PartitionSpec as P

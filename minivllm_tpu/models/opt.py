@@ -148,8 +148,8 @@ class OPTForCausalLM:
         }
         return plan
 
-    def quantize_params(self, params: dict) -> dict:
-        return quantize_tree(params, self.quant_plan())
+    def quantize_params(self, params: dict, fmt: str = "int8") -> dict:
+        return quantize_tree(params, self.quant_plan(), fmt)
 
     def param_pspecs(self) -> dict:
         from jax.sharding import PartitionSpec as P

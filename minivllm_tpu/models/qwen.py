@@ -183,8 +183,8 @@ class QwenForCausalLM:
             plan[("lm_head",)] = (0,)
         return plan
 
-    def quantize_params(self, params: dict) -> dict:
-        return quantize_tree(params, self.quant_plan())
+    def quantize_params(self, params: dict, fmt: str = "int8") -> dict:
+        return quantize_tree(params, self.quant_plan(), fmt)
 
     def param_pspecs(self) -> dict:
         """PartitionSpecs for tensor parallelism (see parallel/sharding.py):

@@ -1,16 +1,16 @@
-"""Weight quantization (INT8 weight-only, symmetric per-channel).
+"""Weight quantization (INT8 / FP8 weight-only, symmetric per-channel).
 
 Beyond-reference feature (BASELINE.json north star): weights are stored
-int8 in HBM with per-output-channel fp32 scales, halving the weight
-bytes-per-step that dominate memory-bound decode. The dequantized value
-never round-trips through HBM — XLA fuses `int8 -> bf16 multiply` into
-the matmul operand read on TPU (verified by inspecting fusions; a Pallas
-dequant-matmul kernel is the escalation path if a model/shape defeats the
-fusion).
+int8 or float8_e4m3 in HBM with per-output-channel fp32 scales, halving
+the weight bytes-per-step that dominate memory-bound decode. The
+dequantized value never round-trips through HBM — XLA fuses
+`int8/fp8 -> bf16 multiply` into the matmul operand read on TPU (verified
+by inspecting fusions; a Pallas dequant-matmul kernel is the escalation
+path if a model/shape defeats the fusion).
 
-A quantized linear is the pytree {"w": int8 (in, out), "s": fp32 (out,)};
-`qdot` transparently accepts either a plain array or the quantized form,
-so model code calls one primitive everywhere.
+A quantized linear is the pytree {"w": int8|fp8 (in, out), "s": fp32
+(out,)}; `qdot` transparently accepts either a plain array or the
+quantized form, so model code calls one primitive everywhere.
 """
 
 from __future__ import annotations
@@ -18,35 +18,50 @@ from __future__ import annotations
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["quantize_weight", "qdot", "qlookup", "is_quantized"]
+__all__ = ["quantize_weight", "qdot", "qlookup", "is_quantized", "FP8_MAX"]
+
+# Largest finite float8_e4m3 magnitude; scales map absmax onto it.
+FP8_MAX = 448.0
 
 
 def is_quantized(w) -> bool:
     return isinstance(w, dict) and "w" in w and "s" in w
 
 
-def quantize_weight(w, reduce_axes: tuple[int, ...]):
-    """Symmetric absmax int8 quantization.
+def quantize_weight(w, reduce_axes: tuple[int, ...], fmt: str = "int8"):
+    """Symmetric absmax quantization to int8 or float8_e4m3.
 
     reduce_axes: the contraction axes the absmax is taken over (every
-    other axis keeps its own scale). Returns {"w": int8 same shape,
+    other axis keeps its own scale). Returns {"w": int8|fp8 same shape,
     "s": fp32 with keepdims-reduced shape}.
     """
     w = np.asarray(w, np.float32)
     absmax = np.max(np.abs(w), axis=reduce_axes, keepdims=True)
+    if fmt == "fp8":
+        scale = np.maximum(absmax, 1e-8) / FP8_MAX
+        q = jnp.asarray(np.clip(w / scale, -FP8_MAX, FP8_MAX)).astype(
+            jnp.float8_e4m3fn
+        )
+        return {"w": q, "s": jnp.asarray(scale.astype(np.float32))}
+    if fmt != "int8":
+        raise ValueError(f"unknown quantization format {fmt!r}")
     scale = np.maximum(absmax, 1e-8) / 127.0
     q = np.clip(np.round(w / scale), -127, 127).astype(np.int8)
     return {"w": jnp.asarray(q), "s": jnp.asarray(scale.astype(np.float32))}
 
 
-def quantize_tree(params: dict, plan: dict[tuple[str, ...], tuple[int, ...]]) -> dict:
+def quantize_tree(
+    params: dict,
+    plan: dict[tuple[str, ...], tuple[int, ...]],
+    fmt: str = "int8",
+) -> dict:
     """Quantize the kernels named by `plan` (path -> reduce_axes) in a
     nested params dict; everything else passes through unchanged."""
     def walk(node, path):
         if isinstance(node, dict) and not is_quantized(node):
             return {k: walk(v, path + (k,)) for k, v in node.items()}
         if path in plan:
-            return quantize_weight(node, plan[path])
+            return quantize_weight(node, plan[path], fmt)
         return node
 
     return walk(params, ())

@@ -1,6 +1,6 @@
-"""INT8 weight-only quantization tests: op-level round trip, model logit
-fidelity vs fp32 (cosine > 0.99, the reference's parity bar), end-to-end
-generation, and TP sharding of quantized params."""
+"""INT8/FP8 weight-only quantization tests: op-level round trip, model
+logit fidelity vs fp32 (cosine > 0.99, the reference's parity bar),
+end-to-end generation, and TP sharding of quantized params."""
 
 import numpy as np
 import pytest
@@ -13,23 +13,32 @@ from minivllm_tpu.ops.quant import qdot, qlookup, qtranspose, quantize_weight
 from minivllm_tpu.utils.testing import make_tiny_checkpoint
 
 
-def test_quantize_roundtrip_error():
+# fp8 (e4m3, 3 mantissa bits) has coarser steps than int8's absmax/127
+# grid; each format gets its own error bar.
+QUANT_ERR = {"int8": 0.01, "fp8": 0.07}
+QDOT_ERR = {"int8": 0.02, "fp8": 0.05}
+
+
+@pytest.mark.parametrize("fmt", ["int8", "fp8"])
+def test_quantize_roundtrip_error(fmt):
     rng = np.random.default_rng(0)
     w = rng.normal(0, 0.05, (64, 128)).astype(np.float32)
-    qw = quantize_weight(w, (0,))
+    qw = quantize_weight(w, (0,), fmt)
+    assert qw["w"].dtype == (jnp.int8 if fmt == "int8" else jnp.float8_e4m3fn)
     deq = np.asarray(qw["w"], np.float32) * np.asarray(qw["s"])
-    assert np.abs(deq - w).max() < np.abs(w).max() / 100
+    assert np.abs(deq - w).max() < np.abs(w).max() * QUANT_ERR[fmt]
 
 
-def test_qdot_matches_dense_closely():
+@pytest.mark.parametrize("fmt", ["int8", "fp8"])
+def test_qdot_matches_dense_closely(fmt):
     rng = np.random.default_rng(1)
     x = jnp.asarray(rng.normal(0, 1, (8, 64)).astype(np.float32))
     w = rng.normal(0, 0.05, (64, 32)).astype(np.float32)
-    qw = quantize_weight(w, (0,))
+    qw = quantize_weight(w, (0,), fmt)
     ref = np.asarray(jnp.dot(x, jnp.asarray(w)))
     out = np.asarray(qdot(x, qw))
     rel = np.abs(out - ref).max() / np.abs(ref).max()
-    assert rel < 0.02
+    assert rel < QDOT_ERR[fmt]
 
 
 def test_qlookup_and_transpose():
@@ -46,8 +55,9 @@ def test_qlookup_and_transpose():
     assert np.abs(out_l - ref_l).max() / np.abs(ref_l).max() < 0.02
 
 
+@pytest.mark.parametrize("fmt", ["int8", "fp8"])
 @pytest.mark.parametrize("model_type", ["qwen3", "opt", "gpt2"])
-def test_int8_generation_close_to_fp32(model_type, tmp_path):
+def test_quantized_generation_close_to_fp32(model_type, fmt, tmp_path):
     ckpt = make_tiny_checkpoint(model_type, tmp_path / model_type)
 
     def gen(quant):
@@ -66,15 +76,16 @@ def test_int8_generation_close_to_fp32(model_type, tmp_path):
         return out[0]["token_ids"]
 
     fp = gen(None)
-    q8 = gen("int8")
+    q = gen(fmt)
     # Greedy trajectories of a *random* tiny model are extremely sensitive;
     # require the first tokens to agree (logit argmax fidelity).
-    assert q8[0] == fp[0]
+    assert q[0] == fp[0]
 
 
-def test_int8_logit_cosine(tmp_path):
-    """Cosine similarity of int8 vs fp32 logits > 0.99 (the reference's
-    parity bar, test_qwen3_logit_match.py:307-312)."""
+@pytest.mark.parametrize("fmt", ["int8", "fp8"])
+def test_quantized_logit_cosine(tmp_path, fmt):
+    """Cosine similarity of int8/fp8 vs fp32 logits > 0.99 (the
+    reference's parity bar, test_qwen3_logit_match.py:307-312)."""
     from transformers import AutoConfig
 
     from minivllm_tpu.models.registry import create_model
@@ -89,7 +100,7 @@ def test_int8_logit_cosine(tmp_path):
     hf_config = AutoConfig.from_pretrained(ckpt)
     model = create_model(hf_config, jnp.float32, XlaAttentionBackend(16))
     params = load_model_params(model, ckpt)
-    qparams = model.quantize_params(params)
+    qparams = model.quantize_params(params, fmt)
     toks = [list(np.random.default_rng(3).integers(0, 199, 20))]
     kc = jnp.zeros((model.num_layers * 33 * 16, model.num_kv_heads, model.head_dim), jnp.float32)
     vc = jnp.zeros_like(kc)
