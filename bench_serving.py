@@ -1,0 +1,148 @@
+"""Serving-scale benchmark: continuous batching at high concurrency.
+
+Reproduces the BASELINE.json target configs (e.g. "Qwen2-7B INT8
+continuous batching: 256 seqs, 16384 batched tokens, INT8 KV-cache") on
+one chip with random weights (zero-egress environment; throughput is
+weight-independent). Prints one JSON line with aggregate throughput and
+latency percentiles from the engine's metrics.
+
+Examples:
+    python bench_serving.py --model qwen3-0.6b --num-seqs 64
+    python bench_serving.py --model qwen2-7b --quant int8 \
+        --kv-dtype int8 --num-seqs 256 --batched-tokens 16384
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+# HF config shapes of the benchmark model zoo (real checkpoint configs;
+# weights are randomly initialized on device).
+_QWEN3 = {
+    "architectures": ["Qwen3ForCausalLM"], "model_type": "qwen3",
+    "rms_norm_eps": 1e-6, "rope_theta": 1000000.0, "attention_bias": False,
+    "max_position_embeddings": 40960, "vocab_size": 151936,
+}
+_QWEN2 = {
+    "architectures": ["Qwen2ForCausalLM"], "model_type": "qwen2",
+    "rms_norm_eps": 1e-6, "rope_theta": 1000000.0,
+    "max_position_embeddings": 32768, "vocab_size": 152064,
+}
+MODELS = {
+    "qwen3-0.6b": {**_QWEN3, "hidden_size": 1024, "intermediate_size": 3072,
+                   "num_attention_heads": 16, "num_key_value_heads": 8,
+                   "num_hidden_layers": 28, "head_dim": 128,
+                   "tie_word_embeddings": True},
+    "qwen3-1.7b": {**_QWEN3, "hidden_size": 2048, "intermediate_size": 6144,
+                   "num_attention_heads": 16, "num_key_value_heads": 8,
+                   "num_hidden_layers": 28, "head_dim": 128,
+                   "tie_word_embeddings": True},
+    "qwen3-4b": {**_QWEN3, "hidden_size": 2560, "intermediate_size": 9728,
+                 "num_attention_heads": 32, "num_key_value_heads": 8,
+                 "num_hidden_layers": 36, "head_dim": 128,
+                 "tie_word_embeddings": True},
+    "qwen2-7b": {**_QWEN2, "hidden_size": 3584, "intermediate_size": 18944,
+                 "num_attention_heads": 28, "num_key_value_heads": 4,
+                 "num_hidden_layers": 28,
+                 "tie_word_embeddings": False},
+    "opt-125m": {"architectures": ["OPTForCausalLM"], "model_type": "opt",
+                 "hidden_size": 768, "ffn_dim": 3072,
+                 "num_attention_heads": 12, "num_hidden_layers": 12,
+                 "vocab_size": 50272, "max_position_embeddings": 2048,
+                 "word_embed_proj_dim": 768, "do_layer_norm_before": True},
+    "gpt2-117m": {"architectures": ["GPT2LMHeadModel"], "model_type": "gpt2",
+                  "n_embd": 768, "n_head": 12, "n_layer": 12,
+                  "n_positions": 1024, "vocab_size": 50257,
+                  "layer_norm_epsilon": 1e-5},
+}
+
+
+def main() -> None:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--model", choices=sorted(MODELS), default="qwen3-0.6b")
+    p.add_argument("--num-seqs", type=int, default=64)
+    p.add_argument("--prompt-len", type=int, default=64)
+    p.add_argument("--max-tokens", type=int, default=32)
+    p.add_argument("--max-model-len", type=int, default=512)
+    p.add_argument("--batched-tokens", type=int, default=4096)
+    p.add_argument("--quant", choices=["int8", "fp8"], default=None)
+    p.add_argument("--kv-dtype", default="auto")
+    p.add_argument("--multi-step", type=int, default=4)
+    p.add_argument("--blocks", type=int, default=-1,
+                   help="KV blocks (-1 = auto-size from free HBM)")
+    p.add_argument("--temperature", type=float, default=0.7)
+    p.add_argument("--passes", type=int, default=2)
+    args = p.parse_args()
+
+    from transformers import AutoConfig
+
+    from minivllm_tpu import Config, SamplingParams
+    from minivllm_tpu.llm import LLM
+
+    tmp = Path(tempfile.mkdtemp(prefix="bench-serving-"))
+    (tmp / "config.json").write_text(json.dumps(MODELS[args.model]))
+    config = Config(
+        model=str(tmp),
+        hf_config=AutoConfig.from_pretrained(tmp),
+        max_num_seqs=args.num_seqs,
+        max_model_len=args.max_model_len,
+        max_num_batched_tokens=args.batched_tokens,
+        kvcache_block_size=64,
+        num_kvcache_blocks=args.blocks,
+        dtype="bfloat16",
+        kvcache_dtype=args.kv_dtype,
+        quantization=args.quant,
+        decode_multi_step=args.multi_step,
+    )
+    t0 = time.perf_counter()
+    llm = LLM(config, init_random=True)
+    print(f"engine up in {time.perf_counter() - t0:.1f}s", file=sys.stderr)
+
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+    vocab = llm.model_runner.model.vocab_size
+    prompts = [
+        list(rng.integers(1, vocab, size=args.prompt_len))
+        for _ in range(args.num_seqs)
+    ]
+    sp = SamplingParams(
+        temperature=args.temperature, top_p=0.95,
+        max_tokens=args.max_tokens, ignore_eos=True,
+    )
+
+    llm.generate(prompts, sp, use_tqdm=False)  # warm compile buckets
+    llm.metrics.reset()
+    gen = 0
+    t0 = time.perf_counter()
+    for _ in range(args.passes):
+        outs = llm.generate(prompts, sp, use_tqdm=False)
+        gen += sum(len(o["token_ids"]) for o in outs)
+    elapsed = time.perf_counter() - t0
+    stats = llm.get_stats()
+    print(json.dumps({
+        "metric": f"{args.model}_serving_throughput",
+        "value": round(gen / elapsed, 2),
+        "unit": "tok/s",
+        "config": {
+            "num_seqs": args.num_seqs, "prompt_len": args.prompt_len,
+            "max_tokens": args.max_tokens, "quant": args.quant,
+            "kv_dtype": args.kv_dtype, "multi_step": args.multi_step,
+            "batched_tokens": args.batched_tokens,
+        },
+        "decode_tokens_per_s": round(stats.get("decode_tokens_per_s", 0), 2),
+        "decode_ms_per_token_p50": round(
+            stats.get("decode_ms_per_token_p50", 0), 4),
+        "ttft_s_p50": round(stats.get("ttft_s_p50", 0), 4),
+        "ttft_s_p95": round(stats.get("ttft_s_p95", 0), 4),
+        "prefill_tokens_per_s": round(stats.get("prefill_tokens_per_s", 0), 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -164,13 +164,12 @@ class ModelRunner:
         # layer * num_slots + block * block_size + offset. No per-layer
         # slicing ever materializes a layer copy.
         cache_shape = (L * num_slots, kvh, hd)
-        from minivllm_tpu.ops.attention import QuantizedCache
+        from minivllm_tpu.ops.attention import QuantizedCache, make_quantized_cache
 
         def make_zeros():
             if self.kv_quantized:
-                return QuantizedCache(
-                    data=jnp.zeros(cache_shape, jnp.int8),
-                    scale=jnp.zeros(cache_shape[:2], jnp.float32),
+                return make_quantized_cache(
+                    L * num_slots, kvh, hd, self.block_size
                 )
             return jnp.zeros(cache_shape, self.kv_dtype)
 
@@ -182,7 +181,8 @@ class ModelRunner:
             spec = NamedSharding(self.mesh, cache_pspec())
             if self.kv_quantized:
                 out_sh = QuantizedCache(
-                    data=spec, scale=NamedSharding(self.mesh, P(None, "tp"))
+                    data=spec,
+                    scale=NamedSharding(self.mesh, P(None, "tp", None)),
                 )
             else:
                 out_sh = spec
@@ -266,14 +266,17 @@ class ModelRunner:
 
     def _bytes_per_block(self) -> int:
         m = self.model
-        return (
-            2
-            * m.num_layers
-            * self.block_size
+        per_block = (
+            self.block_size
             * m.num_kv_heads
             * m.head_dim
             * jnp.dtype(self.kv_dtype).itemsize
         )
+        if self.kv_quantized:
+            from minivllm_tpu.ops.attention import scale_lanes
+
+            per_block += m.num_kv_heads * scale_lanes(self.block_size) * 4
+        return 2 * m.num_layers * per_block
 
     def _resolve_num_blocks(self) -> int:
         if self.config.num_kvcache_blocks > 0:

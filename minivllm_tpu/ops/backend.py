@@ -51,7 +51,7 @@ class PallasAttentionBackend:
     def prefill(self, q, k_cache, v_cache, meta: A.PrefillBatch, scale, base=0):
         from minivllm_tpu.ops.pallas import prefill_attention as kernel
 
-        if kernel.is_supported(q, k_cache):
+        if kernel.is_supported(q, k_cache, self.block_size):
             return kernel.prefill_attention(
                 q, k_cache, v_cache, meta, scale, self.block_size, base
             )
@@ -60,7 +60,7 @@ class PallasAttentionBackend:
     def decode(self, q, k_cache, v_cache, meta: A.DecodeBatch, scale, base=0):
         from minivllm_tpu.ops.pallas import decode_attention as kernel
 
-        if kernel.is_supported(q, k_cache):
+        if kernel.is_supported(q, k_cache, self.block_size):
             return kernel.decode_attention(
                 q, k_cache, v_cache, meta, scale, self.block_size, base
             )

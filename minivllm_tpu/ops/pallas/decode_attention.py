@@ -34,11 +34,21 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = float(jnp.finfo(jnp.float32).min)
 
 
-def is_supported(q, k_cache) -> bool:
-    if not hasattr(k_cache, "shape"):  # QuantizedCache: oracle path for now
+def _cache_parts(cache):
+    """(data, scale, quantized) for a plain array or QuantizedCache."""
+    from minivllm_tpu.ops.attention import QuantizedCache
+
+    if isinstance(cache, QuantizedCache):
+        return cache.data, cache.scale, True
+    return cache, None, False
+
+
+def is_supported(q, k_cache, block_size: int | None = None) -> bool:
+    data, _, _ = _cache_parts(k_cache)
+    if not hasattr(data, "shape"):
         return False
     h = q.shape[-2]
-    kvh = k_cache.shape[-2]
+    kvh = data.shape[-2]
     d = q.shape[-1]
     return d % 128 == 0 and h % kvh == 0
 
@@ -52,17 +62,22 @@ def _decode_kernel(
     q_ref,             # (1, h, d) VMEM — this sequence's queries
     k_hbm,             # (num_slots, kvh, d) ANY/HBM
     v_hbm,
+    ks_hbm,            # (total_blocks, kvh, lanes) fp32 ANY — per-block
+    vs_hbm,            #   scale slabs (lane l = slot offset l); dummy if
+                       #   !quantized
     # outputs
     o_ref,             # (1, h, d) VMEM
     # scratch
     kbuf, vbuf,        # (2, bs, kvh, d) VMEM
+    ksbuf, vsbuf,      # (2, 1, kvh, lanes) fp32 VMEM (int8 dequant scales)
     acc, m_i, l_i,     # (h, d) fp32, (h, 128) fp32, (h, 128) fp32
-    sems,              # DMA semaphores (2, 2)
+    sems,              # DMA semaphores (2, 4)
     *,
     block_size: int,
     num_kv_heads: int,
     scale: float,
     max_blocks: int,
+    quantized: bool,
 ):
     s = pl.program_id(0)
     ctx_len = ctx_lens_ref[s]
@@ -80,6 +95,14 @@ def _decode_kernel(
         pltpu.make_async_copy(
             v_hbm.at[pl.ds(off, block_size)], vbuf.at[slot], sems.at[slot, 1]
         ).start()
+        if quantized:
+            row = off // block_size  # scale row per block (lane-aligned)
+            pltpu.make_async_copy(
+                ks_hbm.at[pl.ds(row, 1)], ksbuf.at[slot], sems.at[slot, 2]
+            ).start()
+            pltpu.make_async_copy(
+                vs_hbm.at[pl.ds(row, 1)], vsbuf.at[slot], sems.at[slot, 3]
+            ).start()
 
     def wait_fetch(slot):
         pltpu.make_async_copy(
@@ -88,6 +111,13 @@ def _decode_kernel(
         pltpu.make_async_copy(
             v_hbm.at[pl.ds(0, block_size)], vbuf.at[slot], sems.at[slot, 1]
         ).wait()
+        if quantized:
+            pltpu.make_async_copy(
+                ks_hbm.at[pl.ds(0, 1)], ksbuf.at[slot], sems.at[slot, 2]
+            ).wait()
+            pltpu.make_async_copy(
+                vs_hbm.at[pl.ds(0, 1)], vsbuf.at[slot], sems.at[slot, 3]
+            ).wait()
 
     @pl.when(num_blocks > 0)
     def _():
@@ -109,19 +139,27 @@ def _decode_kernel(
         wait_fetch(slot)
         k = kbuf[slot].astype(jnp.float32)  # (bs, kvh, d)
         v = vbuf[slot].astype(jnp.float32)
+        if quantized:
+            # Scale slabs for this block: lane l of head kv holds the
+            # dequant scale of slot offset l. Scores/probabilities are
+            # scaled per lane (mathematically identical to dequantizing
+            # k/v, but lane-aligned for Mosaic — no shape casts needed).
+            ks = ksbuf[slot][0]  # (kvh, lanes)
+            vs = vsbuf[slot][0]
         # Per-KV-head 2D matmuls (static unroll — Mosaic requires equal
         # batch-dim positions, so grouped batched dots are avoided).
         score_rows = []
         for kv in range(num_kv_heads):
             qh = q[kv * g : (kv + 1) * g, :]      # (g, d)
             kh = k[:, kv, :]                       # (bs, d)
-            score_rows.append(
-                jax.lax.dot_general(
-                    qh, kh,
-                    dimension_numbers=(((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )
+            sc = jax.lax.dot_general(
+                qh, kh,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
             )  # (g, bs)
+            if quantized:
+                sc = sc * ks[kv : kv + 1, :block_size]  # (1, bs) broadcast
+            score_rows.append(sc)
         scores = jnp.concatenate(score_rows, axis=0)  # (h, bs)
         # mask context tail
         pos = j * block_size + jax.lax.broadcasted_iota(
@@ -137,6 +175,8 @@ def _decode_kernel(
         pv_rows = []
         for kv in range(num_kv_heads):
             ph = p[kv * g : (kv + 1) * g, :]       # (g, bs)
+            if quantized:
+                ph = ph * vs[kv : kv + 1, :block_size]
             vh = v[:, kv, :]                        # (bs, d)
             pv_rows.append(
                 jnp.dot(ph, vh, preferred_element_type=jnp.float32)
@@ -167,9 +207,20 @@ def decode_attention(
     base=0,
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """Paged flash-decode. q (S, h, d) -> (S, h, d)."""
+    """Paged flash-decode. q (S, h, d) -> (S, h, d).
+
+    k_cache/v_cache: plain (num_slots, kvh, d) arrays or QuantizedCache
+    (int8 data + per-slot-per-head scales, dequantized in-kernel — the
+    north-star "dequant fused into the flash-decode" path)."""
     S, h, d = q.shape
-    kvh = k_cache.shape[1]
+    k_data, k_scale, quantized = _cache_parts(k_cache)
+    v_data, v_scale, _ = _cache_parts(v_cache)
+    kvh = k_data.shape[1]
+    lanes = k_scale.shape[-1] if quantized else 128
+    if not quantized:
+        # dummies keep one kernel signature; never DMA'd when !quantized
+        k_scale = jnp.ones((1, kvh, lanes), jnp.float32)
+        v_scale = k_scale
     W = meta.block_tables.shape[1]
     kernel = functools.partial(
         _decode_kernel,
@@ -177,6 +228,7 @@ def decode_attention(
         num_kv_heads=kvh,
         scale=scale,
         max_blocks=W,
+        quantized=quantized,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
@@ -185,15 +237,19 @@ def decode_attention(
             pl.BlockSpec((1, h, d), lambda s, *_: (s, 0, 0)),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec((1, h, d), lambda s, *_: (s, 0, 0)),
         scratch_shapes=[
-            pltpu.VMEM((2, block_size, kvh, d), k_cache.dtype),
-            pltpu.VMEM((2, block_size, kvh, d), v_cache.dtype),
+            pltpu.VMEM((2, block_size, kvh, d), k_data.dtype),
+            pltpu.VMEM((2, block_size, kvh, d), v_data.dtype),
+            pltpu.VMEM((2, 1, kvh, lanes), jnp.float32),
+            pltpu.VMEM((2, 1, kvh, lanes), jnp.float32),
             pltpu.VMEM((h, d), jnp.float32),
             pltpu.VMEM((h, 128), jnp.float32),
             pltpu.VMEM((h, 128), jnp.float32),
-            pltpu.SemaphoreType.DMA((2, 2)),
+            pltpu.SemaphoreType.DMA((2, 4)),
         ],
     )
     out = pl.pallas_call(
@@ -209,7 +265,9 @@ def decode_attention(
         meta.ctx_lens,
         jnp.asarray(base, jnp.int32).reshape(1),
         q,
-        k_cache,
-        v_cache,
+        k_data,
+        v_data,
+        k_scale,
+        v_scale,
     )
     return out

@@ -40,11 +40,21 @@ NEG_INF = float(jnp.finfo(jnp.float32).min)
 Q_TILE = 64
 
 
-def is_supported(q, k_cache) -> bool:
-    if not hasattr(k_cache, "shape"):  # QuantizedCache: oracle path for now
+def _cache_parts(cache):
+    """(data, scale, quantized) for a plain array or QuantizedCache."""
+    from minivllm_tpu.ops.attention import QuantizedCache
+
+    if isinstance(cache, QuantizedCache):
+        return cache.data, cache.scale, True
+    return cache, None, False
+
+
+def is_supported(q, k_cache, block_size: int | None = None) -> bool:
+    data, _, _ = _cache_parts(k_cache)
+    if not hasattr(data, "shape"):
         return False
     h = q.shape[-2]
-    kvh = k_cache.shape[-2]
+    kvh = data.shape[-2]
     d = q.shape[-1]
     return d % 128 == 0 and h % kvh == 0
 
@@ -56,10 +66,14 @@ def _prefill_kernel(
     # inputs
     q_ref,            # (Q_TILE, h, d) VMEM
     k_hbm, v_hbm,     # (num_slots, kvh, d) ANY
+    ks_hbm, vs_hbm,   # (total_blocks, kvh, lanes) fp32 ANY — per-block
+                      #   scale slabs (lane l = slot offset l); dummy if
+                      #   !quantized
     # outputs
     o_ref,            # (Q_TILE, h, d) VMEM
     # scratch
     kbuf, vbuf,       # (2, bs, kvh, d) VMEM
+    ksbuf, vsbuf,     # (2, 1, kvh, lanes) fp32 VMEM (int8 dequant scales)
     acc,              # (h * Q_TILE, d) fp32
     m_i, l_i,         # (h * Q_TILE, 128) fp32
     sems,
@@ -68,6 +82,7 @@ def _prefill_kernel(
     num_kv_heads: int,
     scale: float,
     max_blocks: int,
+    quantized: bool,
 ):
     t = pl.program_id(0)
     s = tile_seq_ref[t]
@@ -94,6 +109,14 @@ def _prefill_kernel(
         pltpu.make_async_copy(
             v_hbm.at[pl.ds(off, bs)], vbuf.at[slot], sems.at[slot, 1]
         ).start()
+        if quantized:
+            row = off // bs  # scale row per block (lane-aligned)
+            pltpu.make_async_copy(
+                ks_hbm.at[pl.ds(row, 1)], ksbuf.at[slot], sems.at[slot, 2]
+            ).start()
+            pltpu.make_async_copy(
+                vs_hbm.at[pl.ds(row, 1)], vsbuf.at[slot], sems.at[slot, 3]
+            ).start()
 
     def wait_fetch(slot):
         pltpu.make_async_copy(
@@ -102,6 +125,13 @@ def _prefill_kernel(
         pltpu.make_async_copy(
             v_hbm.at[pl.ds(0, bs)], vbuf.at[slot], sems.at[slot, 1]
         ).wait()
+        if quantized:
+            pltpu.make_async_copy(
+                ks_hbm.at[pl.ds(0, 1)], ksbuf.at[slot], sems.at[slot, 2]
+            ).wait()
+            pltpu.make_async_copy(
+                vs_hbm.at[pl.ds(0, 1)], vsbuf.at[slot], sems.at[slot, 3]
+            ).wait()
 
     @pl.when(num_blocks > 0)
     def _():
@@ -126,6 +156,13 @@ def _prefill_kernel(
         wait_fetch(slot)
         k = kbuf[slot].astype(jnp.float32)           # (bs, kvh, d)
         v = vbuf[slot].astype(jnp.float32)
+        if quantized:
+            # Scale slabs for this block: lane l of head kv holds the
+            # dequant scale of slot offset l. Scores/probabilities are
+            # scaled per lane (mathematically identical to dequantizing
+            # k/v, but lane-aligned for Mosaic — no shape casts needed).
+            ks = ksbuf[slot][0]  # (kvh, lanes)
+            vs = vsbuf[slot][0]
         k_pos = j * bs + jax.lax.broadcasted_iota(jnp.int32, (Q_TILE, bs), 1)
         causal = (k_pos <= q_pos[:, None]) & (k_pos < ctx_len)  # (QT, bs)
 
@@ -134,13 +171,14 @@ def _prefill_kernel(
             qh = q[:, kv * g : (kv + 1) * g, :]      # (QT, g, d)
             qh2 = qh.reshape(Q_TILE * g, d)
             kh = k[:, kv, :]                          # (bs, d)
-            score_rows.append(
-                jax.lax.dot_general(
-                    qh2, kh,
-                    dimension_numbers=(((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )
+            sc = jax.lax.dot_general(
+                qh2, kh,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
             )  # (QT*g, bs)
+            if quantized:
+                sc = sc * ks[kv : kv + 1, :bs]       # (1, bs) broadcast
+            score_rows.append(sc)
         scores = jnp.concatenate(score_rows, axis=0)  # (kvh*QT*g = h*QT, bs)
         # Row r within a kv-head block corresponds to q row (r // g): same
         # causal mask for every head in the group.
@@ -162,6 +200,8 @@ def _prefill_kernel(
         pv_rows = []
         for kv in range(num_kv_heads):
             ph = p[kv * Q_TILE * g : (kv + 1) * Q_TILE * g, :]
+            if quantized:
+                ph = ph * vs[kv : kv + 1, :bs]
             vh = v[:, kv, :]
             pv_rows.append(jnp.dot(ph, vh, preferred_element_type=jnp.float32))
         pv = jnp.concatenate(pv_rows, axis=0)         # (h*QT, d)
@@ -196,7 +236,14 @@ def prefill_attention(
     offsets, meta.q_lens (S,), plus positions/ctx_lens/block_tables.
     """
     T, h, d = q.shape
-    kvh = k_cache.shape[1]
+    k_data, k_scale, quantized = _cache_parts(k_cache)
+    v_data, v_scale, _ = _cache_parts(v_cache)
+    kvh = k_data.shape[1]
+    lanes = k_scale.shape[-1] if quantized else 128
+    if not quantized:
+        # dummies keep one kernel signature; never DMA'd when !quantized
+        k_scale = jnp.ones((1, kvh, lanes), jnp.float32)
+        v_scale = k_scale
     W = meta.block_tables.shape[1]
     nt = T // Q_TILE
     S = meta.q_start.shape[0]
@@ -230,6 +277,7 @@ def prefill_attention(
         num_kv_heads=kvh,
         scale=scale,
         max_blocks=W,
+        quantized=quantized,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=6,
@@ -238,15 +286,19 @@ def prefill_attention(
             pl.BlockSpec((Q_TILE, h, d), lambda t, *_: (t, 0, 0)),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec((Q_TILE, h, d), lambda t, *_: (t, 0, 0)),
         scratch_shapes=[
-            pltpu.VMEM((2, block_size, kvh, d), k_cache.dtype),
-            pltpu.VMEM((2, block_size, kvh, d), v_cache.dtype),
+            pltpu.VMEM((2, block_size, kvh, d), k_data.dtype),
+            pltpu.VMEM((2, block_size, kvh, d), v_data.dtype),
+            pltpu.VMEM((2, 1, kvh, lanes), jnp.float32),
+            pltpu.VMEM((2, 1, kvh, lanes), jnp.float32),
             pltpu.VMEM((h * Q_TILE, d), jnp.float32),
             pltpu.VMEM((h * Q_TILE, 128), jnp.float32),
             pltpu.VMEM((h * Q_TILE, 128), jnp.float32),
-            pltpu.SemaphoreType.DMA((2, 2)),
+            pltpu.SemaphoreType.DMA((2, 4)),
         ],
     )
     return pl.pallas_call(
@@ -261,5 +313,5 @@ def prefill_attention(
         tile_seq, tile_pos0, tile_rows,
         meta.block_tables.reshape(-1), meta.ctx_lens,
         jnp.asarray(base, jnp.int32).reshape(1),
-        q, k_cache, v_cache,
+        q, k_data, v_data, k_scale, v_scale,
     )

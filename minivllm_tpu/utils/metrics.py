@@ -30,6 +30,11 @@ class StepTimer:
     def record_ttft(self, seconds: float) -> None:
         self.ttfts.append(seconds)
 
+    def reset(self) -> None:
+        """Drop recorded samples (e.g. to exclude warmup from a report)."""
+        self._buf.clear()
+        self.ttfts.clear()
+
     def summary(self) -> dict:
         prefill = [(n, s) for p, n, s in self._buf if p == "prefill"]
         decode = [(n, s) for p, n, s in self._buf if p == "decode"]

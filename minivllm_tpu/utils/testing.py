@@ -12,7 +12,7 @@ from pathlib import Path
 
 import numpy as np
 
-__all__ = ["make_tiny_checkpoint", "TINY_CONFIGS"]
+__all__ = ["make_tiny_checkpoint", "make_tiny_tokenizer", "TINY_CONFIGS"]
 
 TINY_CONFIGS: dict[str, dict] = {
     "qwen3": {
@@ -102,4 +102,39 @@ def make_tiny_checkpoint(
     model = AutoModelForCausalLM.from_config(config)
     model = model.to(torch.float32).eval()
     model.save_pretrained(out_dir, safe_serialization=True)
+    return out_dir
+
+
+def make_tiny_tokenizer(out_dir: str | Path, num_words: int = 64) -> Path:
+    """Write a tiny offline fast tokenizer (tokenizer.json, WordLevel) so
+    string-prompt and detokenization paths are testable with no network.
+
+    Token ids stay below `num_words` + 3 specials; pair with a checkpoint
+    whose vocab_size is at least that.
+    """
+    out_dir = Path(out_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    from tokenizers import Tokenizer
+    from tokenizers.models import WordLevel
+    from tokenizers.pre_tokenizers import Whitespace
+
+    words = ["<unk>", "</s>", "<s>", "hello", "world", "the", "quick",
+             "brown", "fox", "jumps", "over", "lazy", "dog", "a", "cat",
+             "sat", "on", "mat", "system", "user", "assistant"]
+    words += [f"w{i}" for i in range(len(words), num_words)]
+    vocab = {w: i for i, w in enumerate(words)}
+    tok = Tokenizer(WordLevel(vocab, unk_token="<unk>"))
+    tok.pre_tokenizer = Whitespace()
+    tok.save(str(out_dir / "tokenizer.json"))
+    (out_dir / "tokenizer_config.json").write_text(json.dumps({
+        "tokenizer_class": "PreTrainedTokenizerFast",
+        "eos_token": "</s>",
+        "unk_token": "<unk>",
+        "bos_token": "<s>",
+        "model_max_length": 512,
+        "chat_template": (
+            "{% for m in messages %}{{ m['role'] }} {{ m['content'] }}\n"
+            "{% endfor %}{% if add_generation_prompt %}assistant{% endif %}"
+        ),
+    }))
     return out_dir

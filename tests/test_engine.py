@@ -172,3 +172,31 @@ def test_sampling_reproducible_with_seed(tiny_qwen3):
         return out[0]["token_ids"]
 
     assert run() == run()
+
+
+def test_preemption_recovers_correct_output(tiny_qwen3):
+    """Memory pressure forces preempt-youngest + recompute-from-scratch;
+    final greedy outputs must equal an unconstrained run's (reference
+    behavior: scheduler.py:250-266, recompute softened by prefix cache)."""
+    sp = SamplingParams(temperature=0.0, max_tokens=24, ignore_eos=True)
+    rng = np.random.default_rng(7)
+    prompts = [list(rng.integers(1, 190, size=n)) for n in (30, 37, 25)]
+
+    def run(num_blocks):
+        llm = LLM(Config(
+            model=str(tiny_qwen3), max_num_seqs=8, max_model_len=128,
+            max_num_batched_tokens=128, kvcache_block_size=16,
+            num_kvcache_blocks=num_blocks, dtype="float32",
+            attention_impl="xla",
+        ))
+        outs = llm.generate(prompts, sp, use_tqdm=False)
+        stats = llm.get_stats()
+        llm.exit()
+        return [o["token_ids"] for o in outs], stats
+
+    ample, _ = run(64)
+    # 10 blocks: 3 seqs eventually need 4 blocks each (37+24 tokens) and
+    # can't all fit -> the youngest gets preempted and recomputed
+    tight, stats = run(10)
+    assert stats["num_preemptions"] > 0, "expected memory-pressure preemption"
+    assert tight == ample

@@ -9,10 +9,10 @@ from minivllm_tpu import Config, SamplingParams
 from minivllm_tpu.llm import LLM
 from minivllm_tpu.ops.attention import (
     DecodeBatch,
-    QuantizedCache,
     cache_gather,
     cache_write,
     decode_attention_xla,
+    make_quantized_cache,
 )
 from minivllm_tpu.utils.testing import make_tiny_checkpoint
 
@@ -21,10 +21,7 @@ BS = 16
 
 def test_write_gather_roundtrip():
     rng = np.random.default_rng(0)
-    cache = QuantizedCache(
-        data=jnp.zeros((64, 2, 32), jnp.int8),
-        scale=jnp.zeros((64, 2), jnp.float32),
-    )
+    cache = make_quantized_cache(64, 2, 32, BS)
     v = rng.normal(0, 3, (5, 2, 32)).astype(np.float32)
     slots = jnp.asarray([3, 10, 11, 40, 63])
     cache = cache_write(cache, slots, jnp.asarray(v))
@@ -38,10 +35,8 @@ def test_decode_oracle_int8_close_to_fp32():
     kvh, h, d, L = 2, 4, 32, 40
     fp_k = jnp.zeros(((32 + 1) * BS, kvh, d), jnp.float32)
     fp_v = jnp.zeros_like(fp_k)
-    q_k = QuantizedCache(jnp.zeros(((32 + 1) * BS, kvh, d), jnp.int8),
-                         jnp.zeros(((32 + 1) * BS, kvh), jnp.float32))
-    q_v = QuantizedCache(jnp.zeros(((32 + 1) * BS, kvh, d), jnp.int8),
-                         jnp.zeros(((32 + 1) * BS, kvh), jnp.float32))
+    q_k = make_quantized_cache((32 + 1) * BS, kvh, d, BS)
+    q_v = make_quantized_cache((32 + 1) * BS, kvh, d, BS)
     k = jnp.asarray(rng.normal(0, 1, (L, kvh, d)).astype(np.float32))
     v = jnp.asarray(rng.normal(0, 1, (L, kvh, d)).astype(np.float32))
     slots = jnp.arange(L, dtype=jnp.int32)

@@ -12,12 +12,21 @@ from minivllm_tpu.ops.pallas import decode_attention as pdec
 BS = 16
 
 
-def build_case(rng, ctx_lens, kvh, h, d, num_blocks=32, dtype=jnp.float32):
+def _zero_cache(slots_total, kvh, d, dtype, quantized):
+    if quantized:
+        from minivllm_tpu.ops.attention import make_quantized_cache
+
+        return make_quantized_cache(slots_total, kvh, d, BS)
+    return jnp.zeros((slots_total, kvh, d), dtype)
+
+
+def build_case(rng, ctx_lens, kvh, h, d, num_blocks=32, dtype=jnp.float32,
+               quantized=False):
     S = len(ctx_lens)
     W = max(1, -(-max(ctx_lens) // BS))
     slots_total = (num_blocks + 1) * BS
-    kc = jnp.zeros((slots_total, kvh, d), dtype)
-    vc = jnp.zeros((slots_total, kvh, d), dtype)
+    kc = _zero_cache(slots_total, kvh, d, dtype, quantized)
+    vc = _zero_cache(slots_total, kvh, d, dtype, quantized)
     tables = np.full((S, W), num_blocks, np.int32)
     nxt = 0
     for s, L in enumerate(ctx_lens):
@@ -80,3 +89,23 @@ def test_is_supported_gates():
     q = jnp.zeros((2, 4, 128))
     kc = jnp.zeros((32, 2, 128))
     assert pdec.is_supported(q, kc)
+
+
+def test_quantized_cache_matches_oracle():
+    """INT8 QuantizedCache: the kernel DMAs the per-slot scale slabs and
+    dequantizes in VMEM — output must equal the oracle's cache_gather
+    dequant exactly (same math, same values)."""
+    rng = np.random.default_rng(3)
+    q, kc, vc, meta = build_case(rng, [17, 33, 5, 0], 2, 4, 128, quantized=True)
+    ref = decode_attention_xla(q, kc, vc, meta, 0.125, BS)
+    out = pdec.decode_attention(q, kc, vc, meta, 0.125, BS, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_quantized_is_supported():
+    from minivllm_tpu.ops.attention import make_quantized_cache
+
+    q = jnp.zeros((2, 4, 128))
+    qc = make_quantized_cache(64, 2, 128, BS)
+    assert pdec.is_supported(q, qc, BS)

@@ -12,7 +12,8 @@ from minivllm_tpu.ops.pallas.prefill_attention import Q_TILE
 BS = 16  # kv block size
 
 
-def build_aligned_case(rng, specs, kvh, h, d, num_blocks=64, dtype=jnp.float32):
+def build_aligned_case(rng, specs, kvh, h, d, num_blocks=64, dtype=jnp.float32,
+                       quantized=False):
     """specs: list of (ctx_len, cached_len). Returns (q, kc, vc, meta).
 
     Mimics the runner's Q_TILE-aligned packing: seq s's new-token queries
@@ -21,8 +22,9 @@ def build_aligned_case(rng, specs, kvh, h, d, num_blocks=64, dtype=jnp.float32):
     S = len(specs)
     slots_total = (num_blocks + 1) * BS
     trash_slot = num_blocks * BS
-    kc = jnp.zeros((slots_total, kvh, d), dtype)
-    vc = jnp.zeros((slots_total, kvh, d), dtype)
+    from test_pallas_decode import _zero_cache
+    kc = _zero_cache(slots_total, kvh, d, dtype, quantized)
+    vc = _zero_cache(slots_total, kvh, d, dtype, quantized)
     q_lens = [c - p for c, p in specs]
     q_start, ofs = [], 0
     for ql in q_lens:
@@ -115,3 +117,21 @@ def test_bf16():
     )
     valid = np.asarray(meta.q_seg) >= 0
     np.testing.assert_allclose(out[valid], ref[valid], rtol=3e-2, atol=3e-2)
+
+
+def test_quantized_cache_matches_oracle():
+    """INT8 QuantizedCache through the varlen prefill kernel (in-VMEM
+    dequant) vs the oracle."""
+    rng = np.random.default_rng(5)
+    q, kc, vc, meta = build_aligned_case(
+        rng, [(80, 64), (20, 0)], 2, 4, 128, quantized=True
+    )
+    ref = np.asarray(prefill_attention_xla(q, kc, vc, meta, 0.125))
+    out = np.asarray(
+        ppre.prefill_attention(q, kc, vc, meta, 0.125, BS, interpret=True)
+    )
+    # Padding rows are don't-care (oracle and kernel fill them from
+    # different trash-slot reads under quantization); compare the rows the
+    # engine consumes.
+    valid = np.asarray(meta.q_seg) >= 0
+    np.testing.assert_allclose(out[valid], ref[valid], atol=3e-5, rtol=3e-5)
