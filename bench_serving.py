@@ -50,6 +50,21 @@ MODELS = {
                  "num_attention_heads": 28, "num_key_value_heads": 4,
                  "num_hidden_layers": 28,
                  "tie_word_embeddings": False},
+    "llama3-8b": {"architectures": ["LlamaForCausalLM"], "model_type": "llama",
+                  "hidden_size": 4096, "intermediate_size": 14336,
+                  "num_attention_heads": 32, "num_key_value_heads": 8,
+                  "num_hidden_layers": 32, "vocab_size": 128256,
+                  "rms_norm_eps": 1e-5, "rope_theta": 500000.0,
+                  "max_position_embeddings": 8192,
+                  "tie_word_embeddings": False},
+    "mistral-7b": {"architectures": ["MistralForCausalLM"],
+                   "model_type": "mistral",
+                   "hidden_size": 4096, "intermediate_size": 14336,
+                   "num_attention_heads": 32, "num_key_value_heads": 8,
+                   "num_hidden_layers": 32, "vocab_size": 32000,
+                   "rms_norm_eps": 1e-5, "rope_theta": 10000.0,
+                   "max_position_embeddings": 32768, "sliding_window": 4096,
+                   "tie_word_embeddings": False},
     "opt-125m": {"architectures": ["OPTForCausalLM"], "model_type": "opt",
                  "hidden_size": 768, "ffn_dim": 3072,
                  "num_attention_heads": 12, "num_hidden_layers": 12,

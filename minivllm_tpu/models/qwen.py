@@ -1,9 +1,12 @@
-"""Qwen2 / Qwen3 model family.
+"""Qwen2 / Qwen3 / Llama / Mistral model family.
 
 Functional counterpart of the reference's shared Qwen architecture
 (/root/reference/minivllm/models/qwen_base.py:65-388, qwen2.py, qwen3.py):
 pre-RMSNorm decoder with RoPE GQA attention and SwiGLU MLP. Qwen2 uses QKV
-bias; Qwen3 drops the bias and adds per-head q/k RMSNorm.
+bias; Qwen3 drops the bias and adds per-head q/k RMSNorm. Llama and
+Mistral are the same graph with neither bias nor q/k-norm (beyond
+reference parity; Mistral's sliding-window attention is full attention
+whenever the context fits in the window — see docs/compatibility.md).
 
 TPU-first design: parameters are stacked over layers and the forward pass
 is one `lax.scan`; the paged KV cache (L, num_slots, kvh, hd) rides in the
@@ -59,6 +62,9 @@ class QwenForCausalLM:
         model_type = getattr(c, "model_type", "qwen3")
         if model_type == "qwen2":
             self.qkv_bias = True
+            self.qk_norm = False
+        elif model_type in ("llama", "mistral"):
+            self.qkv_bias = bool(getattr(c, "attention_bias", False))
             self.qk_norm = False
         else:
             self.qkv_bias = bool(getattr(c, "attention_bias", False))

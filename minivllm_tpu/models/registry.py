@@ -26,6 +26,8 @@ def _gpt2(hf_config, dtype, attn_backend):
 SUPPORTED_MODELS = {
     "Qwen2ForCausalLM": _qwen,
     "Qwen3ForCausalLM": _qwen,
+    "LlamaForCausalLM": _qwen,
+    "MistralForCausalLM": _qwen,
     "OPTForCausalLM": _opt,
     "GPT2LMHeadModel": _gpt2,
 }
@@ -33,6 +35,8 @@ SUPPORTED_MODELS = {
 TYPE_TO_ARCH = {
     "qwen2": "Qwen2ForCausalLM",
     "qwen3": "Qwen3ForCausalLM",
+    "llama": "LlamaForCausalLM",
+    "mistral": "MistralForCausalLM",
     "opt": "OPTForCausalLM",
     "gpt2": "GPT2LMHeadModel",
 }

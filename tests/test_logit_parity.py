@@ -75,7 +75,9 @@ def run_parity(model_type, tmp_path, cos_bar=0.99):
     return model, params, kc, vc, token_lists, block_tables, model_dir
 
 
-@pytest.mark.parametrize("model_type", ["qwen3", "qwen2", "opt", "gpt2"])
+@pytest.mark.parametrize(
+    "model_type", ["qwen3", "qwen2", "llama", "mistral", "opt", "gpt2"]
+)
 def test_prefill_parity(model_type, tmp_path):
     run_parity(model_type, tmp_path)
 
