@@ -33,11 +33,14 @@ class WeightCollector:
 
     Rules map an HF parameter-name regex to a (params-path, transform).
     A `{L}` placeholder in the pattern captures the layer index; matching
-    tensors land in a stacked (num_layers, ...) buffer.
+    tensors land in a stacked (num_layers, ...) buffer. A second `{E}`
+    placeholder (MoE expert index) stacks into (num_layers, num_experts,
+    ...).
     """
 
-    def __init__(self, num_layers: int, dtype) -> None:
+    def __init__(self, num_layers: int, dtype, num_experts: int = 0) -> None:
         self.num_layers = num_layers
+        self.num_experts = num_experts
         self.dtype = dtype
         self._rules: list[tuple[re.Pattern, tuple[str, ...], Callable]] = []
         self._store: dict[tuple[str, ...], object] = {}
@@ -49,7 +52,7 @@ class WeightCollector:
         path: tuple[str, ...],
         transform: Callable[[np.ndarray], np.ndarray] | None = None,
     ) -> None:
-        pattern = pattern.replace("{L}", r"(\d+)")
+        pattern = pattern.replace("{L}", r"(\d+)").replace("{E}", r"(\d+)")
         self._rules.append(
             (re.compile(pattern + "$"), path, transform or (lambda x: x))
         )
@@ -61,7 +64,15 @@ class WeightCollector:
             if not m:
                 continue
             t = np.asarray(transform(tensor))
-            if m.groups():
+            if len(m.groups()) == 2:  # {L} then {E} (HF order: layer, expert)
+                layer, expert = int(m.group(1)), int(m.group(2))
+                if path not in self._store:
+                    self._store[path] = np.zeros(
+                        (self.num_layers, self.num_experts, *t.shape),
+                        dtype=t.dtype,
+                    )
+                self._store[path][layer, expert] = t
+            elif m.groups():
                 layer = int(m.group(1))
                 if path not in self._store:
                     self._store[path] = np.zeros(

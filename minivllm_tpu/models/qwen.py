@@ -86,10 +86,13 @@ class QwenForCausalLM:
         H, KV, hd = self.num_heads, self.num_kv_heads, self.head_dim
         keys = iter(jax.random.split(rng, 16))
 
+        def normal(*shape):
+            return jax.random.normal(next(keys), shape, self.dtype) * jnp.asarray(
+                0.02, self.dtype
+            )
+
         def lin(in_d, out_d):
-            return jax.random.normal(
-                next(keys), (L, in_d, out_d), self.dtype
-            ) * jnp.asarray(0.02, self.dtype)
+            return normal(L, in_d, out_d)
 
         layers = {
             "input_ln": jnp.ones((L, D), self.dtype),
@@ -98,9 +101,7 @@ class QwenForCausalLM:
             "v_proj": lin(D, KV * hd),
             "o_proj": lin(H * hd, D),
             "post_ln": jnp.ones((L, D), self.dtype),
-            "gate_proj": lin(D, I),
-            "up_proj": lin(D, I),
-            "down_proj": lin(I, D),
+            **self._init_mlp_params(normal),
         }
         if self.qkv_bias:
             layers["q_bias"] = jnp.zeros((L, H * hd), self.dtype)
@@ -123,13 +124,34 @@ class QwenForCausalLM:
             ) * jnp.asarray(0.02, self.dtype)
         return params
 
+    def _init_mlp_params(self, normal) -> dict:
+        """Dense SwiGLU MLP parameters; MoE subclasses override.
+        `normal(*shape)` draws 0.02-scaled random normals."""
+        L, D, I = self.num_layers, self.hidden_size, self.intermediate_size
+        return {
+            "gate_proj": normal(L, D, I),
+            "up_proj": normal(L, D, I),
+            "down_proj": normal(L, I, D),
+        }
+
+    def _mlp_weight_rules(self):
+        """(hf_suffix_pattern, layers_key, transform) rules for the MLP."""
+        T = np.transpose
+        return [
+            ("mlp.gate_proj.weight", ("layers", "gate_proj"), T),
+            ("mlp.up_proj.weight", ("layers", "up_proj"), T),
+            ("mlp.down_proj.weight", ("layers", "down_proj"), T),
+        ]
+
     def load_weights(self, weights) -> dict:
         """Assemble params from an iterator of (hf_name, numpy array).
 
         HF stores Linear weights (out, in); we store (in, out), so kernels
         are transposed at load (reference mapping: qwen_base.py:326-388).
         """
-        col = WeightCollector(self.num_layers, self.dtype)
+        col = WeightCollector(
+            self.num_layers, self.dtype, getattr(self, "num_experts", 0)
+        )
         T = np.transpose
         pad_v = self.padded_vocab_size - self.vocab_size
 
@@ -153,9 +175,7 @@ class QwenForCausalLM:
             ("self_attn.v_proj.bias", ("layers", "v_bias"), None),
             ("self_attn.q_norm.weight", ("layers", "q_norm"), None),
             ("self_attn.k_norm.weight", ("layers", "k_norm"), None),
-            ("mlp.gate_proj.weight", ("layers", "gate_proj"), T),
-            ("mlp.up_proj.weight", ("layers", "up_proj"), T),
-            ("mlp.down_proj.weight", ("layers", "down_proj"), T),
+            *self._mlp_weight_rules(),
         ]:
             if not hf.startswith("model"):
                 hf = r"model\.layers\.{L}\." + hf.replace(".", r"\.")
@@ -172,6 +192,13 @@ class QwenForCausalLM:
             raise ValueError(f"unmatched checkpoint tensors: {unmatched[:8]}")
         return col.build()
 
+    def _mlp_quant_plan(self) -> dict:
+        return {
+            ("layers", "gate_proj"): (1,),
+            ("layers", "up_proj"): (1,),
+            ("layers", "down_proj"): (1,),
+        }
+
     def quant_plan(self) -> dict:
         """Kernels to quantize (path -> contraction axes): every large
         matmul including the (tied) embedding/logits table."""
@@ -181,9 +208,7 @@ class QwenForCausalLM:
             ("layers", "k_proj"): (1,),
             ("layers", "v_proj"): (1,),
             ("layers", "o_proj"): (1,),
-            ("layers", "gate_proj"): (1,),
-            ("layers", "up_proj"): (1,),
-            ("layers", "down_proj"): (1,),
+            **self._mlp_quant_plan(),
         }
         if not self.tie_embeddings:
             plan[("lm_head",)] = (0,)
@@ -208,9 +233,7 @@ class QwenForCausalLM:
             "v_proj": col,
             "o_proj": row,
             "post_ln": rep2,
-            "gate_proj": col,
-            "up_proj": col,
-            "down_proj": row,
+            **self._mlp_pspecs(),
         }
         if self.qkv_bias:
             layers["q_bias"] = P(None, "tp")
@@ -228,7 +251,22 @@ class QwenForCausalLM:
             specs["lm_head"] = P(None, "tp")
         return specs
 
+    def _mlp_pspecs(self) -> dict:
+        from jax.sharding import PartitionSpec as P
+
+        return {
+            "gate_proj": P(None, None, "tp"),
+            "up_proj": P(None, None, "tp"),
+            "down_proj": P(None, "tp", None),
+        }
+
     # -- forward -------------------------------------------------------------
+
+    def _mlp(self, lp: dict, h: jnp.ndarray) -> jnp.ndarray:
+        """Dense SwiGLU MLP on normed hidden states (T, D) -> (T, D)."""
+        gate = qdot(h, lp["gate_proj"])
+        up = qdot(h, lp["up_proj"])
+        return qdot(silu_and_mul(gate, up), lp["down_proj"])
 
     def _rope(self, positions):
         return compute_cos_sin(
@@ -296,9 +334,7 @@ class QwenForCausalLM:
                 )
             x = x + qdot(attn.reshape(T, H * hd), lp["o_proj"])
             h_mlp = rms_norm(x, lp["post_ln"], eps)
-            gate = qdot(h_mlp, lp["gate_proj"])
-            up = qdot(h_mlp, lp["up_proj"])
-            x = x + qdot(silu_and_mul(gate, up), lp["down_proj"])
+            x = x + self._mlp(lp, h_mlp)
             return (x, k_cache, v_cache), None
 
         lidx = jnp.arange(self.num_layers, dtype=jnp.int32)

@@ -1,0 +1,98 @@
+"""Qwen3-MoE model family (Qwen3MoeForCausalLM, e.g. Qwen3-30B-A3B).
+
+Beyond reference parity — the reference supports no MoE models
+(SURVEY.md §2.2 "Expert parallelism / MoE: NO"). The dense Qwen3 graph is
+inherited unchanged (RoPE GQA attention with q/k-norm, pre-RMSNorm); only
+the per-layer MLP is replaced by a routed sparse MoE block
+(`ops/moe.moe_mlp`: fp32 router softmax -> top-k -> dropless
+sorted grouped-matmul experts).
+
+Scope: `decoder_sparse_step == 1` and empty `mlp_only_layers` (true for
+all released Qwen3-MoE checkpoints) so every scanned layer has the same
+structure — a mixed dense/sparse stack would break the homogeneous
+`lax.scan` and needs per-layer branching instead.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from minivllm_tpu.models.qwen import QwenForCausalLM
+from minivllm_tpu.ops.moe import moe_mlp
+
+__all__ = ["QwenMoeForCausalLM"]
+
+
+class QwenMoeForCausalLM(QwenForCausalLM):
+    def __init__(self, hf_config, dtype=jnp.bfloat16, attn_backend=None) -> None:
+        super().__init__(hf_config, dtype, attn_backend)
+        c = hf_config
+        self.num_experts = c.num_experts
+        self.top_k = c.num_experts_per_tok
+        self.moe_intermediate_size = c.moe_intermediate_size
+        self.norm_topk_prob = bool(getattr(c, "norm_topk_prob", True))
+        if getattr(c, "mlp_only_layers", None):
+            raise NotImplementedError(
+                "qwen3_moe with dense mlp_only_layers is not supported "
+                "(homogeneous layer scan)"
+            )
+        if getattr(c, "decoder_sparse_step", 1) != 1:
+            raise NotImplementedError("decoder_sparse_step != 1")
+
+    # -- parameter structure hooks ------------------------------------------
+
+    def _init_mlp_params(self, normal) -> dict:
+        L, D = self.num_layers, self.hidden_size
+        E, I = self.num_experts, self.moe_intermediate_size
+        return {
+            "router": normal(L, D, E),
+            "moe_gate": normal(L, E, D, I),
+            "moe_up": normal(L, E, D, I),
+            "moe_down": normal(L, E, I, D),
+        }
+
+    def _mlp_weight_rules(self):
+        T = np.transpose
+        return [
+            ("mlp.gate.weight", ("layers", "router"), T),
+            (r"mlp.experts.{E}.gate_proj.weight", ("layers", "moe_gate"), T),
+            (r"mlp.experts.{E}.up_proj.weight", ("layers", "moe_up"), T),
+            (r"mlp.experts.{E}.down_proj.weight", ("layers", "moe_down"), T),
+        ]
+
+    def _mlp_quant_plan(self) -> dict:
+        # (L, E, in, out): absmax over the contraction axis 2; the router
+        # stays full precision (tiny, and routing is fp32 anyway).
+        return {
+            ("layers", "moe_gate"): (2,),
+            ("layers", "moe_up"): (2,),
+            ("layers", "moe_down"): (2,),
+        }
+
+    def _mlp_pspecs(self) -> dict:
+        from jax.sharding import PartitionSpec as P
+
+        # Megatron pattern inside each expert: shard the expert hidden dim
+        # over tp (gate/up: out-dim; down: in-dim -> psum). The expert axis
+        # is additionally sharded over the "ep" mesh axis when present
+        # (parallel/sharding.make_mesh); on a pure-tp mesh "ep" has size 1.
+        return {
+            "router": P(None, None, None),
+            "moe_gate": P(None, "ep", None, "tp"),
+            "moe_up": P(None, "ep", None, "tp"),
+            "moe_down": P(None, "ep", "tp", None),
+        }
+
+    # -- forward hook --------------------------------------------------------
+
+    def _mlp(self, lp: dict, h: jnp.ndarray) -> jnp.ndarray:
+        return moe_mlp(
+            h,
+            lp["router"],
+            lp["moe_gate"],
+            lp["moe_up"],
+            lp["moe_down"],
+            self.top_k,
+            self.norm_topk_prob,
+        )

@@ -11,6 +11,12 @@ def _qwen(hf_config, dtype, attn_backend):
     return QwenForCausalLM(hf_config, dtype, attn_backend)
 
 
+def _qwen_moe(hf_config, dtype, attn_backend):
+    from minivllm_tpu.models.qwen_moe import QwenMoeForCausalLM
+
+    return QwenMoeForCausalLM(hf_config, dtype, attn_backend)
+
+
 def _opt(hf_config, dtype, attn_backend):
     from minivllm_tpu.models.opt import OPTForCausalLM
 
@@ -28,6 +34,7 @@ SUPPORTED_MODELS = {
     "Qwen3ForCausalLM": _qwen,
     "LlamaForCausalLM": _qwen,
     "MistralForCausalLM": _qwen,
+    "Qwen3MoeForCausalLM": _qwen_moe,
     "OPTForCausalLM": _opt,
     "GPT2LMHeadModel": _gpt2,
 }
@@ -37,6 +44,7 @@ TYPE_TO_ARCH = {
     "qwen3": "Qwen3ForCausalLM",
     "llama": "LlamaForCausalLM",
     "mistral": "MistralForCausalLM",
+    "qwen3_moe": "Qwen3MoeForCausalLM",
     "opt": "OPTForCausalLM",
     "gpt2": "GPT2LMHeadModel",
 }

@@ -1,0 +1,83 @@
+"""Mixture-of-experts MLP (beyond reference parity — the reference has no
+MoE models, SURVEY.md §2.2).
+
+TPU-first dropless design: instead of the GShard capacity/dropping
+dispatch einsum, tokens are *sorted by expert id* and each expert's
+contiguous run is multiplied through one `lax.ragged_dot` (grouped
+matmul) — the MXU sees E back-to-back dense matmuls whose row counts sum
+to exactly T*k, so FLOPs equal the routed work with zero token dropping
+and zero capacity padding. Routing softmax/top-k runs in fp32.
+
+Expert weights may be weight-only quantized ({"w": int8|fp8, "s": fp32
+per-(expert, out-channel)}); dequantization is expressed as a scalar
+multiply on the operand so XLA folds it into the grouped-matmul read,
+the same pattern `ops/quant.qdot` uses.
+
+HF numerical contract (transformers Qwen3MoeSparseMoeBlock): full-E
+softmax -> top-k -> optional renormalize -> weighted sum of expert
+outputs. Matches to float tolerance; parity covered by
+tests/test_logit_parity.py::test_prefill_parity[qwen3_moe].
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from minivllm_tpu.ops.activation import silu_and_mul
+from minivllm_tpu.ops.quant import is_quantized
+
+__all__ = ["moe_mlp", "qragged_dot"]
+
+
+def qragged_dot(x: jnp.ndarray, w, group_sizes: jnp.ndarray) -> jnp.ndarray:
+    """Grouped matmul x (T, in) @ w (E, in, out) with `group_sizes` rows
+    per expert; accepts plain or quantized w."""
+    if not is_quantized(w):
+        return lax.ragged_dot(x, w, group_sizes)
+    wd = w["w"].astype(x.dtype) * w["s"].astype(x.dtype)
+    return lax.ragged_dot(x, wd, group_sizes)
+
+
+def moe_mlp(
+    x: jnp.ndarray,
+    router_w: jnp.ndarray,
+    w_gate,
+    w_up,
+    w_down,
+    top_k: int,
+    norm_topk_prob: bool,
+) -> jnp.ndarray:
+    """Sparse SwiGLU MoE layer.
+
+    x: (T, D) normed hidden states.
+    router_w: (D, E) router projection (kept full precision).
+    w_gate/w_up: (E, D, I); w_down: (E, I, D) — possibly quantized.
+    Returns (T, D) in x.dtype.
+    """
+    T, D = x.shape
+    E = router_w.shape[-1]
+    # Routing in fp32 (HF: Qwen3MoeSparseMoeBlock.forward).
+    logits = jnp.dot(x, router_w, preferred_element_type=jnp.float32)
+    probs = jax.nn.softmax(logits, axis=-1)
+    top_p, top_e = lax.top_k(probs, top_k)  # (T, k)
+    if norm_topk_prob:
+        top_p = top_p / jnp.sum(top_p, axis=-1, keepdims=True)
+
+    # Sort the T*k (token, expert) assignments by expert id so each
+    # expert's rows are contiguous for the grouped matmul.
+    flat_e = top_e.reshape(-1)  # (T*k,)
+    order = jnp.argsort(flat_e)  # (T*k,)
+    src_tok = order // top_k  # originating token of each sorted row
+    xs = jnp.take(x, src_tok, axis=0)  # (T*k, D)
+    group_sizes = jnp.bincount(flat_e, length=E).astype(jnp.int32)
+
+    h = silu_and_mul(
+        qragged_dot(xs, w_gate, group_sizes),
+        qragged_dot(xs, w_up, group_sizes),
+    )
+    out = qragged_dot(h, w_down, group_sizes)  # (T*k, D)
+    out = out * jnp.take(top_p.reshape(-1), order).astype(out.dtype)[:, None]
+    # Combine: scatter-add each weighted expert output back to its token.
+    return jnp.zeros((T, D), out.dtype).at[src_tok].add(out).astype(x.dtype)

@@ -41,13 +41,15 @@ def initialize_multihost(
     jax.distributed.initialize(**kwargs)
 
 
-def make_pod_mesh(tp_size: int | None = None):
+def make_pod_mesh(tp_size: int | None = None, ep_size: int = 1):
     """Mesh over all devices of a (possibly multi-host) slice.
 
-    Axes: ("dcn", "tp"). tp_size defaults to the per-host device count so
-    tensor-parallel collectives stay on ICI; the leading axis spans hosts.
-    Weights/KV shard over "tp"; "dcn" replicates (data parallel serving —
-    each host group serves its own requests) unless the caller shards it.
+    Axes: ("dcn", "ep", "tp"). tp_size defaults to the per-host device
+    count so tensor-parallel collectives stay on ICI; the leading axis
+    spans hosts. Weights/KV shard over "tp"; "ep" (size ep_size, MoE
+    expert parallelism) shards expert-stacked weights; "dcn" replicates
+    (data parallel serving — each host group serves its own requests)
+    unless the caller shards it.
     """
     import jax
     from jax.sharding import Mesh
@@ -55,9 +57,11 @@ def make_pod_mesh(tp_size: int | None = None):
     devices = np.asarray(jax.devices())
     if tp_size is None:
         tp_size = max(1, jax.local_device_count())
-    if len(devices) % tp_size:
+    group = tp_size * ep_size
+    if len(devices) % group:
         raise ValueError(
-            f"device count {len(devices)} not divisible by tp_size {tp_size}"
+            f"device count {len(devices)} not divisible by "
+            f"tp_size*ep_size = {group}"
         )
-    grid = devices.reshape(len(devices) // tp_size, tp_size)
-    return Mesh(grid, ("dcn", "tp"))
+    grid = devices.reshape(len(devices) // group, ep_size, tp_size)
+    return Mesh(grid, ("dcn", "ep", "tp"))

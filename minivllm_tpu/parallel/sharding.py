@@ -27,15 +27,22 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 __all__ = ["make_mesh", "shard_params", "shard_cache", "cache_pspec"]
 
 TP_AXIS = "tp"
+EP_AXIS = "ep"
 
 
-def make_mesh(tp_size: int, devices=None) -> Mesh:
+def make_mesh(tp_size: int, devices=None, ep_size: int = 1) -> Mesh:
+    """("ep", "tp") mesh. The ep axis (expert parallelism, MoE models)
+    defaults to size 1 so dense-model pspecs are unchanged; expert-stacked
+    weights shard their expert axis over it (models/qwen_moe.py)."""
     devices = devices if devices is not None else jax.devices()
-    if len(devices) < tp_size:
+    n = tp_size * ep_size
+    if len(devices) < n:
         raise ValueError(
-            f"tensor_parallel_size={tp_size} but only {len(devices)} devices"
+            f"tp={tp_size} x ep={ep_size} needs {n} devices, "
+            f"have {len(devices)}"
         )
-    return Mesh(np.asarray(devices[:tp_size]), (TP_AXIS,))
+    grid = np.asarray(devices[:n]).reshape(ep_size, tp_size)
+    return Mesh(grid, (EP_AXIS, TP_AXIS))
 
 
 def _tp_divisible(model, tp: int) -> None:

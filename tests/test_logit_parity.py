@@ -76,7 +76,8 @@ def run_parity(model_type, tmp_path, cos_bar=0.99):
 
 
 @pytest.mark.parametrize(
-    "model_type", ["qwen3", "qwen2", "llama", "mistral", "opt", "gpt2"]
+    "model_type",
+    ["qwen3", "qwen2", "llama", "mistral", "qwen3_moe", "opt", "gpt2"],
 )
 def test_prefill_parity(model_type, tmp_path):
     run_parity(model_type, tmp_path)
@@ -99,11 +100,12 @@ def test_decode_parity_non_rope(model_type, tmp_path):
         )
 
 
-def test_decode_parity_qwen3(tmp_path):
+@pytest.mark.parametrize("model_type", ["qwen3", "qwen3_moe"])
+def test_decode_parity_qwen3(model_type, tmp_path):
     """Prefill then one decode step through the paged cache must match the
     HF forward over the extended sequence."""
     model, params, kc, vc, token_lists, block_tables, model_dir = run_parity(
-        "qwen3", tmp_path
+        model_type, tmp_path
     )
     # Append one token per sequence and decode it.
     rng = np.random.default_rng(11)

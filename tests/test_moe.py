@@ -1,0 +1,140 @@
+"""MoE op + Qwen3-MoE model tests (beyond reference parity — the
+reference has no MoE models, SURVEY.md §2.2)."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from minivllm_tpu import Config, SamplingParams
+from minivllm_tpu.engine.model_runner import ModelRunner
+from minivllm_tpu.engine.sequence import Sequence
+from minivllm_tpu.llm import LLM
+from minivllm_tpu.ops.moe import moe_mlp
+from minivllm_tpu.ops.quant import quantize_weight
+from minivllm_tpu.parallel.sharding import make_mesh
+from minivllm_tpu.utils.testing import make_tiny_checkpoint
+
+
+def ref_moe(x, router_w, w_gate, w_up, w_down, k, norm):
+    """Per-token loop reference (mirrors HF Qwen3MoeSparseMoeBlock)."""
+    T, D = x.shape
+    probs = np.asarray(jax.nn.softmax(jnp.asarray(x @ router_w), axis=-1))
+    out = np.zeros_like(x)
+    for t in range(T):
+        top = np.argsort(-probs[t])[:k]
+        w = probs[t][top]
+        if norm:
+            w = w / w.sum()
+        for e, we in zip(top, w):
+            h = x[t] @ w_gate[e]
+            u = x[t] @ w_up[e]
+            act = (h / (1 + np.exp(-h))) * u
+            out[t] += we * (act @ w_down[e])
+    return out
+
+
+@pytest.mark.parametrize("norm", [True, False])
+def test_moe_mlp_matches_loop_reference(norm):
+    rng = np.random.default_rng(0)
+    T, D, I, E, K = 9, 16, 24, 6, 2
+    x = rng.normal(0, 1, (T, D)).astype(np.float32)
+    router = rng.normal(0, 0.5, (D, E)).astype(np.float32)
+    wg = rng.normal(0, 0.2, (E, D, I)).astype(np.float32)
+    wu = rng.normal(0, 0.2, (E, D, I)).astype(np.float32)
+    wd = rng.normal(0, 0.2, (E, I, D)).astype(np.float32)
+    ref = ref_moe(x, router, wg, wu, wd, K, norm)
+    out = np.asarray(
+        jax.jit(lambda *a: moe_mlp(*a, K, norm))(
+            jnp.asarray(x), jnp.asarray(router),
+            jnp.asarray(wg), jnp.asarray(wu), jnp.asarray(wd),
+        )
+    )
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_moe_mlp_quantized_close():
+    rng = np.random.default_rng(1)
+    T, D, I, E, K = 7, 16, 24, 4, 2
+    x = rng.normal(0, 1, (T, D)).astype(np.float32)
+    router = rng.normal(0, 0.5, (D, E)).astype(np.float32)
+    wg = rng.normal(0, 0.2, (E, D, I)).astype(np.float32)
+    wu = rng.normal(0, 0.2, (E, D, I)).astype(np.float32)
+    wd = rng.normal(0, 0.2, (E, I, D)).astype(np.float32)
+    exact = np.asarray(moe_mlp(
+        jnp.asarray(x), jnp.asarray(router),
+        jnp.asarray(wg), jnp.asarray(wu), jnp.asarray(wd), K, True,
+    ))
+    q = np.asarray(moe_mlp(
+        jnp.asarray(x), jnp.asarray(router),
+        quantize_weight(wg, (1,)), quantize_weight(wu, (1,)),
+        quantize_weight(wd, (1,)), K, True,
+    ))
+    err = np.abs(q - exact).max() / (np.abs(exact).max() + 1e-9)
+    assert err < 0.05, err
+
+
+@pytest.fixture(scope="module")
+def moe_ckpt(tmp_path_factory):
+    # 8 kv heads / 8 experts so tp,ep in {1,2,4} divide evenly.
+    return make_tiny_checkpoint(
+        "qwen3_moe",
+        tmp_path_factory.mktemp("moe") / "m",
+        num_attention_heads=8,
+        num_key_value_heads=8,
+        head_dim=16,
+        hidden_size=64,
+        moe_intermediate_size=64,
+    )
+
+
+def _run_tokens(ckpt, tp, ep, quant=None):
+    cfg = Config(
+        model=str(ckpt), max_num_seqs=4, max_model_len=128,
+        max_num_batched_tokens=128, kvcache_block_size=16,
+        num_kvcache_blocks=32, dtype="float32", attention_impl="xla",
+        tensor_parallel_size=tp, quantization=quant,
+    )
+    mesh = make_mesh(tp, ep_size=ep) if tp * ep > 1 else None
+    runner = ModelRunner(cfg, mesh=mesh)
+    seqs = [
+        Sequence(list(range(1, 1 + n)), SamplingParams(temperature=0.0),
+                 block_size=16)
+        for n in (7, 12)
+    ]
+    nb = 0
+    for s in seqs:
+        need = (len(s) + 15) // 16
+        s.block_table = list(range(nb, nb + need))
+        nb += need
+    out = [runner.run(seqs, is_prefill=True)]
+    for t, s in zip(out[-1], seqs):
+        s.append_token(int(t))
+    for _ in range(3):
+        out.append(runner.run(seqs, is_prefill=False))
+        for t, s in zip(out[-1], seqs):
+            s.append_token(int(t))
+    return out
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_moe_ep_tp_matches_single_device(moe_ckpt):
+    ref = _run_tokens(moe_ckpt, 1, 1)
+    assert _run_tokens(moe_ckpt, 2, 1) == ref, "tp=2 diverged"
+    assert _run_tokens(moe_ckpt, 1, 4) == ref, "ep=4 diverged"
+    assert _run_tokens(moe_ckpt, 2, 2) == ref, "tp=2 x ep=2 diverged"
+
+
+def test_moe_engine_generate(moe_ckpt):
+    cfg = Config(
+        model=str(moe_ckpt), max_num_seqs=4, max_model_len=128,
+        max_num_batched_tokens=128, kvcache_block_size=16,
+        num_kvcache_blocks=32, dtype="float32", attention_impl="xla",
+    )
+    llm = LLM(cfg)
+    outs = llm.generate(
+        [[1, 2, 3, 4, 5], [9, 8, 7]],
+        SamplingParams(temperature=0.0, max_tokens=8),
+        use_tqdm=False,
+    )
+    assert all(len(o["token_ids"]) == 8 for o in outs)
