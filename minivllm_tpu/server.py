@@ -1,0 +1,423 @@
+"""HTTP serving front-end (OpenAI-compatible, stdlib-only).
+
+Beyond reference parity — the reference has no serving API at all
+(SURVEY.md §0: "no serving HTTP API"). This module turns the
+continuous-batching engine into a network service:
+
+- `AsyncEngine`: a background thread owns the `LLMEngine` and runs the
+  schedule/step loop; callers submit requests from any thread and either
+  block for the final result or consume a token stream. New requests
+  join the running batch at the next step boundary (continuous
+  batching), they never wait for the batch to drain.
+- `create_server` / `main`: `http.server.ThreadingHTTPServer` exposing
+      POST /v1/completions        (OpenAI completions, optional SSE stream)
+      POST /v1/chat/completions   (chat template applied by the tokenizer)
+      GET  /v1/models             (model id listing)
+      GET  /health                (engine liveness)
+      GET  /stats                 (engine serving stats, TTFT/latency)
+
+No third-party web framework: TPU serving processes should not carry
+an ASGI stack for a JSON-in/JSON-out API; the threaded stdlib server
+handles connection fan-in while all device work stays on the single
+engine thread (one process per chip — the engine itself is not
+thread-safe and never needs to be).
+
+Run: python -m minivllm_tpu.server --model <path> --port 8000
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import queue
+import threading
+import time
+import uuid
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Any
+
+from minivllm_tpu.config import Config
+from minivllm_tpu.sampling_params import SamplingParams
+
+logger = logging.getLogger(__name__)
+
+__all__ = ["AsyncEngine", "create_server", "main"]
+
+
+class _Request:
+    """One in-flight generation: queue of incremental token chunks plus
+    terminal sentinel."""
+
+    def __init__(self, prompt, params: SamplingParams) -> None:
+        self.prompt = prompt
+        self.params = params
+        self.seq_id: int | None = None
+        self.chunks: queue.Queue = queue.Queue()
+        self.emitted = 0  # completion tokens already pushed to chunks
+        self.error: Exception | None = None
+
+
+_DONE = object()
+
+
+class AsyncEngine:
+    """Thread-owning wrapper around LLMEngine with a submit API.
+
+    The engine thread alternates between draining the intake queue and
+    calling engine.step(); after every step it flushes newly appended
+    completion tokens of every tracked sequence to that request's chunk
+    queue, so streaming consumers see tokens at step granularity (the
+    same granularity the device produces them).
+    """
+
+    def __init__(self, config: Config, *, init_random: bool = False) -> None:
+        from minivllm_tpu.engine.llm_engine import LLMEngine
+
+        self.engine = LLMEngine(config, init_random=init_random)
+        self._intake: queue.Queue = queue.Queue()
+        self._live: dict[int, _Request] = {}
+        self._wake = threading.Event()
+        self._stop = False
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._thread.start()
+
+    # -- client side ---------------------------------------------------------
+
+    def submit(self, prompt, params: SamplingParams) -> _Request:
+        req = _Request(prompt, params)
+        self._intake.put(req)
+        self._wake.set()
+        return req
+
+    def result(self, req: _Request, timeout: float | None = None) -> list[int]:
+        """Block until finished; returns the full completion token list."""
+        toks: list[int] = []
+        deadline = None if timeout is None else time.monotonic() + timeout
+        while True:
+            remaining = None if deadline is None else deadline - time.monotonic()
+            chunk = req.chunks.get(timeout=remaining)
+            if chunk is _DONE:
+                if req.error is not None:
+                    raise req.error
+                return toks
+            toks.extend(chunk)
+
+    def stream(self, req: _Request):
+        """Yield token-id chunks as they are produced."""
+        while True:
+            chunk = req.chunks.get()
+            if chunk is _DONE:
+                if req.error is not None:
+                    raise req.error
+                return
+            yield chunk
+
+    def shutdown(self) -> None:
+        self._stop = True
+        self._wake.set()
+        self._thread.join(timeout=30)
+
+    # -- engine thread ---------------------------------------------------------
+
+    def _admit(self) -> None:
+        while True:
+            try:
+                req = self._intake.get_nowait()
+            except queue.Empty:
+                return
+            try:
+                req.seq_id = self.engine.add_request(req.prompt, req.params)
+                self._live[req.seq_id] = req
+            except Exception as e:  # bad prompt / no tokenizer / over limits
+                req.error = e
+                req.chunks.put(_DONE)
+
+    def _flush_progress(self) -> None:
+        """Push newly appended completion tokens of running seqs."""
+        for seq in self.engine.scheduler.running:
+            req = self._live.get(seq.seq_id)
+            if req is None:
+                continue
+            new = seq.completion_token_ids[req.emitted :]
+            if new:
+                req.emitted += len(new)
+                req.chunks.put(new)
+
+    def _loop(self) -> None:
+        while not self._stop:
+            self._admit()
+            if self.engine.is_finished():
+                # Idle: block until a request arrives.
+                self._wake.wait(timeout=0.5)
+                self._wake.clear()
+                continue
+            try:
+                finished, _ = self.engine.step()
+            except Exception as e:
+                logger.exception("engine step failed")
+                for req in self._live.values():
+                    req.error = e
+                    req.chunks.put(_DONE)
+                self._live.clear()
+                continue
+            self._flush_progress()
+            for seq_id, token_ids in finished:
+                req = self._live.pop(seq_id, None)
+                if req is None:
+                    continue
+                tail = token_ids[req.emitted :]
+                if tail:
+                    req.chunks.put(tail)
+                req.chunks.put(_DONE)
+
+
+# -- HTTP layer ----------------------------------------------------------------
+
+
+def _sampling_params(body: dict, config: Config) -> SamplingParams:
+    return SamplingParams(
+        temperature=float(body.get("temperature", 1.0)),
+        top_p=float(body.get("top_p", 1.0)),
+        top_k=int(body.get("top_k", -1)),
+        min_p=float(body.get("min_p", 0.0)),
+        max_tokens=min(
+            int(body.get("max_tokens", 128)), config.max_model_len
+        ),
+        presence_penalty=float(body.get("presence_penalty", 0.0)),
+        frequency_penalty=float(body.get("frequency_penalty", 0.0)),
+        repetition_penalty=float(body.get("repetition_penalty", 1.0)),
+        seed=body.get("seed"),
+        ignore_eos=bool(body.get("ignore_eos", False)),
+    )
+
+
+def _truncate_at_stop(text: str, stops: list[str]) -> tuple[str, bool]:
+    cut = len(text)
+    for s in stops:
+        i = text.find(s)
+        if i >= 0:
+            cut = min(cut, i)
+    return text[:cut], cut < len(text)
+
+
+def create_server(
+    async_engine: AsyncEngine, host: str = "0.0.0.0", port: int = 8000
+) -> ThreadingHTTPServer:
+    engine = async_engine.engine
+    tokenizer = engine.tokenizer
+    model_id = str(engine.config.model)
+    created = int(time.time())
+
+    class Handler(BaseHTTPRequestHandler):
+        protocol_version = "HTTP/1.1"
+
+        def log_message(self, fmt, *args):  # route to logging, not stderr
+            logger.debug("%s - %s", self.address_string(), fmt % args)
+
+        # -- helpers ----------------------------------------------------------
+
+        def _json(self, code: int, obj: dict) -> None:
+            data = json.dumps(obj).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(data)))
+            self.end_headers()
+            self.wfile.write(data)
+
+        def _error(self, code: int, msg: str) -> None:
+            self._json(code, {"error": {"message": msg, "type": "invalid_request_error"}})
+
+        def _body(self) -> dict | None:
+            try:
+                n = int(self.headers.get("Content-Length", 0))
+                return json.loads(self.rfile.read(n) or b"{}")
+            except (ValueError, json.JSONDecodeError):
+                self._error(400, "invalid JSON body")
+                return None
+
+        def _decode(self, token_ids: list[int]) -> str:
+            if tokenizer is None:
+                return ""
+            return tokenizer.decode(token_ids, skip_special_tokens=True)
+
+        # -- routes -----------------------------------------------------------
+
+        def do_GET(self):
+            if self.path == "/health":
+                self._json(200, {"status": "ok"})
+            elif self.path == "/v1/models":
+                self._json(200, {
+                    "object": "list",
+                    "data": [{"id": model_id, "object": "model",
+                              "created": created, "owned_by": "minivllm_tpu"}],
+                })
+            elif self.path == "/stats":
+                self._json(200, engine.get_stats())
+            else:
+                self._error(404, f"no route {self.path}")
+
+        def do_POST(self):
+            if self.path == "/v1/completions":
+                self._completions(chat=False)
+            elif self.path == "/v1/chat/completions":
+                self._completions(chat=True)
+            else:
+                self._error(404, f"no route {self.path}")
+
+        def _completions(self, chat: bool) -> None:
+            body = self._body()
+            if body is None:
+                return
+            try:
+                if chat:
+                    messages = body.get("messages")
+                    if not messages:
+                        return self._error(400, "messages required")
+                    if tokenizer is None:
+                        return self._error(400, "chat requires a tokenizer")
+                    prompt = tokenizer.apply_chat_template(
+                        messages, tokenize=False, add_generation_prompt=True
+                    )
+                else:
+                    prompt = body.get("prompt")
+                    if prompt is None:
+                        return self._error(400, "prompt required")
+                params = _sampling_params(body, engine.config)
+            except (TypeError, ValueError) as e:
+                return self._error(400, str(e))
+            stops = body.get("stop") or []
+            if isinstance(stops, str):
+                stops = [stops]
+            req = async_engine.submit(prompt, params)
+            rid = ("chatcmpl-" if chat else "cmpl-") + uuid.uuid4().hex[:24]
+            obj = "chat.completion" if chat else "text_completion"
+            if body.get("stream"):
+                return self._stream_response(req, rid, obj, chat, stops)
+            try:
+                token_ids = async_engine.result(req, timeout=600)
+            except Exception as e:
+                return self._error(400, str(e))
+            text = self._decode(token_ids)
+            text, stopped = _truncate_at_stop(text, stops)
+            finish = "stop" if stopped or (
+                token_ids and token_ids[-1] == engine.config.eos
+                and not params.ignore_eos
+            ) else ("length" if len(token_ids) >= params.max_tokens else "stop")
+            choice: dict[str, Any] = {"index": 0, "finish_reason": finish}
+            if chat:
+                choice["message"] = {"role": "assistant", "content": text}
+            else:
+                choice["text"] = text
+            n_prompt = len(prompt) if isinstance(prompt, list) else (
+                len(tokenizer.encode(prompt)) if tokenizer else 0
+            )
+            self._json(200, {
+                "id": rid, "object": obj, "created": int(time.time()),
+                "model": model_id, "choices": [choice],
+                "usage": {
+                    "prompt_tokens": n_prompt,
+                    "completion_tokens": len(token_ids),
+                    "total_tokens": n_prompt + len(token_ids),
+                },
+            })
+
+        def _stream_response(self, req, rid, obj, chat, stops) -> None:
+            self.send_response(200)
+            self.send_header("Content-Type", "text/event-stream")
+            self.send_header("Cache-Control", "no-cache")
+            self.send_header("Transfer-Encoding", "chunked")
+            self.end_headers()
+
+            def send_event(payload: str) -> None:
+                data = f"data: {payload}\n\n".encode()
+                self.wfile.write(f"{len(data):x}\r\n".encode() + data + b"\r\n")
+                self.wfile.flush()
+
+            sent_text = 0
+            all_ids: list[int] = []
+            stopped = False
+            try:
+                for chunk in async_engine.stream(req):
+                    all_ids.extend(chunk)
+                    full = self._decode(all_ids)
+                    full, stopped = _truncate_at_stop(full, stops)
+                    delta = full[sent_text:]
+                    # Hold back trailing replacement chars (partial UTF-8
+                    # from a mid-codepoint token split).
+                    while delta.endswith("�"):
+                        delta = delta[:-1]
+                    if delta:
+                        sent_text += len(delta)
+                        if chat:
+                            d = {"delta": {"content": delta}, "index": 0,
+                                 "finish_reason": None}
+                        else:
+                            d = {"text": delta, "index": 0,
+                                 "finish_reason": None}
+                        send_event(json.dumps({
+                            "id": rid, "object": obj + ".chunk",
+                            "created": int(time.time()), "model": model_id,
+                            "choices": [d],
+                        }))
+                    if stopped:
+                        break
+                finish = "stop" if stopped else (
+                    "length" if len(all_ids) >= req.params.max_tokens
+                    else "stop"
+                )
+                final = {"delta": {}, "index": 0, "finish_reason": finish} \
+                    if chat else {"text": "", "index": 0, "finish_reason": finish}
+                send_event(json.dumps({
+                    "id": rid, "object": obj + ".chunk",
+                    "created": int(time.time()), "model": model_id,
+                    "choices": [final],
+                }))
+                send_event("[DONE]")
+                self.wfile.write(b"0\r\n\r\n")
+                self.wfile.flush()
+            except (BrokenPipeError, ConnectionResetError):
+                pass  # client went away; engine finishes the seq regardless
+
+    return ThreadingHTTPServer((host, port), Handler)
+
+
+def main(argv: list[str] | None = None) -> None:
+    p = argparse.ArgumentParser(description="minivllm_tpu OpenAI-compatible server")
+    p.add_argument("--model", required=True)
+    p.add_argument("--host", default="0.0.0.0")
+    p.add_argument("--port", type=int, default=8000)
+    p.add_argument("--max-num-seqs", type=int, default=64)
+    p.add_argument("--max-model-len", type=int, default=4096)
+    p.add_argument("--max-num-batched-tokens", type=int, default=4096)
+    p.add_argument("--quantization", choices=["int8", "fp8"], default=None)
+    p.add_argument("--kv-dtype", default="auto")
+    p.add_argument("--dtype", default="bfloat16")
+    p.add_argument("--tensor-parallel-size", type=int, default=1)
+    args = p.parse_args(argv)
+
+    config = Config(
+        model=args.model,
+        max_num_seqs=args.max_num_seqs,
+        max_model_len=args.max_model_len,
+        max_num_batched_tokens=args.max_num_batched_tokens,
+        quantization=args.quantization,
+        kvcache_dtype=args.kv_dtype,
+        dtype=args.dtype,
+        tensor_parallel_size=args.tensor_parallel_size,
+    )
+    async_engine = AsyncEngine(config)
+    server = create_server(async_engine, args.host, args.port)
+    logger.info("serving %s on %s:%d", args.model, args.host, args.port)
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        server.shutdown()
+        async_engine.shutdown()
+
+
+if __name__ == "__main__":
+    logging.basicConfig(level=logging.INFO)
+    main()

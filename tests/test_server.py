@@ -1,0 +1,149 @@
+"""HTTP serving front-end tests (beyond reference parity — the reference
+has no serving API, SURVEY.md §0). Exercises the OpenAI-compatible
+routes over a real socket with the engine on a tiny random checkpoint."""
+
+import json
+import threading
+import urllib.request
+import urllib.error
+
+import pytest
+
+from minivllm_tpu import Config, SamplingParams
+from minivllm_tpu.server import AsyncEngine, create_server, _truncate_at_stop
+from minivllm_tpu.utils.testing import make_tiny_checkpoint, make_tiny_tokenizer
+
+
+@pytest.fixture(scope="module")
+def served(tmp_path_factory):
+    d = tmp_path_factory.mktemp("srv") / "m"
+    make_tiny_checkpoint("qwen3", d)
+    make_tiny_tokenizer(d)
+    cfg = Config(
+        model=str(d), max_num_seqs=4, max_model_len=128,
+        max_num_batched_tokens=128, kvcache_block_size=16,
+        num_kvcache_blocks=32, dtype="float32", attention_impl="xla",
+    )
+    eng = AsyncEngine(cfg)
+    server = create_server(eng, host="127.0.0.1", port=0)
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    base = f"http://127.0.0.1:{server.server_address[1]}"
+    yield base, eng
+    server.shutdown()
+    eng.shutdown()
+
+
+def get(base, path):
+    with urllib.request.urlopen(base + path, timeout=120) as r:
+        return r.status, json.loads(r.read())
+
+
+def post(base, path, body, timeout=300):
+    req = urllib.request.Request(
+        base + path, data=json.dumps(body).encode(),
+        headers={"Content-Type": "application/json"}, method="POST",
+    )
+    try:
+        with urllib.request.urlopen(req, timeout=timeout) as r:
+            return r.status, json.loads(r.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+def test_health_models_stats(served):
+    base, _ = served
+    assert get(base, "/health") == (200, {"status": "ok"})
+    code, models = get(base, "/v1/models")
+    assert code == 200 and models["data"][0]["object"] == "model"
+    code, stats = get(base, "/stats")
+    assert code == 200 and "num_preemptions" in stats
+
+
+def test_completions_greedy_deterministic(served):
+    base, _ = served
+    body = {"prompt": "hello world the", "max_tokens": 6, "temperature": 0.0}
+    code, r1 = post(base, "/v1/completions", body)
+    assert code == 200, r1
+    assert r1["object"] == "text_completion"
+    assert r1["usage"]["completion_tokens"] == 6
+    assert r1["choices"][0]["finish_reason"] == "length"
+    code, r2 = post(base, "/v1/completions", body)
+    assert r2["choices"][0]["text"] == r1["choices"][0]["text"]
+
+
+def test_concurrent_requests_batch(served):
+    base, eng = served
+    results = {}
+
+    def go(i):
+        results[i] = post(base, "/v1/completions", {
+            "prompt": f"the quick brown fox w{i}",
+            "max_tokens": 8, "temperature": 0.0,
+        })
+
+    threads = [threading.Thread(target=go, args=(i,)) for i in range(3)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=300)
+    for i in range(3):
+        code, r = results[i]
+        assert code == 200 and r["usage"]["completion_tokens"] == 8
+
+
+def test_chat_completions(served):
+    base, _ = served
+    code, r = post(base, "/v1/chat/completions", {
+        "messages": [{"role": "user", "content": "hello world"}],
+        "max_tokens": 4, "temperature": 0.0,
+    })
+    assert code == 200, r
+    assert r["object"] == "chat.completion"
+    assert r["choices"][0]["message"]["role"] == "assistant"
+
+
+def test_streaming_matches_nonstream(served):
+    base, _ = served
+    body = {"prompt": "lazy dog sat", "max_tokens": 6, "temperature": 0.0}
+    _, full = post(base, "/v1/completions", body)
+    req = urllib.request.Request(
+        base + "/v1/completions",
+        data=json.dumps({**body, "stream": True}).encode(),
+        headers={"Content-Type": "application/json"}, method="POST",
+    )
+    text, done, finish = "", False, None
+    with urllib.request.urlopen(req, timeout=300) as r:
+        assert r.headers["Content-Type"].startswith("text/event-stream")
+        for raw in r:
+            line = raw.decode().strip()
+            if not line.startswith("data: "):
+                continue
+            payload = line[len("data: "):]
+            if payload == "[DONE]":
+                done = True
+                break
+            evt = json.loads(payload)
+            ch = evt["choices"][0]
+            text += ch.get("text", "")
+            if ch["finish_reason"]:
+                finish = ch["finish_reason"]
+    assert done and finish == "length"
+    assert text == full["choices"][0]["text"]
+
+
+def test_error_paths(served):
+    base, _ = served
+    code, r = post(base, "/v1/completions", {"max_tokens": 4})
+    assert code == 400 and "prompt" in r["error"]["message"]
+    code, r = post(base, "/v1/completions",
+                   {"prompt": "x", "temperature": -1})
+    assert code == 400
+    code, r = post(base, "/nope", {})
+    assert code == 404
+
+
+def test_truncate_at_stop():
+    assert _truncate_at_stop("abc def", ["def"]) == ("abc ", True)
+    assert _truncate_at_stop("abc def", ["zz"]) == ("abc def", False)
+    assert _truncate_at_stop("abcdef", ["cd", "ef"]) == ("ab", True)
