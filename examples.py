@@ -17,6 +17,7 @@ EXAMPLES = {
     "tp": "tp_example.py",
     "prefix": "prefix_caching_example.py",
     "quant": "quantization_example.py",
+    "server": "server_example.py",
     "check": "check_tpu.py",
 }
 
