@@ -92,6 +92,19 @@ class Config:
     # Weight quantization: None | "int8" | "fp8" (both weight-only;
     # fp8 = float8_e4m3 with per-channel scales).
     quantization: str | None = None
+    # SPMD mesh axes beyond tensor parallelism (reference has TP only,
+    # SURVEY.md §2.2). data_parallel_size shards decode batch rows over a
+    # "dp" mesh axis (weights/KV replicated, per-chip FLOPs / dp);
+    # sequence_parallel_size shards packed prefill tokens over an "sp"
+    # axis (long-prompt prefill splits across chips). Total devices used =
+    # dp * sp * ep * tp.
+    data_parallel_size: int = 1
+    sequence_parallel_size: int = 1
+    # Pipeline parallelism: shard the layer stack into pp stages over a
+    # "pp" mesh axis and flow microbatches through them (ppermute
+    # hand-offs, parallel/pipeline.py). num_hidden_layers must divide by
+    # it. Total devices used = pp * dp * sp * ep * tp.
+    pipeline_parallel_size: int = 1
     # Decode steps fused into one device dispatch (multi-step decode):
     # sampled tokens feed back on-device and K tokens per sequence are
     # fetched at once, dividing dispatch + device->host overhead by K.
@@ -159,6 +172,14 @@ class Config:
             raise ValueError(
                 f"decode_multi_step must be in [1, 64], got {self.decode_multi_step}"
             )
+        for name in (
+            "data_parallel_size",
+            "sequence_parallel_size",
+            "pipeline_parallel_size",
+        ):
+            v = getattr(self, name)
+            if not (1 <= v <= 64) or (v & (v - 1)):
+                raise ValueError(f"{name} must be a power of two in [1, 64], got {v}")
 
     def _validate_ranges(self) -> None:
         if not (

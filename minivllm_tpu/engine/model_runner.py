@@ -112,6 +112,11 @@ class ModelRunner:
         self.block_size = config.kvcache_block_size
         self.mesh = mesh
         backend_name = "pallas" if config.use_pallas_attention else "xla"
+        if config.pipeline_parallel_size > 1 and backend_name == "pallas":
+            # Pipeline stages run inside a shard_map; keep the portable
+            # XLA attention path there (Pallas kernels assume the full
+            # unsharded cache layout).
+            backend_name = "xla"
         self.attn_backend = make_backend(backend_name, self.block_size)
         self.model = create_model(config.hf_config, self.dtype, self.attn_backend)
 
@@ -138,10 +143,20 @@ class ModelRunner:
                 self.params = self.model.quantize_params(
                     self.params, config.quantization
                 )
-        if mesh is None and config.tensor_parallel_size > 1:
+        if mesh is None and (
+            config.tensor_parallel_size > 1
+            or config.data_parallel_size > 1
+            or config.sequence_parallel_size > 1
+            or config.pipeline_parallel_size > 1
+        ):
             from minivllm_tpu.parallel.sharding import make_mesh
 
-            mesh = make_mesh(config.tensor_parallel_size)
+            mesh = make_mesh(
+                config.tensor_parallel_size,
+                dp_size=config.data_parallel_size,
+                sp_size=config.sequence_parallel_size,
+                pp_size=config.pipeline_parallel_size,
+            )
         self.mesh = mesh
         if self.mesh is not None:
             from minivllm_tpu.parallel.sharding import shard_params
@@ -180,10 +195,9 @@ class ModelRunner:
 
             spec = NamedSharding(self.mesh, cache_pspec())
             if self.kv_quantized:
-                out_sh = QuantizedCache(
-                    data=spec,
-                    scale=NamedSharding(self.mesh, P(None, "tp", None)),
-                )
+                # Scale slabs are layer-major on axis 0 like the data, so
+                # they shard identically (pp stages own their layers' slabs).
+                out_sh = QuantizedCache(data=spec, scale=spec)
             else:
                 out_sh = spec
             zeros = jax.jit(make_zeros, out_shardings=out_sh)
@@ -201,6 +215,7 @@ class ModelRunner:
             ", int8" if self.kv_quantized else "",
         )
 
+        self._pp = self.mesh.shape.get("pp", 1) if self.mesh is not None else 1
         self._base_key = jax.random.PRNGKey(config.seed if config.seed is not None else 0)
         self._step_counter = 0
         self._compiled: dict = {}
@@ -311,25 +326,43 @@ class ModelRunner:
     # jitted program — per-transfer latency, not bytes, dominates small
     # host->device copies.
 
+    def _forward(self, params, meta, k_cache, v_cache, *, is_prefill):
+        """model.forward, routed through the pipeline when pp > 1."""
+        if self._pp > 1:
+            from minivllm_tpu.parallel.pipeline import pipeline_forward
+
+            return pipeline_forward(
+                self.model, params, meta, k_cache, v_cache, self.mesh,
+                is_prefill=is_prefill, trash_slot=self.trash_slot,
+            )
+        return self.model.forward(
+            params, meta, k_cache, v_cache, is_prefill=is_prefill
+        )
+
     def _prefill_step(
         self, with_filters, typical, params, k_cache, v_cache, packed_t,
         packed_c, packed_s, tables, state, key, hist=None,
     ):
-        meta = PrefillBatch(
-            input_ids=packed_t[0],
-            positions=packed_t[1],
-            q_seg=packed_t[2],
-            slot_mapping=packed_t[3],
-            ctx_slot_mapping=packed_c[0],
-            k_seg=packed_c[1],
-            k_pos=packed_c[2],
-            last_token_idx=packed_s[0],
-            ctx_lens=packed_s[1],
-            block_tables=tables,
-            q_start=packed_s[2],
-            q_lens=packed_s[3],
+        from minivllm_tpu.parallel.sharding import shard_batch
+
+        meta = shard_batch(
+            PrefillBatch(
+                input_ids=packed_t[0],
+                positions=packed_t[1],
+                q_seg=packed_t[2],
+                slot_mapping=packed_t[3],
+                ctx_slot_mapping=packed_c[0],
+                k_seg=packed_c[1],
+                k_pos=packed_c[2],
+                last_token_idx=packed_s[0],
+                ctx_lens=packed_s[1],
+                block_tables=tables,
+                q_start=packed_s[2],
+                q_lens=packed_s[3],
+            ),
+            self.mesh,
         )
-        hidden, k_cache, v_cache = self.model.forward(
+        hidden, k_cache, v_cache = self._forward(
             params, meta, k_cache, v_cache, is_prefill=True
         )
         last = hidden[meta.last_token_idx]
@@ -347,16 +380,21 @@ class ModelRunner:
         self, with_filters, typical, params, k_cache, v_cache, packed, tables,
         state, key, prev_toks=None, hist=None,
     ):
-        meta = DecodeBatch(
-            # Speculative steps feed the previous step's sampled tokens
-            # straight from the device array — no host round trip.
-            input_ids=packed[0] if prev_toks is None else prev_toks,
-            positions=packed[1],
-            slot_mapping=packed[2],
-            ctx_lens=packed[3],
-            block_tables=tables,
+        from minivllm_tpu.parallel.sharding import shard_batch
+
+        meta = shard_batch(
+            DecodeBatch(
+                # Speculative steps feed the previous step's sampled tokens
+                # straight from the device array — no host round trip.
+                input_ids=packed[0] if prev_toks is None else prev_toks,
+                positions=packed[1],
+                slot_mapping=packed[2],
+                ctx_lens=packed[3],
+                block_tables=tables,
+            ),
+            self.mesh,
         )
-        hidden, k_cache, v_cache = self.model.forward(
+        hidden, k_cache, v_cache = self._forward(
             params, meta, k_cache, v_cache, is_prefill=False
         )
         logits = self.model.compute_logits(params, hidden)
@@ -380,19 +418,23 @@ class ModelRunner:
         block tables in-jit (the scheduler pre-allocated the window).
         """
         bs = self.block_size
+        from minivllm_tpu.parallel.sharding import shard_batch
 
         def body(carry, i):
             k_cache, v_cache, toks = carry
             pos = packed[1] + i
             blk = jnp.take_along_axis(tables, (pos // bs)[:, None], axis=1)[:, 0]
-            meta = DecodeBatch(
-                input_ids=toks,
-                positions=pos,
-                slot_mapping=blk * bs + pos % bs,
-                ctx_lens=packed[3] + i,
-                block_tables=tables,
+            meta = shard_batch(
+                DecodeBatch(
+                    input_ids=toks,
+                    positions=pos,
+                    slot_mapping=blk * bs + pos % bs,
+                    ctx_lens=packed[3] + i,
+                    block_tables=tables,
+                ),
+                self.mesh,
             )
-            hidden, k_cache, v_cache = self.model.forward(
+            hidden, k_cache, v_cache = self._forward(
                 params, meta, k_cache, v_cache, is_prefill=False
             )
             logits = self.model.compute_logits(params, hidden)
@@ -600,6 +642,11 @@ class ModelRunner:
         bs = self.block_size
         S = len(seqs)
         S_pad = _pick_bucket(S, self.config.decode_seq_buckets)
+        if self.mesh is not None:
+            # Batch rows shard over the "dp" axis and split into pp
+            # microbatches: keep the bucket divisible by both.
+            mult = self.mesh.shape.get("dp", 1) * self._pp
+            S_pad = -(-S_pad // mult) * mult
         width = max(len(seq.block_table) for seq in seqs)
         W = _next_pow2(width, 1)
         packed = np.zeros((4, S_pad), np.int32)

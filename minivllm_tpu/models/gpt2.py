@@ -160,8 +160,8 @@ class GPT2ForCausalLM:
     def param_pspecs(self) -> dict:
         from jax.sharding import PartitionSpec as P
 
-        col, row, rep2 = P(None, None, "tp"), P(None, "tp", None), P(None, None)
-        bias_col = P(None, "tp")
+        col, row, rep2 = P("pp", None, "tp"), P("pp", "tp", None), P("pp", None)
+        bias_col = P("pp", "tp")
         layers = {
             "ln1": rep2, "ln1_bias": rep2,
             "q_proj": col, "q_bias": bias_col,
@@ -182,14 +182,24 @@ class GPT2ForCausalLM:
 
     # -- forward -------------------------------------------------------------
 
-    def forward(self, params, batch, k_cache, v_cache, *, is_prefill: bool):
+    def pre_layers(self, params, batch):
+        x = qlookup(params["embed"], batch.input_ids, self.dtype)
+        return x + params["embed_pos"][batch.positions], None
+
+    def post_layers(self, params, x):
+        return layer_norm(
+            x, params["final_norm"], params["final_norm_bias"],
+            self.layer_norm_eps,
+        )
+
+    def run_layers(
+        self, layer_params, x, batch, k_cache, v_cache, aux, *, is_prefill: bool
+    ):
         H, hd = self.num_heads, self.head_dim
         eps = self.layer_norm_eps
-        x = qlookup(params["embed"], batch.input_ids, self.dtype)
-        x = x + params["embed_pos"][batch.positions]
         backend = self.attn_backend
-
-        stride = cache_len(k_cache) // self.num_layers
+        n_local = jax.tree.leaves(layer_params)[0].shape[0]
+        stride = cache_len(k_cache) // n_local
 
         def layer(carry, scanned):
             x, k_cache, v_cache = carry
@@ -213,12 +223,19 @@ class GPT2ForCausalLM:
             x = x + qdot(h_mlp, lp["fc_out"]) + lp["fc_out_bias"]
             return (x, k_cache, v_cache), None
 
-        lidx = jnp.arange(self.num_layers, dtype=jnp.int32)
+        lidx = jnp.arange(n_local, dtype=jnp.int32)
         (x, k_cache, v_cache), _ = lax.scan(
-            layer, (x, k_cache, v_cache), (params["layers"], lidx)
+            layer, (x, k_cache, v_cache), (layer_params, lidx)
         )
-        x = layer_norm(x, params["final_norm"], params["final_norm_bias"], eps)
         return x, k_cache, v_cache
+
+    def forward(self, params, batch, k_cache, v_cache, *, is_prefill: bool):
+        x, aux = self.pre_layers(params, batch)
+        x, k_cache, v_cache = self.run_layers(
+            params["layers"], x, batch, k_cache, v_cache, aux,
+            is_prefill=is_prefill,
+        )
+        return self.post_layers(params, x), k_cache, v_cache
 
     def compute_logits(self, params, hidden):
         logits = qdot(

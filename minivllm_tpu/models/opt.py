@@ -154,8 +154,8 @@ class OPTForCausalLM:
     def param_pspecs(self) -> dict:
         from jax.sharding import PartitionSpec as P
 
-        col, row, rep2 = P(None, None, "tp"), P(None, "tp", None), P(None, None)
-        bias_col = P(None, "tp")
+        col, row, rep2 = P("pp", None, "tp"), P("pp", "tp", None), P("pp", None)
+        bias_col = P("pp", "tp")
         layers = {
             "attn_ln": rep2, "attn_ln_bias": rep2,
             "q_proj": col, "q_bias": bias_col,
@@ -181,15 +181,27 @@ class OPTForCausalLM:
 
     # -- forward -------------------------------------------------------------
 
-    def forward(self, params, batch, k_cache, v_cache, *, is_prefill: bool):
-        H, hd = self.num_heads, self.head_dim
+    def pre_layers(self, params, batch):
         x = qlookup(params["embed"], batch.input_ids, self.dtype)
         if self.needs_projection:
             x = jnp.dot(x, params["project_in"])
         x = x + params["embed_pos"][batch.positions + self.pos_offset]
-        backend = self.attn_backend
+        return x, None
 
-        stride = cache_len(k_cache) // self.num_layers
+    def post_layers(self, params, x):
+        if self.do_layer_norm_before:
+            x = layer_norm(x, params["final_norm"], params["final_norm_bias"])
+        if self.needs_projection:
+            x = jnp.dot(x, params["project_out"])
+        return x
+
+    def run_layers(
+        self, layer_params, x, batch, k_cache, v_cache, aux, *, is_prefill: bool
+    ):
+        H, hd = self.num_heads, self.head_dim
+        backend = self.attn_backend
+        n_local = jax.tree.leaves(layer_params)[0].shape[0]
+        stride = cache_len(k_cache) // n_local
 
         def layer(carry, scanned):
             x, k_cache, v_cache = carry
@@ -227,15 +239,19 @@ class OPTForCausalLM:
                 x = layer_norm(x, lp["final_ln"], lp["final_ln_bias"])
             return (x, k_cache, v_cache), None
 
-        lidx = jnp.arange(self.num_layers, dtype=jnp.int32)
+        lidx = jnp.arange(n_local, dtype=jnp.int32)
         (x, k_cache, v_cache), _ = lax.scan(
-            layer, (x, k_cache, v_cache), (params["layers"], lidx)
+            layer, (x, k_cache, v_cache), (layer_params, lidx)
         )
-        if self.do_layer_norm_before:
-            x = layer_norm(x, params["final_norm"], params["final_norm_bias"])
-        if self.needs_projection:
-            x = jnp.dot(x, params["project_out"])
         return x, k_cache, v_cache
+
+    def forward(self, params, batch, k_cache, v_cache, *, is_prefill: bool):
+        x, aux = self.pre_layers(params, batch)
+        x, k_cache, v_cache = self.run_layers(
+            params["layers"], x, batch, k_cache, v_cache, aux,
+            is_prefill=is_prefill,
+        )
+        return self.post_layers(params, x), k_cache, v_cache
 
     def compute_logits(self, params, hidden):
         logits = qdot(

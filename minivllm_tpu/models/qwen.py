@@ -72,6 +72,7 @@ class QwenForCausalLM:
         scaling = getattr(c, "rope_scaling", None) or {}
         self.rope_scaling_type = scaling.get("rope_type", scaling.get("type"))
         self.rope_scaling_factor = float(scaling.get("factor", 1.0))
+        self.rope_scaling_extra = dict(scaling)
         self.scale = self.head_dim**-0.5
         self.attn_backend = attn_backend
         # Vocab padded to a lane-and-TP-friendly multiple; pad logits are
@@ -218,14 +219,16 @@ class QwenForCausalLM:
         return quantize_tree(params, self.quant_plan(), fmt)
 
     def param_pspecs(self) -> dict:
-        """PartitionSpecs for tensor parallelism (see parallel/sharding.py):
-        attention/MLP in Megatron column->row pattern, vocab-sharded
-        embedding and lm_head."""
+        """PartitionSpecs for SPMD parallelism (see parallel/sharding.py):
+        attention/MLP in Megatron column->row tp pattern, vocab-sharded
+        embedding and lm_head. The stacked layer axis shards over "pp"
+        (pipeline stages, parallel/pipeline.py); on non-pipelined meshes
+        that axis has size 1 and the spec is a no-op."""
         from jax.sharding import PartitionSpec as P
 
-        col = P(None, None, "tp")   # (L, in, out): shard out
-        row = P(None, "tp", None)   # (L, in, out): shard in
-        rep2 = P(None, None)
+        col = P("pp", None, "tp")   # (L, in, out): shard out
+        row = P("pp", "tp", None)   # (L, in, out): shard in
+        rep2 = P("pp", None)
         layers = {
             "input_ln": rep2,
             "q_proj": col,
@@ -236,9 +239,9 @@ class QwenForCausalLM:
             **self._mlp_pspecs(),
         }
         if self.qkv_bias:
-            layers["q_bias"] = P(None, "tp")
-            layers["k_bias"] = P(None, "tp")
-            layers["v_bias"] = P(None, "tp")
+            layers["q_bias"] = P("pp", "tp")
+            layers["k_bias"] = P("pp", "tp")
+            layers["v_bias"] = P("pp", "tp")
         if self.qk_norm:
             layers["q_norm"] = rep2
             layers["k_norm"] = rep2
@@ -255,9 +258,9 @@ class QwenForCausalLM:
         from jax.sharding import PartitionSpec as P
 
         return {
-            "gate_proj": P(None, None, "tp"),
-            "up_proj": P(None, None, "tp"),
-            "down_proj": P(None, "tp", None),
+            "gate_proj": P("pp", None, "tp"),
+            "up_proj": P("pp", None, "tp"),
+            "down_proj": P("pp", "tp", None),
         }
 
     # -- forward -------------------------------------------------------------
@@ -276,29 +279,42 @@ class QwenForCausalLM:
             self.rope_scaling_type,
             self.rope_scaling_factor,
             self.max_position_embeddings,
+            self.rope_scaling_extra,
         )
 
-    def forward(
+    def pre_layers(self, params: dict, batch):
+        """Embed inputs; returns (x, aux) where aux is the per-token RoPE
+        table (leading axis = token axis, so pipeline stages can slice it
+        per microbatch, parallel/pipeline.py)."""
+        x = qlookup(params["embed"], batch.input_ids, self.dtype)  # (T, D)
+        return x, self._rope(batch.positions)
+
+    def post_layers(self, params: dict, x: jnp.ndarray) -> jnp.ndarray:
+        return rms_norm(x, params["final_norm"], self.rms_eps)
+
+    def run_layers(
         self,
-        params: dict,
+        layer_params: dict,
+        x: jnp.ndarray,
         batch: PrefillBatch | DecodeBatch,
         k_cache: jnp.ndarray,
         v_cache: jnp.ndarray,
+        aux,
         *,
         is_prefill: bool,
     ):
-        """Run the decoder. Returns (hidden, k_cache, v_cache).
+        """Scan the decoder layers stacked in `layer_params` over x.
 
-        k_cache/v_cache: (L, num_slots, kv_heads, head_dim), scattered
-        in place (donate them at the jit boundary).
+        Works on any leading-stacked subset of layers: the caches are the
+        (possibly pipeline-stage-local) flat slot arrays covering exactly
+        those layers, so the per-layer base offset is local_index * stride.
         """
         H, KV, hd = self.num_heads, self.num_kv_heads, self.head_dim
-        x = qlookup(params["embed"], batch.input_ids, self.dtype)  # (T, D)
-        cos, sin = self._rope(batch.positions)
         backend = self.attn_backend
         eps = self.rms_eps
-
-        stride = cache_len(k_cache) // self.num_layers
+        cos, sin = aux
+        n_local = jax.tree.leaves(layer_params)[0].shape[0]
+        stride = cache_len(k_cache) // n_local
 
         def layer(carry, scanned):
             x, k_cache, v_cache = carry
@@ -337,12 +353,32 @@ class QwenForCausalLM:
             x = x + self._mlp(lp, h_mlp)
             return (x, k_cache, v_cache), None
 
-        lidx = jnp.arange(self.num_layers, dtype=jnp.int32)
+        lidx = jnp.arange(n_local, dtype=jnp.int32)
         (x, k_cache, v_cache), _ = lax.scan(
-            layer, (x, k_cache, v_cache), (params["layers"], lidx)
+            layer, (x, k_cache, v_cache), (layer_params, lidx)
         )
-        x = rms_norm(x, params["final_norm"], eps)
         return x, k_cache, v_cache
+
+    def forward(
+        self,
+        params: dict,
+        batch: PrefillBatch | DecodeBatch,
+        k_cache: jnp.ndarray,
+        v_cache: jnp.ndarray,
+        *,
+        is_prefill: bool,
+    ):
+        """Run the decoder. Returns (hidden, k_cache, v_cache).
+
+        k_cache/v_cache: flat (L * num_slots, kv_heads, head_dim) arrays,
+        scattered in place (donate them at the jit boundary).
+        """
+        x, aux = self.pre_layers(params, batch)
+        x, k_cache, v_cache = self.run_layers(
+            params["layers"], x, batch, k_cache, v_cache, aux,
+            is_prefill=is_prefill,
+        )
+        return self.post_layers(params, x), k_cache, v_cache
 
     def compute_logits(self, params: dict, hidden: jnp.ndarray) -> jnp.ndarray:
         """hidden (N, D) -> logits (N, padded_V) fp32; pad columns -inf."""

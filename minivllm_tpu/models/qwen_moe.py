@@ -78,10 +78,10 @@ class QwenMoeForCausalLM(QwenForCausalLM):
         # is additionally sharded over the "ep" mesh axis when present
         # (parallel/sharding.make_mesh); on a pure-tp mesh "ep" has size 1.
         return {
-            "router": P(None, None, None),
-            "moe_gate": P(None, "ep", None, "tp"),
-            "moe_up": P(None, "ep", None, "tp"),
-            "moe_down": P(None, "ep", "tp", None),
+            "router": P("pp", None, None),
+            "moe_gate": P("pp", "ep", None, "tp"),
+            "moe_up": P("pp", "ep", None, "tp"),
+            "moe_down": P("pp", "ep", "tp", None),
         }
 
     # -- forward hook --------------------------------------------------------

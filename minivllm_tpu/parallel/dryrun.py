@@ -3,10 +3,16 @@ and execute one prefill + one decode step on tiny shapes. Used by the
 driver (__graft_entry__.dryrun_multichip) with virtual CPU devices to
 validate the SPMD program without hardware.
 
-Two passes: (1) a dense Qwen3 model over a pure tensor-parallel mesh
-(tp=n), and (2) when n is even, a Qwen3-MoE model over a 2D
-("ep", "tp") mesh (ep=2, tp=n/2) exercising expert-parallel sharding of
-the expert-stacked weights together with tp sharding inside each expert.
+Passes (every mesh axis the engine supports, each with real shardings):
+(1) dense Qwen3 over a pure tensor-parallel mesh (tp=n);
+(2) [n even] Qwen3-MoE over ("ep", "tp") = (2, n/2): expert-parallel
+    sharding of expert-stacked weights composed with tp inside experts;
+(3) [n even] dense over ("dp", "tp") = (2, n/2): decode batch rows
+    sharded over dp (data-parallel serving), weights/KV replicated on dp;
+(4) [n even] dense over ("sp", "tp") = (2, n/2): packed prefill tokens
+    sharded over sp (sequence-parallel long-prompt prefill);
+(5) [n even] dense over ("pp", "tp") = (2, n/2): layer-pipeline stages,
+    microbatches flowing through ppermute hand-offs (parallel/pipeline.py).
 """
 
 from __future__ import annotations
@@ -45,17 +51,11 @@ def run_dryrun(n_devices: int) -> None:
         "rope_theta": 10000.0,
         "tie_word_embeddings": True,
     }
-    passes = [
-        (
-            "dense tp",
-            {**base, "architectures": ["Qwen3ForCausalLM"],
-             "model_type": "qwen3"},
-            n_devices,
-            1,
-        )
-    ]
+    dense = {**base, "architectures": ["Qwen3ForCausalLM"], "model_type": "qwen3"}
+    passes = [("dense tp", dense, {"tp_size": n_devices})]
     if n_devices % 2 == 0:
-        passes.append(
+        half = n_devices // 2
+        passes += [
             (
                 "moe ep x tp",
                 {**base, "architectures": ["Qwen3MoeForCausalLM"],
@@ -63,12 +63,14 @@ def run_dryrun(n_devices: int) -> None:
                  "num_experts_per_tok": 2, "moe_intermediate_size": 64,
                  "norm_topk_prob": True, "decoder_sparse_step": 1,
                  "mlp_only_layers": []},
-                n_devices // 2,
-                2,
-            )
-        )
+                {"tp_size": half, "ep_size": 2},
+            ),
+            ("dense dp x tp", dense, {"tp_size": half, "dp_size": 2}),
+            ("dense sp x tp", dense, {"tp_size": half, "sp_size": 2}),
+            ("dense pp x tp", dense, {"tp_size": half, "pp_size": 2}),
+        ]
 
-    for name, cfg_dict, tp, ep in passes:
+    for name, cfg_dict, mesh_kw in passes:
         tmp = Path(tempfile.mkdtemp())
         (tmp / "config.json").write_text(json.dumps(cfg_dict))
         config = Config(
@@ -79,11 +81,14 @@ def run_dryrun(n_devices: int) -> None:
             max_num_batched_tokens=128,
             kvcache_block_size=16,
             num_kvcache_blocks=16,
-            tensor_parallel_size=tp,
+            tensor_parallel_size=mesh_kw["tp_size"],
+            data_parallel_size=mesh_kw.get("dp_size", 1),
+            sequence_parallel_size=mesh_kw.get("sp_size", 1),
+            pipeline_parallel_size=mesh_kw.get("pp_size", 1),
             dtype="float32",
             attention_impl="xla",
         )
-        mesh = make_mesh(tp, ep_size=ep)
+        mesh = make_mesh(**mesh_kw)
         runner = ModelRunner(config, init_random=True, mesh=mesh)
 
         seqs = [
@@ -103,6 +108,6 @@ def run_dryrun(n_devices: int) -> None:
         toks = runner.run(seqs, is_prefill=False)
         assert len(toks) == 2, toks
         print(
-            f"dryrun_multichip [{name}] OK: tp={tp} ep={ep} "
+            f"dryrun_multichip [{name}] OK: "
             f"mesh={dict(mesh.shape)}, prefill+decode tokens={toks}"
         )

@@ -41,15 +41,17 @@ def initialize_multihost(
     jax.distributed.initialize(**kwargs)
 
 
-def make_pod_mesh(tp_size: int | None = None, ep_size: int = 1):
+def make_pod_mesh(tp_size: int | None = None, ep_size: int = 1, pp_size: int = 1):
     """Mesh over all devices of a (possibly multi-host) slice.
 
-    Axes: ("dcn", "ep", "tp"). tp_size defaults to the per-host device
-    count so tensor-parallel collectives stay on ICI; the leading axis
-    spans hosts. Weights/KV shard over "tp"; "ep" (size ep_size, MoE
-    expert parallelism) shards expert-stacked weights; "dcn" replicates
-    (data parallel serving — each host group serves its own requests)
-    unless the caller shards it.
+    Axes: ("dcn", "pp", "dp", "sp", "ep", "tp") — the same engine axes as
+    parallel/sharding.make_mesh plus a leading "dcn" axis spanning hosts.
+    tp_size defaults to the per-host device count so tensor-parallel
+    collectives stay on ICI. "dcn" replicates (data-parallel serving —
+    each host group serves its own requests) unless the caller shards it;
+    pp_size places pipeline stages across host groups, the natural layout
+    when a model exceeds one host's HBM (stage hand-offs are point-to-point
+    and tolerate DCN latency far better than tp's all-reduces).
     """
     import jax
     from jax.sharding import Mesh
@@ -57,11 +59,11 @@ def make_pod_mesh(tp_size: int | None = None, ep_size: int = 1):
     devices = np.asarray(jax.devices())
     if tp_size is None:
         tp_size = max(1, jax.local_device_count())
-    group = tp_size * ep_size
+    group = tp_size * ep_size * pp_size
     if len(devices) % group:
         raise ValueError(
             f"device count {len(devices)} not divisible by "
-            f"tp_size*ep_size = {group}"
+            f"tp_size*ep_size*pp_size = {group}"
         )
-    grid = devices.reshape(len(devices) // group, ep_size, tp_size)
-    return Mesh(grid, ("dcn", "ep", "tp"))
+    grid = devices.reshape(len(devices) // group, pp_size, 1, 1, ep_size, tp_size)
+    return Mesh(grid, ("dcn", "pp", "dp", "sp", "ep", "tp"))

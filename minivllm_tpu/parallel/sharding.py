@@ -24,25 +24,100 @@ import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-__all__ = ["make_mesh", "shard_params", "shard_cache", "cache_pspec"]
+__all__ = [
+    "make_mesh",
+    "shard_params",
+    "shard_cache",
+    "cache_pspec",
+    "shard_batch",
+]
 
 TP_AXIS = "tp"
 EP_AXIS = "ep"
+DP_AXIS = "dp"
+SP_AXIS = "sp"
+PP_AXIS = "pp"
 
 
-def make_mesh(tp_size: int, devices=None, ep_size: int = 1) -> Mesh:
-    """("ep", "tp") mesh. The ep axis (expert parallelism, MoE models)
-    defaults to size 1 so dense-model pspecs are unchanged; expert-stacked
-    weights shard their expert axis over it (models/qwen_moe.py)."""
+def make_mesh(
+    tp_size: int,
+    devices=None,
+    ep_size: int = 1,
+    dp_size: int = 1,
+    sp_size: int = 1,
+    pp_size: int = 1,
+) -> Mesh:
+    """("pp", "dp", "sp", "ep", "tp") mesh.
+
+    Size-1 axes are no-ops for every pspec, so callers that only want
+    tensor parallelism get the historical ("tp")-sharded behavior.
+
+    - "tp": tensor parallelism — weight shards, GSPMD psum on row-parallel
+      matmuls (the reference's only parallelism, SURVEY.md §2.2).
+    - "ep": expert parallelism — MoE expert-stacked weights shard their
+      expert axis over it (models/qwen_moe.py).
+    - "dp": data parallelism — decode batch rows shard over it (weights and
+      KV cache replicated; per-chip FLOPs divided by dp). See shard_batch.
+    - "sp": sequence parallelism — packed prefill *token* rows shard over
+      it, splitting long-prompt prefill compute across chips.
+    - "pp": pipeline parallelism — the stacked layer axis of the weights
+      and the layer-major flat KV cache shard over it; microbatches flow
+      through the stages via ppermute (parallel/pipeline.py).
+    """
     devices = devices if devices is not None else jax.devices()
-    n = tp_size * ep_size
+    n = tp_size * ep_size * dp_size * sp_size * pp_size
     if len(devices) < n:
         raise ValueError(
-            f"tp={tp_size} x ep={ep_size} needs {n} devices, "
-            f"have {len(devices)}"
+            f"pp={pp_size} x dp={dp_size} x sp={sp_size} x ep={ep_size} x "
+            f"tp={tp_size} needs {n} devices, have {len(devices)}"
         )
-    grid = np.asarray(devices[:n]).reshape(ep_size, tp_size)
-    return Mesh(grid, (EP_AXIS, TP_AXIS))
+    grid = np.asarray(devices[:n]).reshape(
+        pp_size, dp_size, sp_size, ep_size, tp_size
+    )
+    return Mesh(grid, (PP_AXIS, DP_AXIS, SP_AXIS, EP_AXIS, TP_AXIS))
+
+
+def _axis_size(mesh: Mesh, axis: str) -> int:
+    return mesh.shape.get(axis, 1)
+
+
+def shard_batch(meta, mesh: Mesh | None):
+    """Apply data/sequence-parallel sharding constraints to a batch pytree.
+
+    DecodeBatch: batch rows shard over "dp" — each dp group runs the full
+    model on its slice of the sequences (weights/KV replicated over dp, so
+    the KV scatter's updates are all-gathered, a few KiB per step).
+
+    PrefillBatch: the packed new-token axis (T) shards over "sp" — the
+    reference has no long-context parallelism at all (SURVEY.md §5); here
+    the quadratic prefill attention and all per-token matmuls split across
+    the sp group while the packed context (C) stays replicated.
+    """
+    if mesh is None:
+        return meta
+    from jax import lax
+
+    from minivllm_tpu.ops.attention import DecodeBatch, PrefillBatch
+
+    def cons(x, spec):
+        return lax.with_sharding_constraint(x, NamedSharding(mesh, spec))
+
+    if isinstance(meta, DecodeBatch) and _axis_size(mesh, DP_AXIS) > 1:
+        return DecodeBatch(
+            input_ids=cons(meta.input_ids, P(DP_AXIS)),
+            positions=cons(meta.positions, P(DP_AXIS)),
+            slot_mapping=cons(meta.slot_mapping, P(DP_AXIS)),
+            block_tables=cons(meta.block_tables, P(DP_AXIS, None)),
+            ctx_lens=cons(meta.ctx_lens, P(DP_AXIS)),
+        )
+    if isinstance(meta, PrefillBatch) and _axis_size(mesh, SP_AXIS) > 1:
+        return meta._replace(
+            input_ids=cons(meta.input_ids, P(SP_AXIS)),
+            positions=cons(meta.positions, P(SP_AXIS)),
+            q_seg=cons(meta.q_seg, P(SP_AXIS)),
+            slot_mapping=cons(meta.slot_mapping, P(SP_AXIS)),
+        )
+    return meta
 
 
 def _tp_divisible(model, tp: int) -> None:
@@ -53,6 +128,13 @@ def _tp_divisible(model, tp: int) -> None:
     if getattr(model, "num_kv_heads", model.num_heads) % tp:
         raise ValueError(
             f"num_key_value_heads={model.num_kv_heads} not divisible by tp={tp}"
+        )
+
+
+def _pp_divisible(model, pp: int) -> None:
+    if model.num_layers % pp:
+        raise ValueError(
+            f"num_hidden_layers={model.num_layers} not divisible by pp={pp}"
         )
 
 
@@ -75,6 +157,9 @@ def shard_params(model, params: dict, mesh: Mesh) -> dict:
     tp = mesh.shape[TP_AXIS]
     if tp > 1:
         _tp_divisible(model, tp)
+    pp = mesh.shape.get(PP_AXIS, 1)
+    if pp > 1:
+        _pp_divisible(model, pp)
     specs = model.param_pspecs()
 
     def put(x, spec):
@@ -91,8 +176,10 @@ def shard_params(model, params: dict, mesh: Mesh) -> dict:
 
 
 def cache_pspec() -> P:
-    """Flat KV cache (L*num_slots, kv_heads, head_dim): shard kv heads."""
-    return P(None, TP_AXIS, None)
+    """Flat KV cache (L*num_slots, kv_heads, head_dim): kv heads shard
+    over tp; the layer-major slot axis shards over pp (contiguous layer
+    ranges land on their pipeline stage; size-1 pp makes it a no-op)."""
+    return P(PP_AXIS, TP_AXIS, None)
 
 
 def shard_cache(cache, mesh: Mesh):

@@ -1,0 +1,88 @@
+"""Data-parallel ("dp") and sequence-parallel ("sp") mesh-axis tests on
+the 8-virtual-device CPU mesh — real multi-device execution.
+
+The reference has tensor parallelism only (SURVEY.md §2.2); dp shards
+decode batch rows and sp shards packed prefill tokens, both must be
+bit-identical to single-device greedy decoding.
+"""
+
+import jax
+import pytest
+
+from minivllm_tpu import Config, SamplingParams
+from minivllm_tpu.engine.model_runner import ModelRunner
+from minivllm_tpu.engine.sequence import Sequence
+from minivllm_tpu.parallel.sharding import make_mesh
+from minivllm_tpu.utils.testing import make_tiny_checkpoint
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 virtual devices"
+)
+
+
+@pytest.fixture(scope="module")
+def ckpt(tmp_path_factory):
+    return make_tiny_checkpoint(
+        "qwen3",
+        tmp_path_factory.mktemp("dpsp") / "m",
+        num_attention_heads=8,
+        num_key_value_heads=8,
+        head_dim=16,
+        hidden_size=64,
+    )
+
+
+def run_tokens(ckpt, *, tp=1, dp=1, sp=1):
+    cfg = Config(
+        model=str(ckpt), max_num_seqs=4, max_model_len=128,
+        max_num_batched_tokens=128, kvcache_block_size=16,
+        num_kvcache_blocks=32, dtype="float32", attention_impl="xla",
+        tensor_parallel_size=tp, data_parallel_size=dp,
+        sequence_parallel_size=sp,
+    )
+    mesh = (
+        make_mesh(tp, dp_size=dp, sp_size=sp) if tp * dp * sp > 1 else None
+    )
+    runner = ModelRunner(cfg, mesh=mesh)
+    seqs = [
+        Sequence(list(range(1, 1 + n)), SamplingParams(temperature=0.0),
+                 block_size=16)
+        for n in (7, 12, 3)
+    ]
+    nb = 0
+    for s in seqs:
+        need = (len(s) + 15) // 16
+        s.block_table = list(range(nb, nb + need))
+        nb += need
+    out = [runner.run(seqs, is_prefill=True)]
+    for t, s in zip(out[-1], seqs):
+        s.append_token(int(t))
+    for _ in range(4):
+        out.append(runner.run(seqs, is_prefill=False))
+        for t, s in zip(out[-1], seqs):
+            s.append_token(int(t))
+    return out
+
+
+@pytest.fixture(scope="module")
+def ref(ckpt):
+    return run_tokens(ckpt)
+
+
+def test_dp_matches_single_device(ckpt, ref):
+    assert run_tokens(ckpt, dp=2) == ref
+    assert run_tokens(ckpt, dp=4) == ref
+
+
+def test_sp_matches_single_device(ckpt, ref):
+    assert run_tokens(ckpt, sp=2) == ref
+    assert run_tokens(ckpt, sp=4) == ref
+
+
+def test_dp_sp_tp_composed(ckpt, ref):
+    assert run_tokens(ckpt, tp=2, dp=2, sp=2) == ref
+
+
+def test_mesh_axis_sizes_validated():
+    with pytest.raises(ValueError, match="power of two"):
+        Config(model="x", hf_config=object(), data_parallel_size=3)

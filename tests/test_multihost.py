@@ -51,7 +51,9 @@ def test_pod_mesh_matches_single_device(tmp_path):
     )
     ref = run_tokens(ckpt, None, 1)
     mesh = make_pod_mesh(tp_size=4)  # 2 "hosts" x 4 chips on 8 cpu devices
-    assert dict(mesh.shape) == {"dcn": 2, "ep": 1, "tp": 4}
+    assert dict(mesh.shape) == {
+        "dcn": 2, "pp": 1, "dp": 1, "sp": 1, "ep": 1, "tp": 4,
+    }
     out = run_tokens(ckpt, mesh, 4)
     assert out == ref
 

@@ -94,3 +94,60 @@ def test_batched_positions_shapes():
     assert cos.shape == (3, 5, HEAD_DIM // 2)
     x = jnp.ones((3, 5, 4, HEAD_DIM))
     assert apply_rope(x, cos, sin).shape == x.shape
+
+
+def _hf_inv_freq(rope_type, rope_scaling, theta, head_dim, max_pos):
+    """inv_freq + attention scaling from transformers' rope utils —
+    the ground truth for the llama3/yarn frequency math."""
+    from transformers import LlamaConfig
+    from transformers.modeling_rope_utils import ROPE_INIT_FUNCTIONS
+
+    cfg = LlamaConfig(
+        rope_theta=theta,
+        hidden_size=head_dim * 4,
+        num_attention_heads=4,
+        head_dim=head_dim,
+        max_position_embeddings=max_pos,
+        rope_scaling=rope_scaling,
+    )
+    inv_freq, attn = ROPE_INIT_FUNCTIONS[rope_type](cfg, device="cpu")
+    return np.asarray(inv_freq), attn
+
+
+def _angles(cos, sin):
+    return np.arctan2(np.asarray(sin), np.asarray(cos))
+
+
+def test_llama3_scaling_matches_transformers():
+    scaling = {
+        "rope_type": "llama3", "factor": 8.0, "low_freq_factor": 1.0,
+        "high_freq_factor": 4.0, "original_max_position_embeddings": 256,
+    }
+    inv_freq, attn = _hf_inv_freq("llama3", scaling, THETA, HEAD_DIM, 2048)
+    assert attn == 1.0
+    pos = jnp.asarray([1])
+    cos, sin = compute_cos_sin(
+        pos, HEAD_DIM, THETA, "llama3", 8.0, 2048, scaling
+    )
+    # at position 1 (angles < pi) the angle IS the inv_freq
+    np.testing.assert_allclose(
+        _angles(cos, sin)[0], inv_freq, rtol=1e-6, atol=1e-8
+    )
+
+
+def test_yarn_scaling_matches_transformers():
+    scaling = {
+        "rope_type": "yarn", "factor": 4.0, "beta_fast": 32.0,
+        "beta_slow": 1.0, "original_max_position_embeddings": 256,
+    }
+    inv_freq, attn = _hf_inv_freq("yarn", scaling, THETA, HEAD_DIM, 1024)
+    pos = jnp.asarray([1])
+    cos, sin = compute_cos_sin(
+        pos, HEAD_DIM, THETA, "yarn", 4.0, 1024, scaling
+    )
+    c, s = np.asarray(cos)[0], np.asarray(sin)[0]
+    # cos/sin carry the yarn attention factor; recover angle and magnitude
+    np.testing.assert_allclose(np.hypot(c, s), attn, rtol=1e-5)
+    np.testing.assert_allclose(
+        np.arctan2(s, c), inv_freq, rtol=1e-5, atol=1e-7
+    )
