@@ -166,6 +166,71 @@ class LLMEngine:
     def is_finished(self) -> bool:
         return self.scheduler.is_finished()
 
+    # -- checkpoint / resume ---------------------------------------------------
+    #
+    # Beyond the reference, which has no engine-state persistence
+    # (SURVEY.md §5 "Checkpoint / resume: none"). Only host-side request
+    # state is saved: prompts, generated-so-far tokens, sampling params.
+    # On load the sequences re-enter the waiting queue and their KV is
+    # rebuilt by ordinary (chunked, prefix-cache-assisted) prefill — the
+    # same recompute path preemption uses, so no device state crosses the
+    # checkpoint. Greedy requests resume bit-identically; sampled requests
+    # resume as fresh valid draws (the PRNG step counter restarts).
+
+    def save_state(self, path: str) -> int:
+        """Snapshot all unfinished requests to `path` (atomic JSON write).
+        Returns the number of requests saved."""
+        import dataclasses
+        import json
+        import os
+        import tempfile
+
+        requests = [
+            {
+                "prompt_token_ids": seq.prompt_token_ids,
+                "completion_token_ids": seq.completion_token_ids,
+                "sampling_params": dataclasses.asdict(seq.sampling_params),
+            }
+            for seq in self.scheduler.unfinished()
+        ]
+        state = {"version": 1, "model": self.config.model, "requests": requests}
+        out_dir = os.path.dirname(os.path.abspath(path)) or "."
+        fd, tmp = tempfile.mkstemp(dir=out_dir, suffix=".tmp")
+        try:
+            with os.fdopen(fd, "w") as f:
+                json.dump(state, f)
+            os.replace(tmp, path)
+        except BaseException:
+            if os.path.exists(tmp):
+                os.unlink(tmp)
+            raise
+        return len(requests)
+
+    def load_state(self, path: str) -> list[int]:
+        """Re-enqueue requests saved by save_state. Generated-so-far tokens
+        keep their completion accounting (max_tokens / penalties / EOS), so
+        generation continues where the checkpoint left off. Returns the new
+        seq ids in saved order."""
+        import json
+
+        with open(path) as f:
+            state = json.load(f)
+        if state.get("version") != 1:
+            raise ValueError(f"unsupported engine state version {state.get('version')}")
+        seq_ids = []
+        for req in state["requests"]:
+            sp = SamplingParams(**req["sampling_params"])
+            seq = Sequence(
+                req["prompt_token_ids"], sp,
+                block_size=self.config.kvcache_block_size,
+            )
+            for tok in req["completion_token_ids"]:
+                seq.append_token(tok)
+            seq.arrival_time = perf_counter()
+            self.scheduler.add(seq)
+            seq_ids.append(seq.seq_id)
+        return seq_ids
+
     def get_stats(self) -> dict:
         """Serving statistics: timing percentiles, throughput, prefix-cache
         hit rate, speculative-pipeline hits, preemptions."""

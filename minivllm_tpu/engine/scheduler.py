@@ -45,6 +45,10 @@ class Scheduler:
     def is_finished(self) -> bool:
         return not self.waiting and not self.running
 
+    def unfinished(self) -> list[Sequence]:
+        """All live requests, waiting first (checkpoint/resume support)."""
+        return list(self.waiting) + list(self.running)
+
     @property
     def num_waiting(self) -> int:
         return len(self.waiting)
