@@ -67,7 +67,7 @@ def main() -> None:
         num_kvcache_blocks=256 if on_tpu else 64,
         dtype="bfloat16" if on_tpu else "float32",
         quantization=quant,
-        decode_multi_step=int(os.environ.get("MINIVLLM_BENCH_MULTISTEP", "4")),
+        decode_multi_step=int(os.environ.get("MINIVLLM_BENCH_MULTISTEP", "16")),
     )
     t0 = time.perf_counter()
     llm = LLM(config, init_random=True)

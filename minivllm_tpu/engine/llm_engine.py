@@ -117,20 +117,36 @@ class LLMEngine:
             completing = [
                 s for s in seqs if s.num_computed_tokens >= len(s)
             ]
-        K = self.config.decode_multi_step
-        multi = (
-            not is_prefill
-            and K > 1
-            and seqs
-            and not any(s.sampling_params.has_penalties for s in seqs)
-            and min(
-                s.sampling_params.max_tokens - s.num_completion_tokens
-                for s in seqs
+        # Adaptive multi-step decode: fuse a power-of-two window sized to
+        # the batch, so R remaining tokens decode in O(log R) dispatches
+        # (often one) instead of R. Power-of-two windows bound the number
+        # of distinct compiled programs to log2(K_max). The window may
+        # overshoot a sequence's max_tokens by < 2x its remainder: the
+        # surplus iterations' tokens are discarded and their KV writes land
+        # in the scheduler-reserved lookahead blocks (freed on finish and
+        # fully rewritten by any future owner's prefill). Only the model
+        # length is a hard clamp — positions must stay inside the block
+        # table.
+        K = 1
+        if not is_prefill and seqs and not any(
+            s.sampling_params.has_penalties for s in seqs
+        ):
+            rem = max(
+                1,
+                min(
+                    s.sampling_params.max_tokens - s.num_completion_tokens
+                    for s in seqs
+                ),
             )
-            >= K
-        )
+            hard = min(self.config.max_model_len - len(s) for s in seqs)
+            K = min(
+                self.config.decode_multi_step,
+                1 << (rem - 1).bit_length(),  # ceil pow2: overshoot < 2x
+                max(hard, 1),
+            )
+            K = 1 << (K.bit_length() - 1)  # floor to a power of two
         appended = 0
-        if multi:
+        if K > 1:
             for step_toks in self.model_runner.run_multi(seqs, K):
                 active, toks = [], []
                 for s, t in zip(seqs, step_toks):

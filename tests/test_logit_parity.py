@@ -53,8 +53,8 @@ def our_model_and_cache(model_dir):
     return model, params, kc, vc
 
 
-def run_parity(model_type, tmp_path, cos_bar=0.99):
-    model_dir = make_tiny_checkpoint(model_type, tmp_path / model_type)
+def run_parity(model_type, tmp_path, cos_bar=0.99, **overrides):
+    model_dir = make_tiny_checkpoint(model_type, tmp_path / model_type, **overrides)
     rng = np.random.default_rng(7)
     token_lists = [list(rng.integers(0, 199, size=n)) for n in (11, 6)]
     ref = hf_logits(model_dir, token_lists)
@@ -81,6 +81,31 @@ def run_parity(model_type, tmp_path, cos_bar=0.99):
 )
 def test_prefill_parity(model_type, tmp_path):
     run_parity(model_type, tmp_path)
+
+
+@pytest.mark.parametrize(
+    "model_type,scaling",
+    [
+        (
+            "llama",
+            {"rope_type": "llama3", "factor": 8.0, "low_freq_factor": 1.0,
+             "high_freq_factor": 4.0,
+             "original_max_position_embeddings": 64},
+        ),
+        (
+            "qwen3",
+            {"rope_type": "yarn", "factor": 4.0,
+             "original_max_position_embeddings": 64},
+        ),
+    ],
+)
+def test_prefill_parity_rope_scaled(model_type, scaling, tmp_path):
+    """Llama-3.1-style and YaRN rope_scaling configs must match HF through
+    the full model forward (frequency bands + attention factor)."""
+    run_parity(
+        model_type, tmp_path, rope_scaling=scaling,
+        max_position_embeddings=512,
+    )
 
 
 @pytest.mark.parametrize("model_type", ["opt", "gpt2"])
