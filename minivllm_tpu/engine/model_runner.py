@@ -268,7 +268,11 @@ class ModelRunner:
                 }
             name = path[-1]
             if "norm" in name or name.startswith("ln") or "_ln" in name:
-                return jnp.ones(node.shape, node.dtype)
+                # Identity norm scale (0.0 for Gemma's (1 + w) convention).
+                return jnp.full(
+                    node.shape, getattr(self.model, "norm_init", 1.0),
+                    node.dtype,
+                )
             if "bias" in name:
                 return jnp.zeros(node.shape, node.dtype)
             return jax.random.normal(sub, node.shape, node.dtype) * jnp.asarray(

@@ -265,6 +265,22 @@ class QwenForCausalLM:
 
     # -- forward -------------------------------------------------------------
 
+    def _norm(self, x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
+        """RMSNorm hook (Gemma overrides with the (1 + w) convention)."""
+        return rms_norm(x, w, self.rms_eps)
+
+    def _attn_extras(self, lidx) -> dict:
+        """Per-layer attention kwargs hook (Gemma2 returns sliding-window /
+        softcap for the backend; lidx is the traced local layer index)."""
+        return {}
+
+    def _residual_tail(self, lp: dict, x: jnp.ndarray, attn_out) -> jnp.ndarray:
+        """Post-attention residual + MLP block (Gemma2 overrides with its
+        post-attention / pre+post-feedforward norm arrangement)."""
+        x = x + attn_out
+        h_mlp = self._norm(x, lp["post_ln"])
+        return x + self._mlp(lp, h_mlp)
+
     def _mlp(self, lp: dict, h: jnp.ndarray) -> jnp.ndarray:
         """Dense SwiGLU MLP on normed hidden states (T, D) -> (T, D)."""
         gate = qdot(h, lp["gate_proj"])
@@ -290,7 +306,7 @@ class QwenForCausalLM:
         return x, self._rope(batch.positions)
 
     def post_layers(self, params: dict, x: jnp.ndarray) -> jnp.ndarray:
-        return rms_norm(x, params["final_norm"], self.rms_eps)
+        return self._norm(x, params["final_norm"])
 
     def run_layers(
         self,
@@ -321,7 +337,7 @@ class QwenForCausalLM:
             lp, lidx = scanned
             base = lidx * stride
             T = x.shape[0]
-            h_in = rms_norm(x, lp["input_ln"], eps)
+            h_in = self._norm(x, lp["input_ln"])
             q = qdot(h_in, lp["q_proj"])
             k = qdot(h_in, lp["k_proj"])
             v = qdot(h_in, lp["v_proj"])
@@ -333,24 +349,25 @@ class QwenForCausalLM:
             k = k.reshape(T, KV, hd)
             v = v.reshape(T, KV, hd)
             if self.qk_norm:
-                q = rms_norm(q, lp["q_norm"], eps)
-                k = rms_norm(k, lp["k_norm"], eps)
+                q = self._norm(q, lp["q_norm"])
+                k = self._norm(k, lp["k_norm"])
             q = apply_rope(q, cos, sin)
             k = apply_rope(k, cos, sin)
             slots = base + batch.slot_mapping
             k_cache = cache_write(k_cache, slots, k)
             v_cache = cache_write(v_cache, slots, v)
+            extras = self._attn_extras(lidx)
             if is_prefill:
                 attn = backend.prefill(
-                    q, k_cache, v_cache, batch, self.scale, base
+                    q, k_cache, v_cache, batch, self.scale, base, **extras
                 )
             else:
                 attn = backend.decode(
-                    q, k_cache, v_cache, batch, self.scale, base
+                    q, k_cache, v_cache, batch, self.scale, base, **extras
                 )
-            x = x + qdot(attn.reshape(T, H * hd), lp["o_proj"])
-            h_mlp = rms_norm(x, lp["post_ln"], eps)
-            x = x + self._mlp(lp, h_mlp)
+            x = self._residual_tail(
+                lp, x, qdot(attn.reshape(T, H * hd), lp["o_proj"])
+            )
             return (x, k_cache, v_cache), None
 
         lidx = jnp.arange(n_local, dtype=jnp.int32)

@@ -17,6 +17,18 @@ def _qwen_moe(hf_config, dtype, attn_backend):
     return QwenMoeForCausalLM(hf_config, dtype, attn_backend)
 
 
+def _gemma(hf_config, dtype, attn_backend):
+    from minivllm_tpu.models.gemma import GemmaForCausalLM
+
+    return GemmaForCausalLM(hf_config, dtype, attn_backend)
+
+
+def _gemma2(hf_config, dtype, attn_backend):
+    from minivllm_tpu.models.gemma import Gemma2ForCausalLM
+
+    return Gemma2ForCausalLM(hf_config, dtype, attn_backend)
+
+
 def _opt(hf_config, dtype, attn_backend):
     from minivllm_tpu.models.opt import OPTForCausalLM
 
@@ -35,6 +47,8 @@ SUPPORTED_MODELS = {
     "LlamaForCausalLM": _qwen,
     "MistralForCausalLM": _qwen,
     "Qwen3MoeForCausalLM": _qwen_moe,
+    "GemmaForCausalLM": _gemma,
+    "Gemma2ForCausalLM": _gemma2,
     "OPTForCausalLM": _opt,
     "GPT2LMHeadModel": _gpt2,
 }
@@ -45,6 +59,8 @@ TYPE_TO_ARCH = {
     "llama": "LlamaForCausalLM",
     "mistral": "MistralForCausalLM",
     "qwen3_moe": "Qwen3MoeForCausalLM",
+    "gemma": "GemmaForCausalLM",
+    "gemma2": "Gemma2ForCausalLM",
     "opt": "OPTForCausalLM",
     "gpt2": "GPT2LMHeadModel",
 }

@@ -203,6 +203,11 @@ def jax_stop_nan(m: jnp.ndarray) -> jnp.ndarray:
     return jnp.maximum(m, NEG_INF)
 
 
+def _softcap(scores: jnp.ndarray, cap) -> jnp.ndarray:
+    """Attention logit soft-capping (Gemma2): cap * tanh(scores / cap)."""
+    return cap * jnp.tanh(scores / cap)
+
+
 def prefill_attention_xla(
     q: jnp.ndarray,
     k_cache: jnp.ndarray,
@@ -210,13 +215,18 @@ def prefill_attention_xla(
     meta: PrefillBatch,
     scale: float,
     base=0,
+    window=None,
+    softcap=None,
 ) -> jnp.ndarray:
     """Packed varlen causal prefill attention over the paged cache.
 
     q: (T, h, d) — roped queries for the packed new tokens. Keys/values are
     gathered from the cache at the packed context slots (which include any
     prefix-cache-hit tokens plus this step's freshly scattered tokens).
-    Valid (query, key) pairs: same sequence and k_pos <= q_pos.
+    Valid (query, key) pairs: same sequence and k_pos <= q_pos; with
+    `window` (sliding-window attention, may be a traced per-layer scalar)
+    additionally k_pos > q_pos - window. `softcap` applies Gemma2-style
+    tanh capping to the scores.
 
     `base` offsets slots into a flat multi-layer cache (layer * stride);
     the caches are the whole (L*num_slots, kvh, d) arrays so no per-layer
@@ -225,10 +235,14 @@ def prefill_attention_xla(
     k = cache_gather(k_cache, base + meta.ctx_slot_mapping)   # (C, kvh, d)
     v = cache_gather(v_cache, base + meta.ctx_slot_mapping)
     scores = _grouped_scores(q, k, scale)        # (kvh, g, T, C)
+    if softcap is not None:
+        scores = _softcap(scores, softcap)
     same_seq = meta.q_seg[:, None] == meta.k_seg[None, :]
     causal = meta.k_pos[None, :] <= meta.positions[:, None]
-    mask = (same_seq & causal)[None, None, :, :]
-    p = _masked_softmax(scores, mask)
+    mask = same_seq & causal
+    if window is not None:
+        mask &= meta.k_pos[None, :] > meta.positions[:, None] - window
+    p = _masked_softmax(scores, mask[None, None, :, :])
     out = _grouped_out(p, v)                     # (T, h, d) fp32
     return out.astype(q.dtype)
 
@@ -241,12 +255,15 @@ def decode_attention_xla(
     scale: float,
     block_size: int,
     base=0,
+    window=None,
+    softcap=None,
 ) -> jnp.ndarray:
     """Paged decode attention: one query per sequence against its block
     table (reference oracle: page_attention.py:25-133).
 
     q: (S, h, d). Gathers each sequence's context (S, W*bs, kvh, d) from
-    the flat cache and applies a context-length mask. `base` offsets into
+    the flat cache and applies a context-length mask (plus a sliding
+    `window` / score `softcap` when set — Gemma2). `base` offsets into
     a flat multi-layer cache.
     """
     S, h, d = q.shape
@@ -263,8 +280,13 @@ def decode_attention_xla(
     g = h // kvh
     qg = q.reshape(S, kvh, g, d).astype(jnp.float32)
     scores = jnp.einsum("skgd,sckd->skgc", qg, k.astype(jnp.float32)) * scale
+    if softcap is not None:
+        scores = _softcap(scores, softcap)
     ctx_pos = jnp.arange(W * bs, dtype=jnp.int32)
-    mask = (ctx_pos[None, :] < meta.ctx_lens[:, None])[:, None, None, :]
-    p = _masked_softmax(scores, mask)
+    mask = ctx_pos[None, :] < meta.ctx_lens[:, None]
+    if window is not None:
+        # The query sits at position ctx_len - 1; keep the last `window` keys.
+        mask &= ctx_pos[None, :] >= meta.ctx_lens[:, None] - window
+    p = _masked_softmax(scores, mask[:, None, None, :])
     out = jnp.einsum("skgc,sckd->skgd", p, v.astype(jnp.float32))
     return out.reshape(S, h, d).astype(q.dtype)

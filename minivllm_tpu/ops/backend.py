@@ -26,20 +26,26 @@ class XlaAttentionBackend:
     def __init__(self, block_size: int) -> None:
         self.block_size = block_size
 
-    def prefill(self, q, k_cache, v_cache, meta: A.PrefillBatch, scale, base=0):
-        return A.prefill_attention_xla(q, k_cache, v_cache, meta, scale, base)
+    def prefill(self, q, k_cache, v_cache, meta: A.PrefillBatch, scale,
+                base=0, window=None, softcap=None):
+        return A.prefill_attention_xla(
+            q, k_cache, v_cache, meta, scale, base, window, softcap
+        )
 
-    def decode(self, q, k_cache, v_cache, meta: A.DecodeBatch, scale, base=0):
+    def decode(self, q, k_cache, v_cache, meta: A.DecodeBatch, scale,
+               base=0, window=None, softcap=None):
         return A.decode_attention_xla(
-            q, k_cache, v_cache, meta, scale, self.block_size, base
+            q, k_cache, v_cache, meta, scale, self.block_size, base,
+            window, softcap,
         )
 
 
 class PallasAttentionBackend:
     """Mosaic TPU flash kernels (paged decode / varlen prefill).
 
-    Falls back to the XLA oracle per-phase until the corresponding kernel
-    lands; selection happens at trace time (static).
+    Falls back to the XLA oracle per-phase when a kernel does not support
+    the configuration (including sliding-window / soft-capped attention,
+    Gemma2); selection happens at trace time (static).
     """
 
     name = "pallas"
@@ -48,23 +54,33 @@ class PallasAttentionBackend:
         self.block_size = block_size
         self._oracle = XlaAttentionBackend(block_size)
 
-    def prefill(self, q, k_cache, v_cache, meta: A.PrefillBatch, scale, base=0):
+    def prefill(self, q, k_cache, v_cache, meta: A.PrefillBatch, scale,
+                base=0, window=None, softcap=None):
         from minivllm_tpu.ops.pallas import prefill_attention as kernel
 
-        if kernel.is_supported(q, k_cache, self.block_size):
+        if window is None and softcap is None and kernel.is_supported(
+            q, k_cache, self.block_size
+        ):
             return kernel.prefill_attention(
                 q, k_cache, v_cache, meta, scale, self.block_size, base
             )
-        return self._oracle.prefill(q, k_cache, v_cache, meta, scale, base)
+        return self._oracle.prefill(
+            q, k_cache, v_cache, meta, scale, base, window, softcap
+        )
 
-    def decode(self, q, k_cache, v_cache, meta: A.DecodeBatch, scale, base=0):
+    def decode(self, q, k_cache, v_cache, meta: A.DecodeBatch, scale,
+               base=0, window=None, softcap=None):
         from minivllm_tpu.ops.pallas import decode_attention as kernel
 
-        if kernel.is_supported(q, k_cache, self.block_size):
+        if window is None and softcap is None and kernel.is_supported(
+            q, k_cache, self.block_size
+        ):
             return kernel.decode_attention(
                 q, k_cache, v_cache, meta, scale, self.block_size, base
             )
-        return self._oracle.decode(q, k_cache, v_cache, meta, scale, base)
+        return self._oracle.decode(
+            q, k_cache, v_cache, meta, scale, base, window, softcap
+        )
 
 
 def make_backend(name: str, block_size: int):

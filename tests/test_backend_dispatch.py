@@ -41,7 +41,8 @@ def test_pallas_backend_falls_back_to_oracle(monkeypatch):
     backend = PallasAttentionBackend(16)
     called = {}
 
-    def fake_decode(q, k, v, meta, scale, block_size, base=0):
+    def fake_decode(q, k, v, meta, scale, block_size, base=0,
+                    window=None, softcap=None):
         called["oracle"] = True
         return q
 

@@ -56,7 +56,7 @@ def test_qlookup_and_transpose():
 
 
 @pytest.mark.parametrize("fmt", ["int8", "fp8"])
-@pytest.mark.parametrize("model_type", ["qwen3", "llama", "opt", "gpt2"])
+@pytest.mark.parametrize("model_type", ["qwen3", "llama", "gemma2", "opt", "gpt2"])
 def test_quantized_generation_close_to_fp32(model_type, fmt, tmp_path):
     ckpt = make_tiny_checkpoint(model_type, tmp_path / model_type)
 
