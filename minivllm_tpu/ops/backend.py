@@ -72,11 +72,13 @@ class PallasAttentionBackend:
                base=0, window=None, softcap=None):
         from minivllm_tpu.ops.pallas import decode_attention as kernel
 
-        if window is None and softcap is None and kernel.is_supported(
-            q, k_cache, self.block_size
-        ):
+        if kernel.is_supported(q, k_cache, self.block_size):
+            # window/softcap are in-kernel (sliding-window blocks are
+            # never fetched); softcap must be a static float.
             return kernel.decode_attention(
-                q, k_cache, v_cache, meta, scale, self.block_size, base
+                q, k_cache, v_cache, meta, scale, self.block_size, base,
+                window=window,
+                softcap=float(softcap) if softcap is not None else None,
             )
         return self._oracle.decode(
             q, k_cache, v_cache, meta, scale, base, window, softcap

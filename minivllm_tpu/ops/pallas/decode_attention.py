@@ -57,7 +57,7 @@ def _decode_kernel(
     # scalar prefetch
     block_tables_ref,  # (S*W,) int32 in SMEM
     ctx_lens_ref,      # (S,) int32 in SMEM
-    base_ref,          # (1,) int32 — flat-cache layer offset
+    base_ref,          # (2,) int32 — [flat-cache layer offset, window]
     # inputs
     q_ref,             # (1, h, d) VMEM — this sequence's queries
     k_hbm,             # (num_slots, kvh, d) ANY/HBM
@@ -78,10 +78,15 @@ def _decode_kernel(
     scale: float,
     max_blocks: int,
     quantized: bool,
+    softcap: float | None,
 ):
     s = pl.program_id(0)
     ctx_len = ctx_lens_ref[s]
     num_blocks = pl.cdiv(ctx_len, block_size)
+    # Sliding window (Gemma2): keys before ctx_len - window are invalid,
+    # so blocks wholly below the window start are never even fetched.
+    win_start = jnp.maximum(ctx_len - base_ref[1], 0)
+    first_block = win_start // block_size
     h = q_ref.shape[1]
     d = q_ref.shape[2]
     g = h // num_kv_heads
@@ -119,9 +124,9 @@ def _decode_kernel(
                 vs_hbm.at[pl.ds(0, 1)], vsbuf.at[slot], sems.at[slot, 3]
             ).wait()
 
-    @pl.when(num_blocks > 0)
+    @pl.when(num_blocks > first_block)
     def _():
-        start_fetch(0, 0)
+        start_fetch(first_block, first_block % 2)
 
     acc[...] = jnp.zeros_like(acc)
     m_i[...] = jnp.full_like(m_i, NEG_INF)
@@ -161,11 +166,15 @@ def _decode_kernel(
                 sc = sc * ks[kv : kv + 1, :block_size]  # (1, bs) broadcast
             score_rows.append(sc)
         scores = jnp.concatenate(score_rows, axis=0)  # (h, bs)
-        # mask context tail
+        if softcap is not None:
+            scores = softcap * jnp.tanh(scores / softcap)
+        # mask context tail and the sliding-window head
         pos = j * block_size + jax.lax.broadcasted_iota(
             jnp.int32, (h, block_size), 1
         )
-        scores = jnp.where(pos < ctx_len, scores, NEG_INF)
+        scores = jnp.where(
+            (pos < ctx_len) & (pos >= win_start), scores, NEG_INF
+        )
 
         m_prev = m_i[:, 0:1]
         m_new = jnp.maximum(m_prev, jnp.max(scores, axis=-1, keepdims=True))
@@ -187,7 +196,7 @@ def _decode_kernel(
         l_i[...] = jnp.broadcast_to(l_new, l_i.shape)
         return 0
 
-    jax.lax.fori_loop(0, num_blocks, body, 0)
+    jax.lax.fori_loop(first_block, num_blocks, body, 0)
     denom = jnp.maximum(l_i[:, 0:1], 1e-30)
     out = acc[...] / denom
     # Fully-masked rows (padding sequences) produce 0/eps -> 0; keep finite.
@@ -195,7 +204,8 @@ def _decode_kernel(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("scale", "block_size", "interpret")
+    jax.jit,
+    static_argnames=("scale", "block_size", "interpret", "softcap"),
 )
 def decode_attention(
     q: jnp.ndarray,
@@ -205,13 +215,20 @@ def decode_attention(
     scale: float,
     block_size: int,
     base=0,
+    window=None,
+    softcap: float | None = None,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Paged flash-decode. q (S, h, d) -> (S, h, d).
 
     k_cache/v_cache: plain (num_slots, kvh, d) arrays or QuantizedCache
     (int8 data + per-slot-per-head scales, dequantized in-kernel — the
-    north-star "dequant fused into the flash-decode" path)."""
+    north-star "dequant fused into the flash-decode" path).
+
+    `window` (may be a traced per-layer scalar — Gemma2's alternating
+    sliding/full layers) bounds attention to the last `window` keys;
+    out-of-window blocks are never fetched. `softcap` (static) applies
+    tanh score capping in-kernel."""
     S, h, d = q.shape
     k_data, k_scale, quantized = _cache_parts(k_cache)
     v_data, v_scale, _ = _cache_parts(v_cache)
@@ -229,6 +246,7 @@ def decode_attention(
         scale=scale,
         max_blocks=W,
         quantized=quantized,
+        softcap=softcap,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
@@ -263,7 +281,12 @@ def decode_attention(
     )(
         meta.block_tables.reshape(-1),
         meta.ctx_lens,
-        jnp.asarray(base, jnp.int32).reshape(1),
+        jnp.stack(
+            [
+                jnp.asarray(base, jnp.int32),
+                jnp.asarray(window if window is not None else 1 << 30, jnp.int32),
+            ]
+        ),
         q,
         k_data,
         v_data,

@@ -109,3 +109,44 @@ def test_quantized_is_supported():
     q = jnp.zeros((2, 4, 128))
     qc = make_quantized_cache(64, 2, 128, BS)
     assert pdec.is_supported(q, qc, BS)
+
+
+@pytest.mark.parametrize("window", [8, 24, 1 << 30])
+def test_sliding_window_matches_oracle(window):
+    """Gemma2 sliding-window path: out-of-window blocks are skipped by the
+    kernel; the oracle masks them. Both must agree for windows smaller
+    than, comparable to, and larger than the contexts."""
+    rng = np.random.default_rng(5)
+    q, kc, vc, meta = build_case(rng, [40, 7, 33], 2, 4, 128)
+    ref = decode_attention_xla(q, kc, vc, meta, 0.125, BS, window=window)
+    out = pdec.decode_attention(
+        q, kc, vc, meta, 0.125, BS, window=jnp.int32(window), interpret=True
+    )
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5
+    )
+
+
+def test_softcap_matches_oracle():
+    rng = np.random.default_rng(6)
+    q, kc, vc, meta = build_case(rng, [21, 48], 2, 4, 128)
+    ref = decode_attention_xla(q, kc, vc, meta, 0.125, BS, softcap=50.0)
+    out = pdec.decode_attention(
+        q, kc, vc, meta, 0.125, BS, softcap=50.0, interpret=True
+    )
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5
+    )
+
+
+def test_window_and_softcap_quantized():
+    rng = np.random.default_rng(7)
+    q, kc, vc, meta = build_case(rng, [40, 19], 2, 4, 128, quantized=True)
+    ref = decode_attention_xla(q, kc, vc, meta, 0.125, BS, window=16, softcap=30.0)
+    out = pdec.decode_attention(
+        q, kc, vc, meta, 0.125, BS,
+        window=jnp.int32(16), softcap=30.0, interpret=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), rtol=5e-2, atol=5e-2
+    )
