@@ -5,8 +5,9 @@ Functional counterpart of the reference's shared Qwen architecture
 pre-RMSNorm decoder with RoPE GQA attention and SwiGLU MLP. Qwen2 uses QKV
 bias; Qwen3 drops the bias and adds per-head q/k RMSNorm. Llama and
 Mistral are the same graph with neither bias nor q/k-norm (beyond
-reference parity; Mistral's sliding-window attention is full attention
-whenever the context fits in the window — see docs/compatibility.md).
+reference parity); Mistral's sliding-window attention is exact — the
+window masks in both backends and the Pallas kernels skip
+out-of-window KV blocks.
 
 TPU-first design: parameters are stacked over layers and the forward pass
 is one `lax.scan`; the paged KV cache (L, num_slots, kvh, hd) rides in the
@@ -60,12 +61,18 @@ class QwenForCausalLM:
         # Qwen2: QKV bias, no q/k norm. Qwen3: no bias, q/k per-head RMSNorm
         # (reference: qwen2.py:23-40, qwen3.py:23-40).
         model_type = getattr(c, "model_type", "qwen3")
+        # Uniform sliding-window attention (Mistral); None = full attention.
+        # Masked exactly in both attention backends; the Pallas kernels skip
+        # out-of-window KV blocks entirely.
+        self.attn_window = None
         if model_type == "qwen2":
             self.qkv_bias = True
             self.qk_norm = False
         elif model_type in ("llama", "mistral"):
             self.qkv_bias = bool(getattr(c, "attention_bias", False))
             self.qk_norm = False
+            if model_type == "mistral":
+                self.attn_window = getattr(c, "sliding_window", None)
         else:
             self.qkv_bias = bool(getattr(c, "attention_bias", False))
             self.qk_norm = True
@@ -270,8 +277,11 @@ class QwenForCausalLM:
         return rms_norm(x, w, self.rms_eps)
 
     def _attn_extras(self, lidx) -> dict:
-        """Per-layer attention kwargs hook (Gemma2 returns sliding-window /
-        softcap for the backend; lidx is the traced local layer index)."""
+        """Per-layer attention kwargs hook (Gemma2 overrides with its
+        alternating windows / softcap; lidx is the traced local layer
+        index)."""
+        if self.attn_window is not None:
+            return {"window": int(self.attn_window)}
         return {}
 
     def _residual_tail(self, lp: dict, x: jnp.ndarray, attn_out) -> jnp.ndarray:

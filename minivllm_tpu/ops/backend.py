@@ -41,11 +41,11 @@ class XlaAttentionBackend:
 
 
 class PallasAttentionBackend:
-    """Mosaic TPU flash kernels (paged decode / varlen prefill).
+    """Mosaic TPU flash kernels (paged decode / varlen prefill), both with
+    in-kernel sliding-window and score-softcap support (Gemma2, Mistral).
 
     Falls back to the XLA oracle per-phase when a kernel does not support
-    the configuration (including sliding-window / soft-capped attention,
-    Gemma2); selection happens at trace time (static).
+    the configuration; selection happens at trace time (static).
     """
 
     name = "pallas"
@@ -58,11 +58,11 @@ class PallasAttentionBackend:
                 base=0, window=None, softcap=None):
         from minivllm_tpu.ops.pallas import prefill_attention as kernel
 
-        if window is None and softcap is None and kernel.is_supported(
-            q, k_cache, self.block_size
-        ):
+        if kernel.is_supported(q, k_cache, self.block_size):
             return kernel.prefill_attention(
-                q, k_cache, v_cache, meta, scale, self.block_size, base
+                q, k_cache, v_cache, meta, scale, self.block_size, base,
+                window=window,
+                softcap=float(softcap) if softcap is not None else None,
             )
         return self._oracle.prefill(
             q, k_cache, v_cache, meta, scale, base, window, softcap

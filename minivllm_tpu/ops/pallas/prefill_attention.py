@@ -83,6 +83,7 @@ def _prefill_kernel(
     scale: float,
     max_blocks: int,
     quantized: bool,
+    softcap: float | None,
 ):
     t = pl.program_id(0)
     s = tile_seq_ref[t]
@@ -91,6 +92,7 @@ def _prefill_kernel(
     pos0 = tile_pos0_ref[t]
     rows = jnp.where(active, tile_rows_ref[t], 0)
     ctx_len = ctx_lens_ref[s]
+    window = base_ref[1]
     h = q_ref.shape[1]
     d = q_ref.shape[2]
     g = h // num_kv_heads
@@ -99,6 +101,9 @@ def _prefill_kernel(
     last_q_pos = pos0 + rows - 1
     kv_limit = jnp.minimum(ctx_len, last_q_pos + 1)
     num_blocks = jnp.where(active, pl.cdiv(kv_limit, bs), 0)
+    # Sliding-window bound: the tile's earliest query (pos0) sees nothing
+    # before pos0 - window + 1, so earlier blocks are never fetched.
+    first_block = jnp.maximum(pos0 - window + 1, 0) // bs
 
     def start_fetch(j, slot):
         blk = block_tables_ref[s * max_blocks + j]
@@ -133,9 +138,9 @@ def _prefill_kernel(
                 vs_hbm.at[pl.ds(0, 1)], vsbuf.at[slot], sems.at[slot, 3]
             ).wait()
 
-    @pl.when(num_blocks > 0)
+    @pl.when(num_blocks > first_block)
     def _():
-        start_fetch(0, 0)
+        start_fetch(first_block, first_block % 2)
 
     acc[...] = jnp.zeros_like(acc)
     m_i[...] = jnp.full_like(m_i, NEG_INF)
@@ -164,7 +169,11 @@ def _prefill_kernel(
             ks = ksbuf[slot][0]  # (kvh, lanes)
             vs = vsbuf[slot][0]
         k_pos = j * bs + jax.lax.broadcasted_iota(jnp.int32, (Q_TILE, bs), 1)
-        causal = (k_pos <= q_pos[:, None]) & (k_pos < ctx_len)  # (QT, bs)
+        causal = (
+            (k_pos <= q_pos[:, None])
+            & (k_pos < ctx_len)
+            & (k_pos > q_pos[:, None] - window)
+        )  # (QT, bs)
 
         score_rows = []
         for kv in range(num_kv_heads):
@@ -180,6 +189,8 @@ def _prefill_kernel(
                 sc = sc * ks[kv : kv + 1, :bs]       # (1, bs) broadcast
             score_rows.append(sc)
         scores = jnp.concatenate(score_rows, axis=0)  # (kvh*QT*g = h*QT, bs)
+        if softcap is not None:
+            scores = softcap * jnp.tanh(scores / softcap)
         # Row r within a kv-head block corresponds to q row (r // g): same
         # causal mask for every head in the group.
         mask = jnp.broadcast_to(
@@ -209,7 +220,7 @@ def _prefill_kernel(
         m_i[...] = jnp.broadcast_to(m_new, m_i.shape)
         return 0
 
-    jax.lax.fori_loop(0, num_blocks, body, 0)
+    jax.lax.fori_loop(first_block, num_blocks, body, 0)
     denom = jnp.maximum(l_i[:, 0:1], 1e-30)
     out = acc[...] / denom                            # (h*QT, d) kv-major rows
     # rows are ordered (kv, q_row, g); restore (QT, h, d)
@@ -218,7 +229,8 @@ def _prefill_kernel(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("scale", "block_size", "interpret")
+    jax.jit,
+    static_argnames=("scale", "block_size", "interpret", "softcap"),
 )
 def prefill_attention(
     q: jnp.ndarray,
@@ -228,12 +240,17 @@ def prefill_attention(
     scale: float,
     block_size: int,
     base=0,
+    window=None,
+    softcap: float | None = None,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Tile-aligned packed varlen prefill flash attention.
 
     Requires the runner's Q_TILE-aligned packing: meta.q_start (S,) row
     offsets, meta.q_lens (S,), plus positions/ctx_lens/block_tables.
+    `window` bounds attention to the trailing window per query (sliding-
+    window models; blocks wholly below a tile's window are not fetched);
+    `softcap` (static) applies tanh score capping in-kernel.
     """
     T, h, d = q.shape
     k_data, k_scale, quantized = _cache_parts(k_cache)
@@ -278,6 +295,7 @@ def prefill_attention(
         scale=scale,
         max_blocks=W,
         quantized=quantized,
+        softcap=softcap,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=6,
@@ -312,6 +330,11 @@ def prefill_attention(
     )(
         tile_seq, tile_pos0, tile_rows,
         meta.block_tables.reshape(-1), meta.ctx_lens,
-        jnp.asarray(base, jnp.int32).reshape(1),
+        jnp.stack(
+            [
+                jnp.asarray(base, jnp.int32),
+                jnp.asarray(window if window is not None else 1 << 30, jnp.int32),
+            ]
+        ),
         q, k_data, v_data, k_scale, v_scale,
     )

@@ -109,6 +109,12 @@ def test_prefill_parity_rope_scaled(model_type, scaling, tmp_path):
     )
 
 
+def test_prefill_parity_mistral_sliding_window(tmp_path):
+    """Mistral with a binding sliding window (8 < seq len) must match HF's
+    windowed attention exactly (reference treats Mistral as out of scope)."""
+    run_parity("mistral", tmp_path, sliding_window=8)
+
+
 @pytest.mark.parametrize("model_type", ["opt", "gpt2"])
 def test_decode_parity_non_rope(model_type, tmp_path):
     model, params, kc, vc, token_lists, block_tables, model_dir = run_parity(

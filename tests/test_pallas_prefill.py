@@ -135,3 +135,34 @@ def test_quantized_cache_matches_oracle():
     # engine consumes.
     valid = np.asarray(meta.q_seg) >= 0
     np.testing.assert_allclose(out[valid], ref[valid], atol=3e-5, rtol=3e-5)
+
+
+@pytest.mark.parametrize("window", [8, 40, 1 << 30])
+def test_sliding_window_matches_oracle(window):
+    """Sliding-window prefill (Gemma2/Mistral): blocks below each tile's
+    window are skipped by the kernel; the oracle masks them."""
+    rng = np.random.default_rng(8)
+    specs = [(90, 64), (33, 0)]  # prefix-cache hit + fresh, multi-block
+    q, kc, vc, meta = build_aligned_case(rng, specs, 2, 4, 128)
+    ref = np.asarray(
+        prefill_attention_xla(q, kc, vc, meta, 0.1, window=window)
+    )
+    out = np.asarray(
+        ppre.prefill_attention(
+            q, kc, vc, meta, 0.1, BS, window=jnp.int32(window), interpret=True
+        )
+    )
+    valid = np.asarray(meta.q_seg) >= 0
+    np.testing.assert_allclose(out[valid], ref[valid], rtol=2e-5, atol=2e-5)
+
+
+def test_softcap_matches_oracle():
+    rng = np.random.default_rng(9)
+    q, kc, vc, meta = build_aligned_case(rng, [(70, 0)], 2, 4, 128)
+    ref = np.asarray(prefill_attention_xla(q, kc, vc, meta, 0.1, softcap=50.0))
+    out = np.asarray(
+        ppre.prefill_attention(q, kc, vc, meta, 0.1, BS, softcap=50.0,
+                               interpret=True)
+    )
+    valid = np.asarray(meta.q_seg) >= 0
+    np.testing.assert_allclose(out[valid], ref[valid], rtol=2e-5, atol=2e-5)
