@@ -92,6 +92,11 @@ def main() -> None:
                    help="KV blocks (-1 = auto-size from free HBM)")
     p.add_argument("--temperature", type=float, default=0.7)
     p.add_argument("--passes", type=int, default=2)
+    p.add_argument(
+        "--cached", action="store_true",
+        help="reuse identical prompts across passes (measures fully "
+        "prefix-cached serving; default uses fresh prompts per pass)",
+    )
     args = p.parse_args()
 
     from transformers import AutoConfig
@@ -122,20 +127,31 @@ def main() -> None:
 
     rng = np.random.default_rng(0)
     vocab = llm.model_runner.model.vocab_size
-    prompts = [
-        list(rng.integers(1, vocab, size=args.prompt_len))
-        for _ in range(args.num_seqs)
+
+    def prompt_set():
+        return [
+            list(rng.integers(1, vocab, size=args.prompt_len))
+            for _ in range(args.num_seqs)
+        ]
+
+    # Fresh prompts per pass measure cold serving (real prefill each
+    # pass); --cached reuses one set, measuring fully prefix-cached
+    # serving (the runner turns the 1-remaining-token prefills into a
+    # decode step).
+    first = prompt_set()
+    sets = [
+        first if args.cached else prompt_set() for _ in range(args.passes)
     ]
     sp = SamplingParams(
         temperature=args.temperature, top_p=0.95,
         max_tokens=args.max_tokens, ignore_eos=True,
     )
 
-    llm.generate(prompts, sp, use_tqdm=False)  # warm compile buckets
+    llm.generate(first, sp, use_tqdm=False)  # warm compile buckets
     llm.metrics.reset()
     gen = 0
     t0 = time.perf_counter()
-    for _ in range(args.passes):
+    for prompts in sets:
         outs = llm.generate(prompts, sp, use_tqdm=False)
         gen += sum(len(o["token_ids"]) for o in outs)
     elapsed = time.perf_counter() - t0
@@ -148,7 +164,7 @@ def main() -> None:
             "num_seqs": args.num_seqs, "prompt_len": args.prompt_len,
             "max_tokens": args.max_tokens, "quant": args.quant,
             "kv_dtype": args.kv_dtype, "multi_step": args.multi_step,
-            "batched_tokens": args.batched_tokens,
+            "batched_tokens": args.batched_tokens, "cached": args.cached,
         },
         "decode_tokens_per_s": round(stats.get("decode_tokens_per_s", 0), 2),
         "decode_ms_per_token_p50": round(

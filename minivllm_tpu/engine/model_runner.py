@@ -672,6 +672,16 @@ class ModelRunner:
         if not seqs:
             return []
         S = len(seqs)
+        if is_prefill and all(
+            (seq.chunk_range or (seq.num_cached_tokens, len(seq)))
+            == (len(seq) - 1, len(seq))
+            for seq in seqs
+        ):
+            # Fully prefix-cached prompts leave exactly one token to
+            # compute (block_manager caps hits at len - 1): that is a
+            # decode step. The decode program computes S rows instead of
+            # the Q_TILE-aligned prefill packing's S * 64 padded rows.
+            is_prefill = False
         params_list = [seq.sampling_params for seq in seqs]
         with_penalties = any(sp.has_penalties for sp in params_list)
         typical = any(sp.typical_p < 1.0 for sp in params_list)

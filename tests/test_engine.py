@@ -69,6 +69,22 @@ def test_generate_batch_mixed_lengths(llm, tiny_qwen3):
         assert o["token_ids"] == hf_greedy(tiny_qwen3, p, 8)
 
 
+def test_fully_cached_prompt_reroutes_to_decode(llm, tiny_qwen3):
+    """Re-serving an identical prompt (every block a prefix-cache hit,
+    one token left to compute) runs as a decode step and still matches
+    greedy HF output exactly."""
+    rng = np.random.default_rng(3)
+    prompt = list(rng.integers(1, 190, 32))  # two full 16-token blocks
+    sp = SamplingParams(temperature=0.0, max_tokens=6, ignore_eos=True)
+    first = llm.generate([prompt], sp, use_tqdm=False)
+    prefill_before = llm.model_runner.total_prefill_tokens
+    again = llm.generate([prompt], sp, use_tqdm=False)
+    # the rerouted single-token step counts as decode work
+    assert llm.model_runner.total_prefill_tokens == prefill_before
+    assert again[0]["token_ids"] == first[0]["token_ids"]
+    assert first[0]["token_ids"] == hf_greedy(tiny_qwen3, prompt, 6)
+
+
 def test_generate_per_prompt_params(llm):
     prompts = [[1, 2, 3], [4, 5, 6, 7]]
     outs = llm.generate(
