@@ -157,6 +157,7 @@ class LLMEngine:
                     break
                 self.scheduler.postprocess(active, toks)
                 appended += len(active)
+            self.model_runner.total_decode_tokens += appended
         else:
             token_ids = self.model_runner.run(seqs, is_prefill)
             self.scheduler.postprocess(seqs, token_ids)
@@ -233,6 +234,11 @@ class LLMEngine:
             state = json.load(f)
         if state.get("version") != 1:
             raise ValueError(f"unsupported engine state version {state.get('version')}")
+        if state.get("model") != self.config.model:
+            raise ValueError(
+                f"engine state was saved for model {state.get('model')!r}, "
+                f"this engine serves {self.config.model!r}"
+            )
         seq_ids = []
         for req in state["requests"]:
             sp = SamplingParams(**req["sampling_params"])

@@ -111,11 +111,22 @@ class ModelRunner:
         )
         self.block_size = config.kvcache_block_size
         self.mesh = mesh
+
+        def axis(name: str, cfg_size: int) -> int:
+            return mesh.shape.get(name, 1) if mesh is not None else cfg_size
+
         backend_name = "pallas" if config.use_pallas_attention else "xla"
-        if config.pipeline_parallel_size > 1 and backend_name == "pallas":
-            # Pipeline stages run inside a shard_map; keep the portable
-            # XLA attention path there (Pallas kernels assume the full
-            # unsharded cache layout).
+        if backend_name == "pallas" and (
+            axis("pp", config.pipeline_parallel_size) > 1
+            or axis("dp", config.data_parallel_size) > 1
+            or axis("sp", config.sequence_parallel_size) > 1
+        ):
+            # pp stages run inside a shard_map and dp/sp shard the batch
+            # axes; the Pallas kernels have no SPMD partitioning rule and
+            # assume the full unsharded cache/batch layout — keep the
+            # portable XLA attention path on those meshes (tp/ep shard
+            # only weights/experts and compose with the kernels fine).
+            logger.info("pp/dp/sp mesh axes active: using XLA attention")
             backend_name = "xla"
         self.attn_backend = make_backend(backend_name, self.block_size)
         self.model = create_model(config.hf_config, self.dtype, self.attn_backend)
@@ -765,7 +776,9 @@ class ModelRunner:
         )
         out = np.asarray(all_toks[:, :S])
         self.inference_count += 1
-        self.total_decode_tokens += num_steps * S
+        # The engine adds the tokens it actually appends to
+        # total_decode_tokens — the adaptive window may overshoot a
+        # sequence's max_tokens, and those surplus iterations are discarded.
         return [row.tolist() for row in out]
 
     def warmup(self) -> None:

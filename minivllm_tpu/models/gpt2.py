@@ -193,7 +193,8 @@ class GPT2ForCausalLM:
         )
 
     def run_layers(
-        self, layer_params, x, batch, k_cache, v_cache, aux, *, is_prefill: bool
+        self, layer_params, x, batch, k_cache, v_cache, aux, *,
+        is_prefill: bool, layer_offset=0,
     ):
         H, hd = self.num_heads, self.head_dim
         eps = self.layer_norm_eps

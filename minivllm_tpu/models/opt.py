@@ -196,7 +196,8 @@ class OPTForCausalLM:
         return x
 
     def run_layers(
-        self, layer_params, x, batch, k_cache, v_cache, aux, *, is_prefill: bool
+        self, layer_params, x, batch, k_cache, v_cache, aux, *,
+        is_prefill: bool, layer_offset=0,
     ):
         H, hd = self.num_heads, self.head_dim
         backend = self.attn_backend

@@ -328,12 +328,16 @@ class QwenForCausalLM:
         aux,
         *,
         is_prefill: bool,
+        layer_offset=0,
     ):
         """Scan the decoder layers stacked in `layer_params` over x.
 
         Works on any leading-stacked subset of layers: the caches are the
         (possibly pipeline-stage-local) flat slot arrays covering exactly
         those layers, so the per-layer base offset is local_index * stride.
+        `layer_offset` is the subset's global first-layer index (traced
+        under pipeline parallelism) for hooks keyed on the global layer,
+        e.g. Gemma2's alternating sliding windows.
         """
         H, KV, hd = self.num_heads, self.num_kv_heads, self.head_dim
         backend = self.attn_backend
@@ -366,7 +370,7 @@ class QwenForCausalLM:
             slots = base + batch.slot_mapping
             k_cache = cache_write(k_cache, slots, k)
             v_cache = cache_write(v_cache, slots, v)
-            extras = self._attn_extras(lidx)
+            extras = self._attn_extras(layer_offset + lidx)
             if is_prefill:
                 attn = backend.prefill(
                     q, k_cache, v_cache, batch, self.scale, base, **extras

@@ -89,7 +89,9 @@ def compute_cos_sin(
         def band(beta):
             return (half * np.log(orig / (beta * 2 * np.pi))) / np.log(base)
         lo = max(np.floor(band(beta_fast)), 0.0)
-        hi = min(np.ceil(band(beta_slow)), half - 1)
+        # transformers clamps to head_dim - 1 (not half - 1): a band edge
+        # past half just means the ramp never saturates within the table.
+        hi = min(np.ceil(band(beta_slow)), head_dim - 1)
         ramp = np.clip(
             (np.arange(half, dtype=np.float64) - lo) / max(hi - lo, 1e-3),
             0.0,

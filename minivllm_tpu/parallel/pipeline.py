@@ -85,6 +85,7 @@ def pipeline_forward(
     """Drop-in replacement for model.forward on a mesh with pp > 1."""
     ppn = mesh.shape["pp"]
     M = num_microbatches or ppn
+    n_local = model.num_layers // ppn
     x, aux = model.pre_layers(params, batch)
     N = x.shape[0]
     if N % M:
@@ -113,7 +114,11 @@ def pipeline_forward(
             inp = jnp.where(idx == 0, xs[mbc], recv)
             aux_t = jax.tree.map(lambda a: a[mbc], aux_mb)
             y, k_loc, v_loc = model.run_layers(
-                layers, inp, meta, k_loc, v_loc, aux_t, is_prefill=is_prefill
+                layers, inp, meta, k_loc, v_loc, aux_t,
+                is_prefill=is_prefill,
+                # global index of this stage's first layer, for hooks keyed
+                # on the global layer (Gemma2 sliding/full alternation)
+                layer_offset=idx * n_local,
             )
             store = valid & (idx == ppn - 1)
             out = out.at[mbc].set(jnp.where(store, y, out[mbc]))

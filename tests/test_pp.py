@@ -84,3 +84,16 @@ def test_pp_requires_divisible_layers(ckpt):
     )
     with pytest.raises(ValueError, match="not divisible"):
         ModelRunner(cfg, mesh=make_mesh(1, pp_size=8))
+
+
+def test_pp_gemma2_alternating_windows(tmp_path):
+    """Gemma2's sliding/full alternation is keyed on the GLOBAL layer
+    index: with one layer per stage, stage 1 must see the full-attention
+    window of global layer 1, not stage-local layer 0's sliding window."""
+    ckpt = make_tiny_checkpoint(
+        "gemma2", tmp_path / "g2",
+        num_attention_heads=8, num_key_value_heads=8, head_dim=16,
+        hidden_size=64, sliding_window=8,
+    )
+    ref = run_tokens(ckpt)
+    assert run_tokens(ckpt, pp=2) == ref

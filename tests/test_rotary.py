@@ -151,3 +151,21 @@ def test_yarn_scaling_matches_transformers():
     np.testing.assert_allclose(
         np.arctan2(s, c), inv_freq, rtol=1e-5, atol=1e-7
     )
+
+
+def test_yarn_correction_clamp_matches_transformers():
+    """The correction-range upper clamp is head_dim - 1 (not half - 1):
+    binding case where the slow-beta band edge lands past half."""
+    scaling = {
+        "rope_type": "yarn", "factor": 8.0,
+        "original_max_position_embeddings": 65536,
+    }
+    inv_freq, attn = _hf_inv_freq("yarn", scaling, THETA, HEAD_DIM, 262144)
+    cos, sin = compute_cos_sin(
+        jnp.asarray([1]), HEAD_DIM, THETA, "yarn", 8.0, 262144, scaling
+    )
+    c, s = np.asarray(cos)[0], np.asarray(sin)[0]
+    np.testing.assert_allclose(np.hypot(c, s), attn, rtol=1e-5)
+    np.testing.assert_allclose(
+        np.arctan2(s, c), inv_freq, rtol=1e-5, atol=1e-7
+    )
