@@ -103,10 +103,11 @@ class LLMEngine:
         self.scheduler.add(seq)
         return seq.seq_id
 
-    def step(self) -> tuple[list[tuple[int, list[int]]], int]:
+    def step(self) -> tuple[list[tuple[int, list[int], list | None]], int]:
         """One engine step. Returns (finished outputs, ±token count):
-        positive counts are prefill tokens, negative decode tokens
-        (reference convention, llm_engine.py:203-251)."""
+        finished entries are (seq_id, completion token ids, logprob entries
+        or None); positive counts are prefill tokens, negative decode
+        tokens (reference convention, llm_engine.py:203-251)."""
         t0 = perf_counter()
         seqs, is_prefill = self.scheduler.schedule()
         if is_prefill:
@@ -129,7 +130,9 @@ class LLMEngine:
         # table.
         K = 1
         if not is_prefill and seqs and not any(
-            s.sampling_params.has_penalties for s in seqs
+            s.sampling_params.has_penalties
+            or s.sampling_params.logprobs is not None
+            for s in seqs
         ):
             rem = max(
                 1,
@@ -160,7 +163,9 @@ class LLMEngine:
             self.model_runner.total_decode_tokens += appended
         else:
             token_ids = self.model_runner.run(seqs, is_prefill)
-            self.scheduler.postprocess(seqs, token_ids)
+            self.scheduler.postprocess(
+                seqs, token_ids, self.model_runner.last_logprobs
+            )
             appended = len(seqs)
         now = perf_counter()
         if is_prefill:
@@ -173,7 +178,11 @@ class LLMEngine:
             n = appended
         self.metrics.record("prefill" if is_prefill else "decode", n, now - t0)
         outputs = [
-            (seq.seq_id, seq.completion_token_ids)
+            (
+                seq.seq_id,
+                seq.completion_token_ids,
+                seq.logprobs if seq.sampling_params.logprobs is not None else None,
+            )
             for seq in seqs
             if seq.is_finished
         ]
@@ -296,6 +305,7 @@ class LLMEngine:
             id_order.append(self.add_request(prompt, sp))
 
         outputs: dict[int, list[int]] = {}
+        logprob_map: dict[int, list | None] = {}
         prefill_tp = decode_tp = 0.0
         while not self.is_finished():
             t = perf_counter()
@@ -312,8 +322,9 @@ class LLMEngine:
                         "Decode": f"{int(decode_tp)} tok/s",
                     }
                 )
-            for seq_id, token_ids in finished:
+            for seq_id, token_ids, logprobs in finished:
                 outputs[seq_id] = token_ids
+                logprob_map[seq_id] = logprobs
                 if pbar is not None:
                     pbar.update(1)
         if pbar is not None:
@@ -326,6 +337,11 @@ class LLMEngine:
             )
         else:
             texts = ["" for _ in ordered]
-        return [
-            {"text": t, "token_ids": ids} for t, ids in zip(texts, ordered)
-        ]
+        results = []
+        for i, (t, ids) in enumerate(zip(texts, ordered)):
+            out: dict[str, Any] = {"text": t, "token_ids": ids}
+            lp = logprob_map.get(id_order[i])
+            if lp is not None:
+                out["logprobs"] = lp
+            results.append(out)
+        return results

@@ -34,7 +34,12 @@ from minivllm_tpu.engine.sequence import Sequence
 from minivllm_tpu.models.registry import create_model
 from minivllm_tpu.ops.attention import DecodeBatch, PrefillBatch
 from minivllm_tpu.ops.backend import make_backend
-from minivllm_tpu.sampling.ops import SamplingState, make_state, sample_tokens
+from minivllm_tpu.sampling.ops import (
+    SamplingState,
+    make_state,
+    sample_tokens,
+    token_logprobs,
+)
 from minivllm_tpu.utils.loader import load_model_params, resolve_model_dir
 
 logger = logging.getLogger(__name__)
@@ -244,6 +249,9 @@ class ModelRunner:
         # Speculative pipeline state (see _maybe_speculate).
         self._spec = None
         self.spec_hits = 0
+        # Per-seq (chosen_lp, top_ids, top_lps) of the last run() batch
+        # when any sequence requested logprobs, else None.
+        self.last_logprobs = None
 
     def _init_random_quantized(self, fmt: str = "int8") -> dict:
         """Random parameters with quant-plan kernels generated as int8/fp8 +
@@ -355,8 +363,8 @@ class ModelRunner:
         )
 
     def _prefill_step(
-        self, with_filters, typical, params, k_cache, v_cache, packed_t,
-        packed_c, packed_s, tables, state, key, hist=None,
+        self, with_filters, typical, lp_k, params, k_cache, v_cache,
+        packed_t, packed_c, packed_s, tables, state, key, hist=None,
     ):
         from minivllm_tpu.parallel.sharding import shard_batch
 
@@ -389,11 +397,12 @@ class ModelRunner:
             with_filters=with_filters,
             typical_active=typical,
         )
-        return toks, k_cache, v_cache
+        lp = None if lp_k is None else token_logprobs(logits, toks, lp_k)
+        return toks, lp, k_cache, v_cache
 
     def _decode_step(
-        self, with_filters, typical, params, k_cache, v_cache, packed, tables,
-        state, key, prev_toks=None, hist=None,
+        self, with_filters, typical, lp_k, params, k_cache, v_cache, packed,
+        tables, state, key, prev_toks=None, hist=None,
     ):
         from minivllm_tpu.parallel.sharding import shard_batch
 
@@ -419,7 +428,8 @@ class ModelRunner:
             out_tokens=None if hist is None else hist[1],
             with_filters=with_filters,
         )
-        return toks, k_cache, v_cache
+        lp = None if lp_k is None else token_logprobs(logits, toks, lp_k)
+        return toks, lp, k_cache, v_cache
 
     def _decode_multi_step(
         self, with_filters, typical, num_steps, params, k_cache, v_cache,
@@ -467,14 +477,14 @@ class ModelRunner:
 
     def _get_step_fn(
         self, phase: str, with_filters: bool, num_steps: int = 1,
-        typical: bool = False,
+        typical: bool = False, lp_k: int | None = None,
     ):
-        cache_key = (phase, with_filters, num_steps, typical)
+        cache_key = (phase, with_filters, num_steps, typical, lp_k)
         fn = self._compiled.get(cache_key)
         if fn is None:
             if phase == "prefill":
                 fn = jax.jit(
-                    partial(self._prefill_step, with_filters, typical),
+                    partial(self._prefill_step, with_filters, typical, lp_k),
                     donate_argnums=(1, 2),
                 )
             elif num_steps > 1:
@@ -485,7 +495,7 @@ class ModelRunner:
                 )
             else:
                 fn = jax.jit(
-                    partial(self._decode_step, with_filters, typical),
+                    partial(self._decode_step, with_filters, typical, lp_k),
                     donate_argnums=(1, 2),
                 )
             self._compiled[cache_key] = fn
@@ -546,7 +556,7 @@ class ModelRunner:
         key = jax.random.fold_in(self._base_key, self._step_counter)
         self._step_counter += 1
         fn = self._get_step_fn("decode", with_filters, typical=typical)
-        toks, self.k_cache, self.v_cache = fn(
+        toks, _, self.k_cache, self.v_cache = fn(
             self.params, self.k_cache, self.v_cache,
             jnp.asarray(packed), jnp.asarray(tables), state, key, toks_dev,
         )
@@ -703,15 +713,25 @@ class ModelRunner:
             or sp.avoid_top_k > 0
             for sp in params_list
         )
+        # Logprobs: compute at the batch's max top-k; per-sequence trimming
+        # happens at postprocess time.
+        lp_k = (
+            max(sp.logprobs or 0 for sp in params_list)
+            if any(sp.logprobs is not None for sp in params_list)
+            else None
+        )
+        lp = None
         if is_prefill:
             self._spec = None
             packed_t, packed_c, packed_s, tables, S_pad = self._prepare_prefill(seqs)
-            fn = self._get_step_fn("prefill", with_filters, typical=typical)
+            fn = self._get_step_fn(
+                "prefill", with_filters, typical=typical, lp_k=lp_k
+            )
             state = self._get_state(params_list, S_pad)
             hist = self._build_hist(seqs, S_pad) if with_penalties else None
             key = jax.random.fold_in(self._base_key, self._step_counter)
             self._step_counter += 1
-            toks, self.k_cache, self.v_cache = fn(
+            toks, lp, self.k_cache, self.v_cache = fn(
                 self.params, self.k_cache, self.v_cache,
                 packed_t, packed_c, packed_s, tables, state, key, hist=hist,
             )
@@ -721,25 +741,40 @@ class ModelRunner:
             sig = self._decode_signature(seqs, S_pad, W)
             spec = self._spec
             self._spec = None
-            if spec is not None and spec["sig"] == sig:
+            if spec is not None and spec["sig"] == sig and lp_k is None:
                 toks = spec["toks"]
                 self.spec_hits += 1
             else:
-                fn = self._get_step_fn("decode", with_filters, typical=typical)
+                fn = self._get_step_fn(
+                    "decode", with_filters, typical=typical, lp_k=lp_k
+                )
                 state = self._get_state(params_list, S_pad)
                 hist = self._build_hist(seqs, S_pad) if with_penalties else None
                 key = jax.random.fold_in(self._base_key, self._step_counter)
                 self._step_counter += 1
-                toks, self.k_cache, self.v_cache = fn(
+                toks, lp, self.k_cache, self.v_cache = fn(
                     self.params, self.k_cache, self.v_cache,
                     packed, tables, state, key, hist=hist,
                 )
             # Dispatch the likely next step before fetching this one's
             # tokens, so the D2H overlaps its compute. Penalty histories
             # grow with the (still unfetched) sampled token, so speculation
-            # is disabled when penalties are active.
-            if not with_penalties:
+            # is disabled when penalties are active; logprob requests skip
+            # it too (the speculative step has no logprob outputs).
+            if not with_penalties and lp_k is None:
                 self._maybe_speculate(seqs, toks, with_filters, typical, S_pad, W)
+        if lp is not None:
+            chosen, top_ids, top_lps = (np.asarray(x) for x in lp)
+            self.last_logprobs = [
+                (
+                    float(chosen[i]),
+                    top_ids[i].tolist(),
+                    top_lps[i].tolist(),
+                )
+                for i in range(S)
+            ]
+        else:
+            self.last_logprobs = None
         out = np.asarray(toks[:S]).tolist()
         self.inference_count += 1
         if is_prefill:
@@ -766,6 +801,7 @@ class ModelRunner:
             for sp in params_list
         )
         self._spec = None
+        self.last_logprobs = None
         packed, tables, S_pad = self._prepare_decode(seqs)
         fn = self._get_step_fn("decode", with_filters, num_steps, typical)
         state = self._get_state(params_list, S_pad)

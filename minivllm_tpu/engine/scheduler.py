@@ -145,8 +145,17 @@ class Scheduler:
 
     # -- postprocess ---------------------------------------------------------
 
-    def postprocess(self, seqs: list[Sequence], token_ids: list[int]) -> None:
+    def postprocess(
+        self,
+        seqs: list[Sequence],
+        token_ids: list[int],
+        logprobs: list | None = None,
+    ) -> None:
         """Append sampled tokens; finish on EOS / max_tokens / model length.
+
+        `logprobs`, when given, is the runner's per-seq
+        (chosen_lp, top_ids, top_lps) list; entries are recorded on
+        sequences that requested them, trimmed to their own top-k.
 
         Note: `may_append` for decode steps runs in schedule() *before* the
         token exists; the appended token here lands in the slot reserved
@@ -155,11 +164,24 @@ class Scheduler:
         """
         if len(seqs) != len(token_ids):
             raise ValueError(f"{len(seqs)} seqs vs {len(token_ids)} tokens")
-        for seq, token_id in zip(seqs, token_ids):
+        for i, (seq, token_id) in enumerate(zip(seqs, token_ids)):
             seq.chunk_range = None
             if seq.num_computed_tokens < len(seq):
                 continue  # mid-prompt chunk: its sampled token is discarded
             seq.append_token(token_id)
+            if logprobs is not None and seq.sampling_params.logprobs is not None:
+                chosen, top_ids, top_lps = logprobs[i]
+                k = seq.sampling_params.logprobs
+                seq.logprobs.append(
+                    {
+                        "token_id": token_id,
+                        "logprob": chosen,
+                        "top": {
+                            int(t): float(l)
+                            for t, l in zip(top_ids[:k], top_lps[:k])
+                        },
+                    }
+                )
             seq.num_computed_tokens = len(seq)
             self.block_manager.on_token_appended(seq)
             sp = seq.sampling_params

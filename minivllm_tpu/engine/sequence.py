@@ -57,6 +57,9 @@ class Sequence:
         self.block_table: list[int] = []
         # Steps this sequence was preempted (for observability).
         self.num_preemptions: int = 0
+        # Per-completion-token logprob entries (only when
+        # sampling_params.logprobs is set): {"token_id", "logprob", "top"}.
+        self.logprobs: list[dict] = []
         # Set by the engine at add_request time; used for TTFT metrics.
         self.arrival_time: float | None = None
 

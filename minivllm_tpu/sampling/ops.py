@@ -21,7 +21,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-__all__ = ["SamplingState", "sample_tokens", "make_state"]
+__all__ = ["SamplingState", "sample_tokens", "make_state", "token_logprobs"]
 
 NEG_INF = float(jnp.finfo(jnp.float32).min)
 
@@ -218,3 +218,18 @@ def sample_tokens(
     return jnp.where(
         state.temperature > 0, sampled.astype(jnp.int32), greedy_tok
     )
+
+
+def token_logprobs(logits: jnp.ndarray, toks: jnp.ndarray, k: int):
+    """Logprobs of the sampled tokens under the UNFILTERED distribution
+    (OpenAI semantics; filters affect which token is drawn, not the
+    reported probabilities). logits (S, V) fp32, toks (S,) ->
+    (chosen (S,), top_ids (S, k), top_lps (S, k)); k may be 0.
+    """
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    chosen = jnp.take_along_axis(logp, toks[:, None].astype(jnp.int32), axis=1)[:, 0]
+    if k > 0:
+        top_lp, top_id = jax.lax.top_k(logp, k)
+        return chosen, top_id.astype(jnp.int32), top_lp
+    S = logits.shape[0]
+    return chosen, jnp.zeros((S, 0), jnp.int32), jnp.zeros((S, 0), jnp.float32)

@@ -36,6 +36,11 @@ class SamplingParams:
     presence_penalty: float = 0.0
     avoid_top_k: int = 0
     seed: int | None = None
+    # Return per-completion-token logprobs (of the unfiltered
+    # distribution, OpenAI semantics): None = off, N >= 0 additionally
+    # returns the top-N alternative tokens' logprobs. Beyond the
+    # reference, which returns token ids only.
+    logprobs: int | None = None
 
     def __post_init__(self) -> None:
         if self.temperature < 0:
@@ -57,6 +62,10 @@ class SamplingParams:
         if self.avoid_top_k < 0:
             raise ValueError(
                 f"avoid_top_k must be non-negative, got {self.avoid_top_k}"
+            )
+        if self.logprobs is not None and not 0 <= self.logprobs <= 20:
+            raise ValueError(
+                f"logprobs must be None or in [0, 20], got {self.logprobs}"
             )
 
     @property

@@ -56,6 +56,7 @@ class _Request:
         self.chunks: queue.Queue = queue.Queue()
         self.emitted = 0  # completion tokens already pushed to chunks
         self.error: Exception | None = None
+        self.logprobs: list | None = None  # set at finish when requested
 
 
 _DONE = object()
@@ -162,10 +163,11 @@ class AsyncEngine:
                 self._live.clear()
                 continue
             self._flush_progress()
-            for seq_id, token_ids in finished:
+            for seq_id, token_ids, logprobs in finished:
                 req = self._live.pop(seq_id, None)
                 if req is None:
                     continue
+                req.logprobs = logprobs
                 tail = token_ids[req.emitted :]
                 if tail:
                     req.chunks.put(tail)
@@ -189,6 +191,9 @@ def _sampling_params(body: dict, config: Config) -> SamplingParams:
         repetition_penalty=float(body.get("repetition_penalty", 1.0)),
         seed=body.get("seed"),
         ignore_eos=bool(body.get("ignore_eos", False)),
+        logprobs=(
+            int(body["logprobs"]) if body.get("logprobs") is not None else None
+        ),
     )
 
 
@@ -309,6 +314,22 @@ def create_server(
                 choice["message"] = {"role": "assistant", "content": text}
             else:
                 choice["text"] = text
+            if req.logprobs is not None:
+                # OpenAI completions logprobs shape; tokens rendered by id
+                # when no tokenizer is available.
+                def tok_str(tid: int) -> str:
+                    return (
+                        tokenizer.decode([tid]) if tokenizer else str(tid)
+                    )
+
+                choice["logprobs"] = {
+                    "tokens": [tok_str(e["token_id"]) for e in req.logprobs],
+                    "token_logprobs": [e["logprob"] for e in req.logprobs],
+                    "top_logprobs": [
+                        {tok_str(t): lp for t, lp in e["top"].items()}
+                        for e in req.logprobs
+                    ],
+                }
             n_prompt = len(prompt) if isinstance(prompt, list) else (
                 len(tokenizer.encode(prompt)) if tokenizer else 0
             )

@@ -147,3 +147,18 @@ def test_truncate_at_stop():
     assert _truncate_at_stop("abc def", ["def"]) == ("abc ", True)
     assert _truncate_at_stop("abc def", ["zz"]) == ("abc def", False)
     assert _truncate_at_stop("abcdef", ["cd", "ef"]) == ("ab", True)
+
+
+def test_completions_logprobs(served):
+    base, _ = served
+    code, r = post(base, "/v1/completions", {
+        "prompt": "hello world", "max_tokens": 4, "temperature": 0.0,
+        "logprobs": 2,
+    })
+    assert code == 200, r
+    lp = r["choices"][0]["logprobs"]
+    assert len(lp["tokens"]) == len(lp["token_logprobs"]) == 4
+    assert all(isinstance(v, float) and v <= 0.0 for v in lp["token_logprobs"])
+    # distinct ids may decode to the same string and merge (OpenAI's
+    # string-keyed format), so up to 2 entries
+    assert all(1 <= len(d) <= 2 for d in lp["top_logprobs"])
