@@ -18,6 +18,7 @@ EXAMPLES = {
     "prefix": "prefix_caching_example.py",
     "quant": "quantization_example.py",
     "server": "server_example.py",
+    "streaming": "streaming_logprobs_example.py",
     "check": "check_tpu.py",
 }
 

@@ -278,6 +278,29 @@ class LLMEngine:
         }
         return stats
 
+    def stream(
+        self,
+        prompt: str | list[int],
+        sampling_params: SamplingParams | None = None,
+    ):
+        """Yield completion token-id chunks for one request as engine steps
+        produce them (library-level streaming; beyond the reference, which
+        only returns finished completions). Drives the engine loop itself —
+        for concurrent streaming across requests use the HTTP server's
+        AsyncEngine, which owns the loop in a thread."""
+        seq_id = self.add_request(prompt, sampling_params)
+        seq = self.scheduler.waiting[-1]
+        assert seq.seq_id == seq_id
+        emitted = 0
+        while True:
+            self.step()
+            new = seq.completion_token_ids[emitted:]
+            if new:
+                emitted += len(new)
+                yield new
+            if seq.is_finished:
+                return
+
     def generate(
         self,
         prompts: list[str] | list[list[int]],

@@ -116,3 +116,16 @@ def test_exit_idempotent(tmp_path):
     ))
     llm.exit()
     llm.exit()  # second call is a no-op (reference: llm_engine.py:116-169)
+
+
+def test_stream_matches_generate(llm):
+    """Library-level streaming yields the same greedy tokens, in order,
+    as a blocking generate() of the same prompt."""
+    prompt = [9, 4, 22, 8]
+    sp = SamplingParams(temperature=0.0, max_tokens=7, ignore_eos=True)
+    want = llm.generate([prompt], sp, use_tqdm=False)[0]["token_ids"]
+    got = []
+    for chunk in llm.stream(prompt, sp):
+        assert chunk  # never yields empty chunks
+        got.extend(chunk)
+    assert got == want
