@@ -1,0 +1,116 @@
+"""Kernel microbenchmarks: Pallas paged flash-decode / varlen prefill
+attention vs the HBM roofline.
+
+Decode attention is bandwidth-bound: the kernel must stream each
+sequence's KV blocks once, so its ceiling is (KV bytes) / (HBM GB/s).
+This harness times the raw kernels at serving shapes and reports achieved
+bytes/s and the roofline fraction (v5e HBM ~ 819 GB/s).
+
+    python bench_kernels.py                 # decode + prefill sweeps
+    python bench_kernels.py --kv-dtype int8
+
+Relay note: results are fetched (np.asarray) every iteration — relay
+timing lies otherwise (CLAUDE.md).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+V5E_HBM_GBS = 819.0
+
+
+def bench_decode(S, ctx, kvh, h, d, bs, dtype_name, iters=20):
+    import jax
+    import jax.numpy as jnp
+
+    from minivllm_tpu.ops.attention import (
+        DecodeBatch,
+        make_quantized_cache,
+        store_kv,
+    )
+    from minivllm_tpu.ops.pallas import decode_attention as pdec
+
+    quantized = dtype_name == "int8"
+    dtype = jnp.bfloat16
+    W = -(-ctx // bs)
+    num_blocks = S * W
+    slots_total = (num_blocks + 1) * bs
+    if quantized:
+        kc = make_quantized_cache(slots_total, kvh, d, bs)
+        vc = make_quantized_cache(slots_total, kvh, d, bs)
+    else:
+        kc = jnp.zeros((slots_total, kvh, d), dtype)
+        vc = jnp.zeros_like(kc)
+    rng = np.random.default_rng(0)
+    tables = np.arange(S * W, dtype=np.int32).reshape(S, W)
+    # fill every sequence's context
+    for s in range(S):
+        slots = (tables[s][:, None] * bs + np.arange(bs)[None, :]).reshape(-1)[:ctx]
+        k = jnp.asarray(rng.standard_normal((ctx, kvh, d)), dtype)
+        v = jnp.asarray(rng.standard_normal((ctx, kvh, d)), dtype)
+        kc, vc = store_kv(kc, vc, k, v, jnp.asarray(slots))
+    q = jnp.asarray(rng.standard_normal((S, h, d)), dtype)
+    meta = DecodeBatch(
+        input_ids=jnp.zeros(S, jnp.int32),
+        positions=jnp.full((S,), ctx - 1, jnp.int32),
+        slot_mapping=jnp.zeros(S, jnp.int32),
+        block_tables=jnp.asarray(tables),
+        ctx_lens=jnp.full((S,), ctx, jnp.int32),
+    )
+    scale = d**-0.5
+
+    # Chain `iters` kernel invocations inside ONE jitted program (each
+    # output feeds the next query, a true data dependency) and fetch one
+    # scalar — the per-dispatch relay round trip amortizes away and the
+    # measured time is device time.
+    @jax.jit
+    def run_chained(q, kc, vc, meta):
+        def body(q, _):
+            o = pdec.decode_attention(q, kc, vc, meta, scale, bs)
+            return o.astype(q.dtype), None
+
+        out, _ = jax.lax.scan(body, q, None, length=iters)
+        return out[0, 0, :1]
+
+    np.asarray(run_chained(q, kc, vc, meta))  # compile
+    t0 = time.perf_counter()
+    np.asarray(run_chained(q, kc, vc, meta))
+    dt = (time.perf_counter() - t0) / iters
+    itemsize = 1 if quantized else 2
+    kv_bytes = 2 * S * ctx * kvh * d * itemsize
+    if quantized:
+        kv_bytes += 2 * S * W * kvh * 128 * 4  # scale slabs
+    gbs = kv_bytes / dt / 1e9
+    return {
+        "kernel": "decode",
+        "S": S, "ctx": ctx, "kvh": kvh, "h": h, "d": d,
+        "kv_dtype": dtype_name,
+        "ms": round(dt * 1e3, 3),
+        "kv_gb_per_s": round(gbs, 1),
+        "roofline_frac": round(gbs / V5E_HBM_GBS, 3),
+    }
+
+
+def main() -> None:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--kv-dtype", choices=["bf16", "int8"], default="bf16")
+    p.add_argument("--iters", type=int, default=20)
+    args = p.parse_args()
+
+    # Qwen3-0.6B / Qwen2-7B GQA decode shapes at serving concurrency.
+    for S, ctx, kvh, h, d in [
+        (64, 1024, 8, 16, 128),
+        (256, 1024, 4, 28, 128),
+        (256, 4096, 4, 28, 128),
+    ]:
+        out = bench_decode(S, ctx, kvh, h, d, 64, args.kv_dtype, args.iters)
+        print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -33,6 +33,16 @@ from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = float(jnp.finfo(jnp.float32).min)
 
+# KV streaming shape: each pipeline slot holds a super-block of MBLK
+# cache blocks (MBLK gather-DMAs per slot, one compute pass over
+# MBLK*block_size keys). Per-block compute is tiny, so iterating single
+# blocks is instruction-issue bound (~20% of HBM roofline measured on
+# v5e); wider compute passes amortize the issue overhead while NBUF slots
+# keep 2*MBLK fetches in flight. VMEM cost: NBUF * MBLK * block_size *
+# kvh * d for each of the two caches.
+NBUF = 2
+MBLK = 4
+
 
 def _cache_parts(cache):
     """(data, scale, quantized) for a plain array or QuantizedCache."""
@@ -84,93 +94,126 @@ def _decode_kernel(
     ctx_len = ctx_lens_ref[s]
     num_blocks = pl.cdiv(ctx_len, block_size)
     # Sliding window (Gemma2): keys before ctx_len - window are invalid,
-    # so blocks wholly below the window start are never even fetched.
+    # so super-blocks wholly below the window start are never even fetched.
     win_start = jnp.maximum(ctx_len - base_ref[1], 0)
-    first_block = win_start // block_size
+    first_super = (win_start // block_size) // MBLK
+    num_super = pl.cdiv(num_blocks, MBLK)
     h = q_ref.shape[1]
     d = q_ref.shape[2]
     g = h // num_kv_heads
+    span = MBLK * block_size  # keys per compute pass
 
-    def start_fetch(j, slot):
-        blk = block_tables_ref[s * max_blocks + j]
-        off = base_ref[0] + blk * block_size
-        pltpu.make_async_copy(
-            k_hbm.at[pl.ds(off, block_size)], kbuf.at[slot], sems.at[slot, 0]
-        ).start()
-        pltpu.make_async_copy(
-            v_hbm.at[pl.ds(off, block_size)], vbuf.at[slot], sems.at[slot, 1]
-        ).start()
-        if quantized:
-            row = off // block_size  # scale row per block (lane-aligned)
+    def start_fetch(js, slot):
+        """Fetch super-block js (MBLK gather-DMAs) into `slot`.
+
+        Sub-blocks past the sequence's block count clamp to the last
+        table entry — table padding points at the trash block, so the
+        fetched data is finite (never uninitialized VMEM, whose NaNs
+        would poison the 0-weighted PV matmul) and fully masked."""
+        for m in range(MBLK):
+            j = jnp.minimum(js * MBLK + m, max_blocks - 1)
+            blk = block_tables_ref[s * max_blocks + j]
+            off = base_ref[0] + blk * block_size
+            dst = pl.ds(m * block_size, block_size)
             pltpu.make_async_copy(
-                ks_hbm.at[pl.ds(row, 1)], ksbuf.at[slot], sems.at[slot, 2]
+                k_hbm.at[pl.ds(off, block_size)], kbuf.at[slot, dst],
+                sems.at[slot, m, 0],
             ).start()
             pltpu.make_async_copy(
-                vs_hbm.at[pl.ds(row, 1)], vsbuf.at[slot], sems.at[slot, 3]
+                v_hbm.at[pl.ds(off, block_size)], vbuf.at[slot, dst],
+                sems.at[slot, m, 1],
             ).start()
+            if quantized:
+                row = off // block_size
+                pltpu.make_async_copy(
+                    ks_hbm.at[pl.ds(row, 1)], ksbuf.at[slot, pl.ds(m, 1)],
+                    sems.at[slot, m, 2],
+                ).start()
+                pltpu.make_async_copy(
+                    vs_hbm.at[pl.ds(row, 1)], vsbuf.at[slot, pl.ds(m, 1)],
+                    sems.at[slot, m, 3],
+                ).start()
 
     def wait_fetch(slot):
-        pltpu.make_async_copy(
-            k_hbm.at[pl.ds(0, block_size)], kbuf.at[slot], sems.at[slot, 0]
-        ).wait()
-        pltpu.make_async_copy(
-            v_hbm.at[pl.ds(0, block_size)], vbuf.at[slot], sems.at[slot, 1]
-        ).wait()
-        if quantized:
+        for m in range(MBLK):
+            dst = pl.ds(m * block_size, block_size)
             pltpu.make_async_copy(
-                ks_hbm.at[pl.ds(0, 1)], ksbuf.at[slot], sems.at[slot, 2]
+                k_hbm.at[pl.ds(0, block_size)], kbuf.at[slot, dst],
+                sems.at[slot, m, 0],
             ).wait()
             pltpu.make_async_copy(
-                vs_hbm.at[pl.ds(0, 1)], vsbuf.at[slot], sems.at[slot, 3]
+                v_hbm.at[pl.ds(0, block_size)], vbuf.at[slot, dst],
+                sems.at[slot, m, 1],
             ).wait()
+            if quantized:
+                pltpu.make_async_copy(
+                    ks_hbm.at[pl.ds(0, 1)], ksbuf.at[slot, pl.ds(m, 1)],
+                    sems.at[slot, m, 2],
+                ).wait()
+                pltpu.make_async_copy(
+                    vs_hbm.at[pl.ds(0, 1)], vsbuf.at[slot, pl.ds(m, 1)],
+                    sems.at[slot, m, 3],
+                ).wait()
 
-    @pl.when(num_blocks > first_block)
+    @pl.when(num_super > first_super)
     def _():
-        start_fetch(first_block, first_block % 2)
+        start_fetch(first_super, first_super % NBUF)
 
     acc[...] = jnp.zeros_like(acc)
     m_i[...] = jnp.full_like(m_i, NEG_INF)
     l_i[...] = jnp.zeros_like(l_i)
 
+    # fp32 MXU operands: measured faster than bf16 here — the per-head
+    # (g, span) matmuls have tiny, often odd M (g = h/kvh), and bf16's
+    # sublane-pair layout forces relayouts that cost far more than the
+    # fp32 rate penalty (6x regression measured at g=7 on v5e).
     q = q_ref[0].astype(jnp.float32) * scale  # (h, d)
 
-    def body(j, _):
-        slot = j % 2
+    def body(js, _):
+        slot = js % NBUF
 
-        @pl.when(j + 1 < num_blocks)
+        @pl.when(js + 1 < num_super)
         def _():
-            start_fetch(j + 1, (j + 1) % 2)
+            start_fetch(js + 1, (js + 1) % NBUF)
 
         wait_fetch(slot)
-        k = kbuf[slot].astype(jnp.float32)  # (bs, kvh, d)
+        k = kbuf[slot].astype(jnp.float32)  # (span, kvh, d)
         v = vbuf[slot].astype(jnp.float32)
         if quantized:
-            # Scale slabs for this block: lane l of head kv holds the
-            # dequant scale of slot offset l. Scores/probabilities are
-            # scaled per lane (mathematically identical to dequantizing
-            # k/v, but lane-aligned for Mosaic — no shape casts needed).
-            ks = ksbuf[slot][0]  # (kvh, lanes)
-            vs = vsbuf[slot][0]
+            # Scale slabs: ksbuf[slot] is (MBLK, kvh, lanes); lane l of
+            # sub-block m, head kv holds the dequant scale of slot offset
+            # l. Assemble a (kvh-indexable) per-head (1, span) scale row
+            # by lane-concatenating the MBLK sub-slabs (Mosaic supports
+            # lane concat; a (MBLK,kvh,bs)->(kvh,span) shape cast doesn't
+            # lower). Mathematically identical to dequantizing k/v.
+            ksb = ksbuf[slot]
+            vsb = vsbuf[slot]
+
+            def scale_row(slab, kv):
+                return jnp.concatenate(
+                    [slab[m, kv : kv + 1, :block_size] for m in range(MBLK)],
+                    axis=1,
+                )  # (1, span)
         # Per-KV-head 2D matmuls (static unroll — Mosaic requires equal
         # batch-dim positions, so grouped batched dots are avoided).
         score_rows = []
         for kv in range(num_kv_heads):
             qh = q[kv * g : (kv + 1) * g, :]      # (g, d)
-            kh = k[:, kv, :]                       # (bs, d)
+            kh = k[:, kv, :]                       # (span, d)
             sc = jax.lax.dot_general(
                 qh, kh,
                 dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
-            )  # (g, bs)
+            )  # (g, span)
             if quantized:
-                sc = sc * ks[kv : kv + 1, :block_size]  # (1, bs) broadcast
+                sc = sc * scale_row(ksb, kv)       # (1, span) broadcast
             score_rows.append(sc)
-        scores = jnp.concatenate(score_rows, axis=0)  # (h, bs)
+        scores = jnp.concatenate(score_rows, axis=0)  # (h, span)
         if softcap is not None:
             scores = softcap * jnp.tanh(scores / softcap)
         # mask context tail and the sliding-window head
-        pos = j * block_size + jax.lax.broadcasted_iota(
-            jnp.int32, (h, block_size), 1
+        pos = js * span + jax.lax.broadcasted_iota(
+            jnp.int32, (h, span), 1
         )
         scores = jnp.where(
             (pos < ctx_len) & (pos >= win_start), scores, NEG_INF
@@ -179,14 +222,14 @@ def _decode_kernel(
         m_prev = m_i[:, 0:1]
         m_new = jnp.maximum(m_prev, jnp.max(scores, axis=-1, keepdims=True))
         alpha = jnp.exp(m_prev - m_new)
-        p = jnp.exp(scores - m_new)  # (h, bs)
+        p = jnp.exp(scores - m_new)  # (h, span)
         l_new = alpha * l_i[:, 0:1] + jnp.sum(p, axis=-1, keepdims=True)
         pv_rows = []
         for kv in range(num_kv_heads):
-            ph = p[kv * g : (kv + 1) * g, :]       # (g, bs)
+            ph = p[kv * g : (kv + 1) * g, :]       # (g, span)
             if quantized:
-                ph = ph * vs[kv : kv + 1, :block_size]
-            vh = v[:, kv, :]                        # (bs, d)
+                ph = ph * scale_row(vsb, kv)
+            vh = v[:, kv, :]                        # (span, d)
             pv_rows.append(
                 jnp.dot(ph, vh, preferred_element_type=jnp.float32)
             )  # (g, d)
@@ -196,7 +239,7 @@ def _decode_kernel(
         l_i[...] = jnp.broadcast_to(l_new, l_i.shape)
         return 0
 
-    jax.lax.fori_loop(first_block, num_blocks, body, 0)
+    jax.lax.fori_loop(first_super, num_super, body, 0)
     denom = jnp.maximum(l_i[:, 0:1], 1e-30)
     out = acc[...] / denom
     # Fully-masked rows (padding sequences) produce 0/eps -> 0; keep finite.
@@ -260,14 +303,14 @@ def decode_attention(
         ],
         out_specs=pl.BlockSpec((1, h, d), lambda s, *_: (s, 0, 0)),
         scratch_shapes=[
-            pltpu.VMEM((2, block_size, kvh, d), k_data.dtype),
-            pltpu.VMEM((2, block_size, kvh, d), v_data.dtype),
-            pltpu.VMEM((2, 1, kvh, lanes), jnp.float32),
-            pltpu.VMEM((2, 1, kvh, lanes), jnp.float32),
+            pltpu.VMEM((NBUF, MBLK * block_size, kvh, d), k_data.dtype),
+            pltpu.VMEM((NBUF, MBLK * block_size, kvh, d), v_data.dtype),
+            pltpu.VMEM((NBUF, MBLK, kvh, lanes), jnp.float32),
+            pltpu.VMEM((NBUF, MBLK, kvh, lanes), jnp.float32),
             pltpu.VMEM((h, d), jnp.float32),
             pltpu.VMEM((h, 128), jnp.float32),
             pltpu.VMEM((h, 128), jnp.float32),
-            pltpu.SemaphoreType.DMA((2, 4)),
+            pltpu.SemaphoreType.DMA((NBUF, MBLK, 4)),
         ],
     )
     out = pl.pallas_call(
