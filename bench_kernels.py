@@ -6,11 +6,13 @@ sequence's KV blocks once, so its ceiling is (KV bytes) / (HBM GB/s).
 This harness times the raw kernels at serving shapes and reports achieved
 bytes/s and the roofline fraction (v5e HBM ~ 819 GB/s).
 
-    python bench_kernels.py                 # decode + prefill sweeps
+    python bench_kernels.py                 # decode sweep, bf16 cache
     python bench_kernels.py --kv-dtype int8
 
-Relay note: results are fetched (np.asarray) every iteration — relay
-timing lies otherwise (CLAUDE.md).
+Relay note: the `iters` kernel calls are chained inside ONE jitted
+program (each output feeds the next query — a true data dependency) and
+a single scalar is fetched, so the per-dispatch relay round trip
+amortizes away and the measured time is device time.
 """
 
 from __future__ import annotations

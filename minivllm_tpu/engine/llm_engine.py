@@ -216,6 +216,7 @@ class LLMEngine:
                 "prompt_token_ids": seq.prompt_token_ids,
                 "completion_token_ids": seq.completion_token_ids,
                 "sampling_params": dataclasses.asdict(seq.sampling_params),
+                "logprobs": seq.logprobs,
             }
             for seq in self.scheduler.unfinished()
         ]
@@ -257,6 +258,16 @@ class LLMEngine:
             )
             for tok in req["completion_token_ids"]:
                 seq.append_token(tok)
+            # Restore pre-checkpoint logprob entries (JSON round-trips the
+            # int token keys of "top" as strings).
+            seq.logprobs = [
+                {
+                    "token_id": e["token_id"],
+                    "logprob": e["logprob"],
+                    "top": {int(t): lp for t, lp in e["top"].items()},
+                }
+                for e in req.get("logprobs", [])
+            ]
             seq.arrival_time = perf_counter()
             self.scheduler.add(seq)
             seq_ids.append(seq.seq_id)
@@ -278,6 +289,15 @@ class LLMEngine:
         }
         return stats
 
+    def abort_request(self, seq_id: int) -> bool:
+        """Cancel an in-flight request: frees its KV blocks and removes it
+        from the scheduler. Returns False if the id is unknown/finished."""
+        for seq in self.scheduler.unfinished():
+            if seq.seq_id == seq_id:
+                self.scheduler.abort(seq)
+                return True
+        return False
+
     def stream(
         self,
         prompt: str | list[int],
@@ -287,19 +307,24 @@ class LLMEngine:
         produce them (library-level streaming; beyond the reference, which
         only returns finished completions). Drives the engine loop itself —
         for concurrent streaming across requests use the HTTP server's
-        AsyncEngine, which owns the loop in a thread."""
+        AsyncEngine, which owns the loop in a thread. Closing the generator
+        early aborts the request (its blocks are freed)."""
         seq_id = self.add_request(prompt, sampling_params)
         seq = self.scheduler.waiting[-1]
         assert seq.seq_id == seq_id
         emitted = 0
-        while True:
-            self.step()
-            new = seq.completion_token_ids[emitted:]
-            if new:
-                emitted += len(new)
-                yield new
-            if seq.is_finished:
-                return
+        try:
+            while True:
+                self.step()
+                new = seq.completion_token_ids[emitted:]
+                if new:
+                    emitted += len(new)
+                    yield new
+                if seq.is_finished:
+                    return
+        finally:
+            if not seq.is_finished:
+                self.abort_request(seq_id)
 
     def generate(
         self,

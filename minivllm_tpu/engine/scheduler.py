@@ -137,6 +137,17 @@ class Scheduler:
         self.running = deque(decode)
         return decode, False
 
+    def abort(self, seq: Sequence) -> None:
+        """Cancel a live request: free its blocks, drop it from the queues,
+        mark it finished (engine abort_request / stream cleanup)."""
+        if seq.block_table:
+            self.block_manager.deallocate(seq)
+        seq.status = SequenceStatus.FINISHED
+        if seq in self.running:
+            self.running.remove(seq)
+        if seq in self.waiting:
+            self.waiting.remove(seq)
+
     def _preempt(self, seq: Sequence) -> None:
         self.num_preemptions += 1
         self.block_manager.deallocate(seq)

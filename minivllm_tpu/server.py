@@ -177,6 +177,17 @@ class AsyncEngine:
 # -- HTTP layer ----------------------------------------------------------------
 
 
+def _parse_logprobs(body: dict) -> int | None:
+    """OpenAI accepts an int (completions) or a boolean (chat, paired with
+    top_logprobs); normalize both to SamplingParams.logprobs."""
+    lp = body.get("logprobs")
+    if lp is None or lp is False:
+        return None
+    if lp is True:
+        return int(body.get("top_logprobs", 0) or 0)
+    return int(lp)
+
+
 def _sampling_params(body: dict, config: Config) -> SamplingParams:
     return SamplingParams(
         temperature=float(body.get("temperature", 1.0)),
@@ -191,10 +202,40 @@ def _sampling_params(body: dict, config: Config) -> SamplingParams:
         repetition_penalty=float(body.get("repetition_penalty", 1.0)),
         seed=body.get("seed"),
         ignore_eos=bool(body.get("ignore_eos", False)),
-        logprobs=(
-            int(body["logprobs"]) if body.get("logprobs") is not None else None
-        ),
+        logprobs=_parse_logprobs(body),
     )
+
+
+def _logprobs_payload(entries: list, tokenizer, chat: bool) -> dict:
+    """Engine logprob entries -> the OpenAI response shape: completions use
+    the legacy tokens/token_logprobs/top_logprobs arrays, chat uses
+    {"content": [{token, logprob, top_logprobs}]}. Tokens render by id
+    when no tokenizer is available."""
+
+    def tok_str(tid: int) -> str:
+        return tokenizer.decode([tid]) if tokenizer else str(tid)
+
+    if chat:
+        return {
+            "content": [
+                {
+                    "token": tok_str(e["token_id"]),
+                    "logprob": e["logprob"],
+                    "top_logprobs": [
+                        {"token": tok_str(t), "logprob": lp}
+                        for t, lp in e["top"].items()
+                    ],
+                }
+                for e in entries
+            ]
+        }
+    return {
+        "tokens": [tok_str(e["token_id"]) for e in entries],
+        "token_logprobs": [e["logprob"] for e in entries],
+        "top_logprobs": [
+            {tok_str(t): lp for t, lp in e["top"].items()} for e in entries
+        ],
+    }
 
 
 def _truncate_at_stop(text: str, stops: list[str]) -> tuple[str, bool]:
@@ -315,21 +356,9 @@ def create_server(
             else:
                 choice["text"] = text
             if req.logprobs is not None:
-                # OpenAI completions logprobs shape; tokens rendered by id
-                # when no tokenizer is available.
-                def tok_str(tid: int) -> str:
-                    return (
-                        tokenizer.decode([tid]) if tokenizer else str(tid)
-                    )
-
-                choice["logprobs"] = {
-                    "tokens": [tok_str(e["token_id"]) for e in req.logprobs],
-                    "token_logprobs": [e["logprob"] for e in req.logprobs],
-                    "top_logprobs": [
-                        {tok_str(t): lp for t, lp in e["top"].items()}
-                        for e in req.logprobs
-                    ],
-                }
+                choice["logprobs"] = _logprobs_payload(
+                    req.logprobs, tokenizer, chat
+                )
             n_prompt = len(prompt) if isinstance(prompt, list) else (
                 len(tokenizer.encode(prompt)) if tokenizer else 0
             )
@@ -389,6 +418,13 @@ def create_server(
                 )
                 final = {"delta": {}, "index": 0, "finish_reason": finish} \
                     if chat else {"text": "", "index": 0, "finish_reason": finish}
+                if req.logprobs is not None:
+                    # logprobs ride the terminal chunk (they are recorded
+                    # at finish; per-delta emission would desync on UTF-8
+                    # holdback).
+                    final["logprobs"] = _logprobs_payload(
+                        req.logprobs, tokenizer, chat
+                    )
                 send_event(json.dumps({
                     "id": rid, "object": obj + ".chunk",
                     "created": int(time.time()), "model": model_id,

@@ -129,3 +129,19 @@ def test_stream_matches_generate(llm):
         assert chunk  # never yields empty chunks
         got.extend(chunk)
     assert got == want
+
+
+def test_stream_early_close_aborts(llm):
+    """Abandoning the stream generator frees the request: no orphan keeps
+    decoding and its blocks return to the free list."""
+    bm = llm.scheduler.block_manager
+    free_before = bm.num_free_blocks
+    sp = SamplingParams(temperature=0.0, max_tokens=50, ignore_eos=True)
+    for chunk in llm.stream([5, 6, 7, 8], sp):
+        break  # client goes away after the first chunk
+    assert llm.is_finished()
+    assert bm.num_free_blocks == free_before
+    # engine still serves normally afterwards
+    out = llm.generate([[1, 2, 3]], SamplingParams(
+        temperature=0.0, max_tokens=3, ignore_eos=True), use_tqdm=False)
+    assert len(out[0]["token_ids"]) == 3

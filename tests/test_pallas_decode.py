@@ -93,15 +93,14 @@ def test_is_supported_gates():
 
 def test_quantized_cache_matches_oracle():
     """INT8 QuantizedCache: the kernel DMAs the per-slot scale slabs and
-    dequantizes in VMEM. The kernel's matmuls run in bf16 with fp32
-    accumulation (full-rate MXU), so it matches the fp32 oracle to bf16
-    tolerance."""
+    dequantizes in VMEM — output must equal the oracle's cache_gather
+    dequant exactly (same fp32 math, same values)."""
     rng = np.random.default_rng(3)
     q, kc, vc, meta = build_case(rng, [17, 33, 5, 0], 2, 4, 128, quantized=True)
     ref = decode_attention_xla(q, kc, vc, meta, 0.125, BS)
     out = pdec.decode_attention(q, kc, vc, meta, 0.125, BS, interpret=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
-                               atol=2e-2, rtol=2e-2)
+                               atol=2e-5, rtol=2e-5)
 
 
 def test_quantized_is_supported():

@@ -162,3 +162,25 @@ def test_completions_logprobs(served):
     # distinct ids may decode to the same string and merge (OpenAI's
     # string-keyed format), so up to 2 entries
     assert all(1 <= len(d) <= 2 for d in lp["top_logprobs"])
+
+
+def test_logprobs_boolean_and_chat_shape(served):
+    base, _ = served
+    # boolean false must NOT enable logprobs
+    code, r = post(base, "/v1/completions", {
+        "prompt": "hello world", "max_tokens": 2, "temperature": 0.0,
+        "logprobs": False,
+    })
+    assert code == 200 and "logprobs" not in r["choices"][0]
+    # chat uses boolean true + top_logprobs and the chat response shape
+    code, r = post(base, "/v1/chat/completions", {
+        "messages": [{"role": "user", "content": "hello world"}],
+        "max_tokens": 3, "temperature": 0.0,
+        "logprobs": True, "top_logprobs": 2,
+    })
+    assert code == 200, r
+    content = r["choices"][0]["logprobs"]["content"]
+    assert len(content) == 3
+    for e in content:
+        assert set(e) == {"token", "logprob", "top_logprobs"}
+        assert len(e["top_logprobs"]) == 2
