@@ -116,6 +116,13 @@ class BlockManager:
         """
         if seq.block_table:
             raise RuntimeError(f"seq {seq.seq_id} already has a block table")
+        # Prompt-logprob requests need logits at every prompt position, so
+        # no prefix may be skipped via cache hits. Their freshly written
+        # full blocks still register hashes below for OTHER requests.
+        use_cache = (
+            self.enable_prefix_caching
+            and seq.sampling_params.prompt_logprobs is None
+        )
         block_hashes = (
             hash_token_blocks(seq.token_ids, self.block_size)
             if self.enable_prefix_caching
@@ -126,7 +133,7 @@ class BlockManager:
             block_hash = block_hashes[i] if i < len(block_hashes) else -1
             token_ids = seq.block(i)
             hit_id = -1
-            if block_hash != -1 and not cache_miss:
+            if use_cache and block_hash != -1 and not cache_miss:
                 self.stats["prefix_cache_queries"] += 1
                 hit_id = self.hash_to_block_id.get(block_hash, -1)
                 if hit_id != -1 and self.blocks[hit_id].token_ids != token_ids:

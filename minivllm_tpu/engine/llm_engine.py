@@ -103,11 +103,12 @@ class LLMEngine:
         self.scheduler.add(seq)
         return seq.seq_id
 
-    def step(self) -> tuple[list[tuple[int, list[int], list | None]], int]:
+    def step(self) -> tuple[list[tuple[int, list[int], list | None, list | None]], int]:
         """One engine step. Returns (finished outputs, ±token count):
         finished entries are (seq_id, completion token ids, logprob entries
-        or None); positive counts are prefill tokens, negative decode
-        tokens (reference convention, llm_engine.py:203-251)."""
+        or None, prompt-logprob entries or None); positive counts are
+        prefill tokens, negative decode tokens (reference convention,
+        llm_engine.py:203-251)."""
         t0 = perf_counter()
         seqs, is_prefill = self.scheduler.schedule()
         if is_prefill:
@@ -182,6 +183,9 @@ class LLMEngine:
                 seq.seq_id,
                 seq.completion_token_ids,
                 seq.logprobs if seq.sampling_params.logprobs is not None else None,
+                seq.prompt_logprobs
+                if seq.sampling_params.prompt_logprobs is not None
+                else None,
             )
             for seq in seqs
             if seq.is_finished
@@ -217,6 +221,7 @@ class LLMEngine:
                 "completion_token_ids": seq.completion_token_ids,
                 "sampling_params": dataclasses.asdict(seq.sampling_params),
                 "logprobs": seq.logprobs,
+                "prompt_logprobs": seq.prompt_logprobs,
             }
             for seq in self.scheduler.unfinished()
         ]
@@ -268,6 +273,10 @@ class LLMEngine:
                 }
                 for e in req.get("logprobs", [])
             ]
+            # Saved prompt entries are NOT restored onto the sequence: the
+            # resume prefill recomputes every prompt position (the prefix
+            # cache is disabled for prompt-logprob requests) and would
+            # otherwise append duplicates.
             seq.arrival_time = perf_counter()
             self.scheduler.add(seq)
             seq_ids.append(seq.seq_id)
@@ -354,6 +363,7 @@ class LLMEngine:
 
         outputs: dict[int, list[int]] = {}
         logprob_map: dict[int, list | None] = {}
+        plp_map: dict[int, list | None] = {}
         prefill_tp = decode_tp = 0.0
         while not self.is_finished():
             t = perf_counter()
@@ -370,9 +380,10 @@ class LLMEngine:
                         "Decode": f"{int(decode_tp)} tok/s",
                     }
                 )
-            for seq_id, token_ids, logprobs in finished:
+            for seq_id, token_ids, logprobs, prompt_logprobs in finished:
                 outputs[seq_id] = token_ids
                 logprob_map[seq_id] = logprobs
+                plp_map[seq_id] = prompt_logprobs
                 if pbar is not None:
                     pbar.update(1)
         if pbar is not None:
@@ -391,5 +402,8 @@ class LLMEngine:
             lp = logprob_map.get(id_order[i])
             if lp is not None:
                 out["logprobs"] = lp
+            plp = plp_map.get(id_order[i])
+            if plp is not None:
+                out["prompt_logprobs"] = plp
             results.append(out)
         return results

@@ -362,8 +362,40 @@ class ModelRunner:
             params, meta, k_cache, v_cache, is_prefill=is_prefill
         )
 
+    def _prompt_logprobs(self, params, hidden, targets, plp_k: int):
+        """Per-packed-row logprobs of the NEXT prompt token (targets row
+        of packed_t; -1 on rows whose successor is not a prompt token).
+        Computed in vocab-bounded chunks via lax.map — materializing
+        logits for every packed row at once would cost T x vocab floats
+        (gigabytes at large prefill buckets)."""
+        T = hidden.shape[0]
+        CH = 64  # T is always a Q_TILE(=64) multiple (see _prepare_prefill)
+
+        def chunk_fn(xs):
+            h, t = xs
+            logits = self.model.compute_logits(params, h).astype(jnp.float32)
+            logp = jax.nn.log_softmax(logits, axis=-1)
+            chosen = jnp.take_along_axis(
+                logp, jnp.clip(t, 0, None)[:, None], axis=1
+            )[:, 0]
+            if plp_k > 0:
+                top_lp, top_id = jax.lax.top_k(logp, plp_k)
+            else:
+                top_id = jnp.zeros((h.shape[0], 0), jnp.int32)
+                top_lp = jnp.zeros((h.shape[0], 0), jnp.float32)
+            return chosen, top_id.astype(jnp.int32), top_lp
+
+        out = jax.lax.map(
+            chunk_fn,
+            (
+                hidden.reshape(T // CH, CH, hidden.shape[-1]),
+                targets.reshape(T // CH, CH),
+            ),
+        )
+        return jax.tree.map(lambda x: x.reshape((T,) + x.shape[2:]), out)
+
     def _prefill_step(
-        self, with_filters, typical, lp_k, params, k_cache, v_cache,
+        self, with_filters, typical, lp_k, plp_k, params, k_cache, v_cache,
         packed_t, packed_c, packed_s, tables, state, key, hist=None,
     ):
         from minivllm_tpu.parallel.sharding import shard_batch
@@ -398,7 +430,12 @@ class ModelRunner:
             typical_active=typical,
         )
         lp = None if lp_k is None else token_logprobs(logits, toks, lp_k)
-        return toks, lp, k_cache, v_cache
+        plp = (
+            None
+            if plp_k is None
+            else self._prompt_logprobs(params, hidden, packed_t[4], plp_k)
+        )
+        return toks, lp, plp, k_cache, v_cache
 
     def _decode_step(
         self, with_filters, typical, lp_k, params, k_cache, v_cache, packed,
@@ -478,13 +515,16 @@ class ModelRunner:
     def _get_step_fn(
         self, phase: str, with_filters: bool, num_steps: int = 1,
         typical: bool = False, lp_k: int | None = None,
+        plp_k: int | None = None,
     ):
-        cache_key = (phase, with_filters, num_steps, typical, lp_k)
+        cache_key = (phase, with_filters, num_steps, typical, lp_k, plp_k)
         fn = self._compiled.get(cache_key)
         if fn is None:
             if phase == "prefill":
                 fn = jax.jit(
-                    partial(self._prefill_step, with_filters, typical, lp_k),
+                    partial(
+                        self._prefill_step, with_filters, typical, lp_k, plp_k
+                    ),
                     donate_argnums=(1, 2),
                 )
             elif num_steps > 1:
@@ -617,9 +657,13 @@ class ModelRunner:
         if T % Q_TILE:
             T = -(-T // Q_TILE) * Q_TILE
 
-        packed_t = np.zeros((4, T), np.int32)
+        # Row 4 holds the NEXT token id at each packed position (-1 when
+        # there is none): the prompt-logprob target — token i+1's logprob
+        # comes from the logits at position i.
+        packed_t = np.zeros((5, T), np.int32)
         packed_t[2, :] = -1
         packed_t[3, :] = self.trash_slot
+        packed_t[4, :] = -1
         ctx_slots, k_seg, k_pos, last_idx = [], [], [], []
         for s, seq in enumerate(seqs):
             table = seq.block_table
@@ -630,6 +674,8 @@ class ModelRunner:
                 packed_t[1, o + j] = i
                 packed_t[2, o + j] = s
                 packed_t[3, o + j] = table[i // bs] * bs + i % bs
+                if i + 1 < len(seq):
+                    packed_t[4, o + j] = seq.token_ids[i + 1]
             last_idx.append(o + q_lens[s] - 1)
             for i in range(end):
                 ctx_slots.append(table[i // bs] * bs + i % bs)
@@ -661,6 +707,7 @@ class ModelRunner:
             jnp.asarray(packed_s),
             jnp.asarray(tables),
             S_pad,
+            (ranges, q_start),
         )
 
     def _prepare_decode(self, seqs: list[Sequence]):
@@ -688,12 +735,51 @@ class ModelRunner:
 
     # -- execution -----------------------------------------------------------
 
+    def _record_prompt_logprobs(self, seqs, plp, layout) -> None:
+        """Append this chunk's prompt-logprob entries to requesting
+        sequences. The packed row at position p holds the logprob of prompt
+        token p+1; the first prompt token (no prefix) gets a None entry.
+        Chunked prefill calls this once per chunk, in order."""
+        ranges, q_start = layout
+        chosen, top_ids, top_lps = (np.asarray(x) for x in plp)
+        for s, seq in enumerate(seqs):
+            k = seq.sampling_params.prompt_logprobs
+            if k is None:
+                continue
+            start, end = ranges[s]
+            if start == 0:
+                seq.prompt_logprobs.append(
+                    {"token_id": seq.token_ids[0], "logprob": None, "top": None}
+                )
+            # Prompt positions covered by this chunk's rows; position
+            # num_prompt_tokens-1's logits predict the first completion
+            # token (handled by completion logprobs, not recorded here).
+            hi = min(end, seq.num_prompt_tokens - 1)
+            for p in range(start + 1, hi + 1):
+                row = q_start[s] + (p - 1 - start)
+                seq.prompt_logprobs.append(
+                    {
+                        "token_id": seq.token_ids[p],
+                        "logprob": float(chosen[row]),
+                        "top": {
+                            int(t): float(l)
+                            for t, l in zip(top_ids[row][:k], top_lps[row][:k])
+                        },
+                    }
+                )
+
     def run(self, seqs: list[Sequence], is_prefill: bool) -> list[int]:
         """Execute one batch; returns one sampled token per sequence."""
         if not seqs:
             return []
         S = len(seqs)
-        if is_prefill and all(
+        plp_k = (
+            max(sp.prompt_logprobs or 0 for sp in
+                (s.sampling_params for s in seqs))
+            if any(s.sampling_params.prompt_logprobs is not None for s in seqs)
+            else None
+        )
+        if is_prefill and plp_k is None and all(
             (seq.chunk_range or (seq.num_cached_tokens, len(seq)))
             == (len(seq) - 1, len(seq))
             for seq in seqs
@@ -723,18 +809,23 @@ class ModelRunner:
         lp = None
         if is_prefill:
             self._spec = None
-            packed_t, packed_c, packed_s, tables, S_pad = self._prepare_prefill(seqs)
+            packed_t, packed_c, packed_s, tables, S_pad, layout = (
+                self._prepare_prefill(seqs)
+            )
             fn = self._get_step_fn(
-                "prefill", with_filters, typical=typical, lp_k=lp_k
+                "prefill", with_filters, typical=typical, lp_k=lp_k,
+                plp_k=plp_k,
             )
             state = self._get_state(params_list, S_pad)
             hist = self._build_hist(seqs, S_pad) if with_penalties else None
             key = jax.random.fold_in(self._base_key, self._step_counter)
             self._step_counter += 1
-            toks, lp, self.k_cache, self.v_cache = fn(
+            toks, lp, plp, self.k_cache, self.v_cache = fn(
                 self.params, self.k_cache, self.v_cache,
                 packed_t, packed_c, packed_s, tables, state, key, hist=hist,
             )
+            if plp is not None:
+                self._record_prompt_logprobs(seqs, plp, layout)
         else:
             packed, tables, S_pad = self._prepare_decode(seqs)
             W = int(tables.shape[1])

@@ -60,6 +60,9 @@ class Sequence:
         # Per-completion-token logprob entries (only when
         # sampling_params.logprobs is set): {"token_id", "logprob", "top"}.
         self.logprobs: list[dict] = []
+        # Per-prompt-token entries (sampling_params.prompt_logprobs), same
+        # shape; the first prompt token's entry has logprob/top None.
+        self.prompt_logprobs: list[dict] = []
         # Set by the engine at add_request time; used for TTFT metrics.
         self.arrival_time: float | None = None
 
@@ -129,6 +132,8 @@ class Sequence:
         self.num_computed_tokens = 0
         self.chunk_range = None
         self.num_preemptions += 1
+        # Prompt logprobs are re-recorded by the recompute prefill.
+        self.prompt_logprobs = []
 
     def __repr__(self) -> str:
         return (

@@ -41,6 +41,12 @@ class SamplingParams:
     # returns the top-N alternative tokens' logprobs. Beyond the
     # reference, which returns token ids only.
     logprobs: int | None = None
+    # Return per-PROMPT-token logprobs (each prompt token's probability
+    # given its prefix; the first token has no prefix and reports None).
+    # Backs the OpenAI completions `echo` + `logprobs` combination.
+    # Disables prefix-cache reuse for the request: every prompt position
+    # must actually be computed to have logits.
+    prompt_logprobs: int | None = None
 
     def __post_init__(self) -> None:
         if self.temperature < 0:
@@ -66,6 +72,11 @@ class SamplingParams:
         if self.logprobs is not None and not 0 <= self.logprobs <= 20:
             raise ValueError(
                 f"logprobs must be None or in [0, 20], got {self.logprobs}"
+            )
+        if self.prompt_logprobs is not None and not 0 <= self.prompt_logprobs <= 20:
+            raise ValueError(
+                f"prompt_logprobs must be None or in [0, 20], "
+                f"got {self.prompt_logprobs}"
             )
 
     @property

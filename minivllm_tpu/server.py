@@ -57,6 +57,7 @@ class _Request:
         self.emitted = 0  # completion tokens already pushed to chunks
         self.error: Exception | None = None
         self.logprobs: list | None = None  # set at finish when requested
+        self.prompt_logprobs: list | None = None  # echo + logprobs
 
 
 _DONE = object()
@@ -163,11 +164,12 @@ class AsyncEngine:
                 self._live.clear()
                 continue
             self._flush_progress()
-            for seq_id, token_ids, logprobs in finished:
+            for seq_id, token_ids, logprobs, prompt_logprobs in finished:
                 req = self._live.pop(seq_id, None)
                 if req is None:
                     continue
                 req.logprobs = logprobs
+                req.prompt_logprobs = prompt_logprobs
                 tail = token_ids[req.emitted :]
                 if tail:
                     req.chunks.put(tail)
@@ -188,7 +190,13 @@ def _parse_logprobs(body: dict) -> int | None:
     return int(lp)
 
 
-def _sampling_params(body: dict, config: Config) -> SamplingParams:
+def _sampling_params(
+    body: dict, config: Config, chat: bool = False
+) -> SamplingParams:
+    lp = _parse_logprobs(body)
+    # OpenAI completions `echo`: return the prompt in the response text;
+    # combined with `logprobs` it also returns prompt-token logprobs.
+    echo = bool(body.get("echo", False)) and not chat
     return SamplingParams(
         temperature=float(body.get("temperature", 1.0)),
         top_p=float(body.get("top_p", 1.0)),
@@ -202,7 +210,8 @@ def _sampling_params(body: dict, config: Config) -> SamplingParams:
         repetition_penalty=float(body.get("repetition_penalty", 1.0)),
         seed=body.get("seed"),
         ignore_eos=bool(body.get("ignore_eos", False)),
-        logprobs=_parse_logprobs(body),
+        logprobs=lp,
+        prompt_logprobs=lp if (echo and lp is not None) else None,
     )
 
 
@@ -233,7 +242,11 @@ def _logprobs_payload(entries: list, tokenizer, chat: bool) -> dict:
         "tokens": [tok_str(e["token_id"]) for e in entries],
         "token_logprobs": [e["logprob"] for e in entries],
         "top_logprobs": [
-            {tok_str(t): lp for t, lp in e["top"].items()} for e in entries
+            # The first echoed prompt token has no distribution: null
+            # logprob and null top_logprobs (OpenAI convention).
+            None if e["top"] is None
+            else {tok_str(t): lp for t, lp in e["top"].items()}
+            for e in entries
         ],
     }
 
@@ -329,23 +342,31 @@ def create_server(
                     prompt = body.get("prompt")
                     if prompt is None:
                         return self._error(400, "prompt required")
-                params = _sampling_params(body, engine.config)
+                params = _sampling_params(body, engine.config, chat)
             except (TypeError, ValueError) as e:
                 return self._error(400, str(e))
             stops = body.get("stop") or []
             if isinstance(stops, str):
                 stops = [stops]
+            echo_text = ""
+            if not chat and body.get("echo"):
+                echo_text = prompt if isinstance(prompt, str) else (
+                    tokenizer.decode(prompt) if tokenizer else ""
+                )
             req = async_engine.submit(prompt, params)
             rid = ("chatcmpl-" if chat else "cmpl-") + uuid.uuid4().hex[:24]
             obj = "chat.completion" if chat else "text_completion"
             if body.get("stream"):
-                return self._stream_response(req, rid, obj, chat, stops)
+                return self._stream_response(
+                    req, rid, obj, chat, stops, echo_text
+                )
             try:
                 token_ids = async_engine.result(req, timeout=600)
             except Exception as e:
                 return self._error(400, str(e))
             text = self._decode(token_ids)
             text, stopped = _truncate_at_stop(text, stops)
+            text = echo_text + text
             finish = "stop" if stopped or (
                 token_ids and token_ids[-1] == engine.config.eos
                 and not params.ignore_eos
@@ -355,9 +376,10 @@ def create_server(
                 choice["message"] = {"role": "assistant", "content": text}
             else:
                 choice["text"] = text
-            if req.logprobs is not None:
+            if req.logprobs is not None or req.prompt_logprobs is not None:
                 choice["logprobs"] = _logprobs_payload(
-                    req.logprobs, tokenizer, chat
+                    (req.prompt_logprobs or []) + (req.logprobs or []),
+                    tokenizer, chat,
                 )
             n_prompt = len(prompt) if isinstance(prompt, list) else (
                 len(tokenizer.encode(prompt)) if tokenizer else 0
@@ -372,7 +394,9 @@ def create_server(
                 },
             })
 
-        def _stream_response(self, req, rid, obj, chat, stops) -> None:
+        def _stream_response(
+            self, req, rid, obj, chat, stops, echo_text: str = ""
+        ) -> None:
             self.send_response(200)
             self.send_header("Content-Type", "text/event-stream")
             self.send_header("Cache-Control", "no-cache")
@@ -388,6 +412,14 @@ def create_server(
             all_ids: list[int] = []
             stopped = False
             try:
+                if echo_text:
+                    # OpenAI streams the echoed prompt as the first chunk.
+                    send_event(json.dumps({
+                        "id": rid, "object": obj + ".chunk",
+                        "created": int(time.time()), "model": model_id,
+                        "choices": [{"text": echo_text, "index": 0,
+                                     "finish_reason": None}],
+                    }))
                 for chunk in async_engine.stream(req):
                     all_ids.extend(chunk)
                     full = self._decode(all_ids)
@@ -418,12 +450,13 @@ def create_server(
                 )
                 final = {"delta": {}, "index": 0, "finish_reason": finish} \
                     if chat else {"text": "", "index": 0, "finish_reason": finish}
-                if req.logprobs is not None:
+                if req.logprobs is not None or req.prompt_logprobs is not None:
                     # logprobs ride the terminal chunk (they are recorded
                     # at finish; per-delta emission would desync on UTF-8
                     # holdback).
                     final["logprobs"] = _logprobs_payload(
-                        req.logprobs, tokenizer, chat
+                        (req.prompt_logprobs or []) + (req.logprobs or []),
+                        tokenizer, chat,
                     )
                 send_event(json.dumps({
                     "id": rid, "object": obj + ".chunk",

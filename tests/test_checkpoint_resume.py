@@ -45,7 +45,7 @@ def test_save_resume_matches_uninterrupted(ckpt, tmp_path):
     order = [eng.add_request(p, SP) for p in PROMPTS]
     partial = {}
     for _ in range(5):
-        for seq_id, toks, _ in eng.step()[0]:
+        for seq_id, toks, *_ in eng.step()[0]:
             partial[seq_id] = toks
     state_file = tmp_path / "engine_state.json"
     n = eng.save_state(str(state_file))
@@ -63,7 +63,7 @@ def test_save_resume_matches_uninterrupted(ckpt, tmp_path):
     assert len(new_ids) == n
     done = {}
     while not eng2.is_finished():
-        for seq_id, toks, _ in eng2.step()[0]:
+        for seq_id, toks, *_ in eng2.step()[0]:
             done[seq_id] = toks
     resumed = dict(zip(new_ids, [done[i] for i in new_ids]))
 

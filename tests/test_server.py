@@ -184,3 +184,58 @@ def test_logprobs_boolean_and_chat_shape(served):
     for e in content:
         assert set(e) == {"token", "logprob", "top_logprobs"}
         assert len(e["top_logprobs"]) == 2
+
+
+def test_echo_returns_prompt_and_prompt_logprobs(served):
+    base, _ = served
+    prompt = "hello world the"
+    # echo alone: response text starts with the prompt
+    code, r = post(base, "/v1/completions", {
+        "prompt": prompt, "max_tokens": 3, "temperature": 0.0, "echo": True,
+    })
+    assert code == 200, r
+    assert r["choices"][0]["text"].startswith(prompt)
+    assert "logprobs" not in r["choices"][0]
+    # echo + logprobs: OpenAI semantics — prompt tokens included in the
+    # logprobs arrays, first entry null (no prefix to condition on)
+    code, r = post(base, "/v1/completions", {
+        "prompt": prompt, "max_tokens": 3, "temperature": 0.0,
+        "echo": True, "logprobs": 1,
+    })
+    assert code == 200, r
+    choice = r["choices"][0]
+    assert choice["text"].startswith(prompt)
+    lp = choice["logprobs"]
+    n_prompt = r["usage"]["prompt_tokens"]
+    assert len(lp["tokens"]) == n_prompt + 3
+    assert lp["token_logprobs"][0] is None
+    assert lp["top_logprobs"][0] is None
+    assert all(
+        isinstance(v, float) and v <= 0.0 for v in lp["token_logprobs"][1:]
+    )
+
+
+def test_echo_streaming(served):
+    import urllib.request as _rq
+
+    base, _ = served
+    body = {
+        "prompt": "hello world", "max_tokens": 3, "temperature": 0.0,
+        "echo": True, "stream": True,
+    }
+    req = _rq.Request(
+        base + "/v1/completions", data=json.dumps(body).encode(),
+        headers={"Content-Type": "application/json"}, method="POST",
+    )
+    texts = []
+    with _rq.urlopen(req, timeout=300) as resp:
+        for line in resp:
+            line = line.decode().strip()
+            if not line.startswith("data:"):
+                continue
+            payload = line[len("data:"):].strip()
+            if payload == "[DONE]":
+                break
+            texts.append(json.loads(payload)["choices"][0].get("text", ""))
+    # first streamed chunk is the echoed prompt
+    assert texts and texts[0] == "hello world"
