@@ -58,6 +58,7 @@ class _Request:
         self.error: Exception | None = None
         self.logprobs: list | None = None  # set at finish when requested
         self.prompt_logprobs: list | None = None  # echo + logprobs
+        self.cancelled = False  # set by AsyncEngine.abort
 
 
 _DONE = object()
@@ -78,6 +79,8 @@ class AsyncEngine:
 
         self.engine = LLMEngine(config, init_random=init_random)
         self._intake: queue.Queue = queue.Queue()
+        self._aborts: queue.Queue = queue.Queue()
+        self.num_aborted = 0
         self._live: dict[int, _Request] = {}
         self._wake = threading.Event()
         self._stop = False
@@ -92,13 +95,49 @@ class AsyncEngine:
         self._wake.set()
         return req
 
-    def result(self, req: _Request, timeout: float | None = None) -> list[int]:
-        """Block until finished; returns the full completion token list."""
+    def abort(self, req: _Request) -> None:
+        """Cancel an in-flight request from any thread. The engine thread
+        frees its KV blocks at the next loop iteration; any waiter on the
+        request unblocks with whatever tokens were produced."""
+        req.cancelled = True
+        self._aborts.put(req)
+        self._wake.set()
+
+    def result(
+        self,
+        req: _Request,
+        timeout: float | None = None,
+        disconnect_check=None,
+    ) -> list[int]:
+        """Block until finished; returns the full completion token list.
+        With `disconnect_check` (a callable returning True once the client
+        has gone away), the wait polls it every 0.25s and aborts the
+        request — freeing its KV blocks — instead of letting an abandoned
+        generation run to completion."""
         toks: list[int] = []
         deadline = None if timeout is None else time.monotonic() + timeout
+        last_check = float("-inf")
         while True:
-            remaining = None if deadline is None else deadline - time.monotonic()
-            chunk = req.chunks.get(timeout=remaining)
+            now = time.monotonic()
+            if deadline is not None and now >= deadline:
+                self.abort(req)
+                raise TimeoutError("generation timed out")
+            # Rate-limited even when chunks arrive continuously (a fast
+            # decode never leaves the queue empty long enough to rely on
+            # the get() timeout alone).
+            if disconnect_check is not None and now - last_check >= 0.25:
+                last_check = now
+                if disconnect_check():
+                    self.abort(req)
+                    raise ConnectionAbortedError("client disconnected")
+            remaining = None if deadline is None else deadline - now
+            wait = remaining if disconnect_check is None else (
+                0.25 if remaining is None else min(0.25, remaining)
+            )
+            try:
+                chunk = req.chunks.get(timeout=wait)
+            except queue.Empty:
+                continue
             if chunk is _DONE:
                 if req.error is not None:
                     raise req.error
@@ -128,12 +167,27 @@ class AsyncEngine:
                 req = self._intake.get_nowait()
             except queue.Empty:
                 return
+            if req.cancelled:  # aborted before admission
+                req.chunks.put(_DONE)
+                continue
             try:
                 req.seq_id = self.engine.add_request(req.prompt, req.params)
                 self._live[req.seq_id] = req
             except Exception as e:  # bad prompt / no tokenizer / over limits
                 req.error = e
                 req.chunks.put(_DONE)
+
+    def _drain_aborts(self) -> None:
+        while True:
+            try:
+                req = self._aborts.get_nowait()
+            except queue.Empty:
+                return
+            if req.seq_id is not None and req.seq_id in self._live:
+                self._live.pop(req.seq_id)
+                self.engine.abort_request(req.seq_id)
+                self.num_aborted += 1
+            req.chunks.put(_DONE)  # unblock any waiter
 
     def _flush_progress(self) -> None:
         """Push newly appended completion tokens of running seqs."""
@@ -149,6 +203,7 @@ class AsyncEngine:
     def _loop(self) -> None:
         while not self._stop:
             self._admit()
+            self._drain_aborts()
             if self.engine.is_finished():
                 # Idle: block until a request arrives.
                 self._wake.wait(timeout=0.5)
@@ -300,6 +355,21 @@ def create_server(
                 return ""
             return tokenizer.decode(token_ids, skip_special_tokens=True)
 
+        def _client_gone(self) -> bool:
+            """True once the client closed its connection: the socket
+            polls readable and a zero-length peek confirms EOF (buffered
+            pipelined bytes peek non-empty, so keep-alive is safe)."""
+            import select
+            import socket as _socket
+
+            try:
+                r, _, _ = select.select([self.connection], [], [], 0)
+                if not r:
+                    return False
+                return self.connection.recv(1, _socket.MSG_PEEK) == b""
+            except OSError:
+                return True
+
         # -- routes -----------------------------------------------------------
 
         def do_GET(self):
@@ -312,7 +382,10 @@ def create_server(
                               "created": created, "owned_by": "minivllm_tpu"}],
                 })
             elif self.path == "/stats":
-                self._json(200, engine.get_stats())
+                self._json(200, {
+                    **engine.get_stats(),
+                    "aborted_requests": async_engine.num_aborted,
+                })
             else:
                 self._error(404, f"no route {self.path}")
 
@@ -361,7 +434,12 @@ def create_server(
                     req, rid, obj, chat, stops, echo_text
                 )
             try:
-                token_ids = async_engine.result(req, timeout=600)
+                token_ids = async_engine.result(
+                    req, timeout=600, disconnect_check=self._client_gone
+                )
+            except ConnectionAbortedError:
+                self.close_connection = True
+                return  # client gone; blocks already freed via abort
             except Exception as e:
                 return self._error(400, str(e))
             text = self._decode(token_ids)
@@ -467,7 +545,9 @@ def create_server(
                 self.wfile.write(b"0\r\n\r\n")
                 self.wfile.flush()
             except (BrokenPipeError, ConnectionResetError):
-                pass  # client went away; engine finishes the seq regardless
+                # Client went away mid-stream: cancel the generation so
+                # its KV blocks free immediately.
+                async_engine.abort(req)
 
     return ThreadingHTTPServer((host, port), Handler)
 

@@ -239,3 +239,114 @@ def test_echo_streaming(served):
             texts.append(json.loads(payload)["choices"][0].get("text", ""))
     # first streamed chunk is the echoed prompt
     assert texts and texts[0] == "hello world"
+
+
+# -- abort on disconnect -------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def slow_served(tmp_path_factory):
+    """Server whose engine steps are artificially slowed (50 ms) and
+    fused multi-step decode disabled (one token per step), so a
+    max_tokens=120 generation takes ~6 s — disconnect detection (0.25 s
+    poll / next-write error) deterministically beats it."""
+    import time as _time
+
+    d = tmp_path_factory.mktemp("slow") / "m"
+    make_tiny_checkpoint("qwen3", d)
+    make_tiny_tokenizer(d)
+    cfg = Config(
+        model=str(d), max_num_seqs=4, max_model_len=256,
+        max_num_batched_tokens=256, kvcache_block_size=16,
+        num_kvcache_blocks=64, dtype="float32", attention_impl="xla",
+        decode_multi_step=1,
+    )
+    eng = AsyncEngine(cfg)
+    orig_step = eng.engine.step
+
+    def slow_step():
+        _time.sleep(0.05)
+        return orig_step()
+
+    eng.engine.step = slow_step
+    server = create_server(eng, host="127.0.0.1", port=0)
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    base = f"http://127.0.0.1:{server.server_address[1]}"
+    yield base, eng
+    server.shutdown()
+    eng.shutdown()
+
+
+def _wait_idle(eng, timeout=15.0):
+    import time as _time
+
+    t0 = _time.monotonic()
+    while _time.monotonic() - t0 < timeout:
+        if eng.engine.is_finished():
+            return True
+        _time.sleep(0.05)
+    return False
+
+
+def test_async_engine_abort_api(slow_served):
+    _, eng = slow_served
+    req = eng.submit([5, 6, 7], SamplingParams(
+        temperature=0.0, max_tokens=120, ignore_eos=True))
+    first = req.chunks.get(timeout=30)  # wait until it is producing
+    assert first is not None
+    before = eng.num_aborted
+    eng.abort(req)
+    assert _wait_idle(eng), "engine still busy after abort"
+    assert eng.num_aborted == before + 1
+    # waiter unblocks (partial tokens, no error)
+    toks = eng.result(req, timeout=5)
+    assert isinstance(toks, list)
+
+
+def test_nonstream_disconnect_frees_request(slow_served):
+    import socket as _socket
+
+    base, eng = slow_served
+    host, port = base.replace("http://", "").split(":")
+    body = json.dumps({
+        "prompt": [5, 6, 7], "max_tokens": 120,
+        "temperature": 0.0, "ignore_eos": True,
+    }).encode()
+    before = eng.num_aborted
+    s = _socket.create_connection((host, int(port)))
+    s.sendall(
+        b"POST /v1/completions HTTP/1.1\r\nHost: x\r\n"
+        b"Content-Type: application/json\r\n"
+        b"Content-Length: " + str(len(body)).encode() + b"\r\n\r\n" + body
+    )
+    # give the handler a beat to admit the request, then vanish
+    import time as _time
+
+    _time.sleep(0.4)
+    s.close()
+    assert _wait_idle(eng), "abandoned request kept decoding"
+    assert eng.num_aborted == before + 1
+
+
+def test_stream_disconnect_frees_request(slow_served):
+    import socket as _socket
+    import time as _time
+
+    base, eng = slow_served
+    host, port = base.replace("http://", "").split(":")
+    body = json.dumps({
+        "prompt": [8, 9], "max_tokens": 120, "temperature": 0.0,
+        "ignore_eos": True, "stream": True,
+    }).encode()
+    before = eng.num_aborted
+    s = _socket.create_connection((host, int(port)))
+    s.sendall(
+        b"POST /v1/completions HTTP/1.1\r\nHost: x\r\n"
+        b"Content-Type: application/json\r\n"
+        b"Content-Length: " + str(len(body)).encode() + b"\r\n\r\n" + body
+    )
+    s.recv(4096)  # read headers/first chunk so the stream is live
+    s.close()  # server's next SSE write raises BrokenPipe -> abort
+    assert _wait_idle(eng), "abandoned stream kept decoding"
+    assert eng.num_aborted == before + 1
