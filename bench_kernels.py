@@ -26,7 +26,7 @@ import numpy as np
 V5E_HBM_GBS = 819.0
 
 
-def bench_decode(S, ctx, kvh, h, d, bs, dtype_name, iters=20):
+def bench_decode(S, ctx, kvh, h, d, bs, dtype_name, iters=200):
     import jax
     import jax.numpy as jnp
 
@@ -101,11 +101,17 @@ def bench_decode(S, ctx, kvh, h, d, bs, dtype_name, iters=20):
 def main() -> None:
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--kv-dtype", choices=["bf16", "int8"], default="bf16")
-    p.add_argument("--iters", type=int, default=20)
+    p.add_argument("--iters", type=int, default=200)
     args = p.parse_args()
 
     # Qwen3-0.6B / Qwen2-7B GQA decode shapes at serving concurrency.
+    # iters must be large: the whole chain costs one relay round trip
+    # (~30 ms through this environment's tunnel), so at 20 iters the
+    # round trip alone reads as a fake ~1.5 ms/call floor.
     for S, ctx, kvh, h, d in [
+        (64, 256, 8, 16, 128),
+        (256, 256, 4, 28, 128),
+        (256, 512, 4, 28, 128),
         (64, 1024, 8, 16, 128),
         (256, 1024, 4, 28, 128),
         (256, 4096, 4, 28, 128),

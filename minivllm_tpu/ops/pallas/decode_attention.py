@@ -1,19 +1,32 @@
-"""Pallas (Mosaic TPU) paged flash-decode attention.
+"""Pallas (Mosaic TPU) paged flash-decode attention — persistent kernel.
 
 The hot kernel of decode serving (SURVEY.md §7.3 "the single most
 performance-critical artifact"; reference analog: the vendor
 flash_attn_with_kvcache / npu_incre_flash_attention calls,
-attention.py:394-449). One grid step per sequence:
+attention.py:394-449).
 
-- the sequence's KV blocks are streamed HBM -> VMEM by block-table lookup
-  (scalar-prefetched indices) with double buffering, so the kernel runs at
-  HBM speed-of-light on the KV bytes;
-- a block arrives as the contiguous (block_size, kvh, d) slab of the flat
-  slot cache — one DMA covers every KV head;
-- online-softmax (flash) accumulation in fp32 VMEM scratch, GQA groups
-  computed against their KV head without materializing repeats;
-- the context-length tail is masked, and whole invalid blocks are never
-  fetched (the fori_loop trip count is the sequence's actual block count).
+Design: ONE grid step processes a flat work list of (sequence,
+super-block) items instead of one grid step per sequence. Earlier
+per-sequence-grid versions paid a prologue DMA bubble, accumulator
+init and output write per sequence — at short contexts (1-4
+super-blocks per sequence) that overhead bounded the kernel at ~25% of
+HBM roofline. The persistent loop keeps gather-DMAs continuously in
+flight ACROSS sequence boundaries: while item i (seq A) computes, item
+i+1 (possibly seq B) is already streaming into the other buffer slot.
+
+- The work list is built in-jit (jnp cumsum/searchsorted over
+  ctx_lens) and read from SMEM via scalar prefetch, so it works inside
+  the fused multi-step decode scan where ctx_lens are traced values.
+- A super-block is MBLK cache blocks (MBLK gather-DMAs per item, one
+  compute pass over MBLK*block_size keys) — wide compute passes
+  amortize instruction issue, which otherwise bounds the loop.
+- A block arrives as the contiguous (block_size, kvh, d) slab of the
+  flat slot cache — one DMA covers every KV head.
+- Online-softmax (flash) accumulation in fp32 VMEM scratch; GQA groups
+  computed against their KV head without materializing repeats.
+- The context tail is masked; whole out-of-window / out-of-context
+  super-blocks never appear in the work list, so their KV is never
+  fetched (sliding-window KV traffic is O(min(context, window))).
 
 Layout contract (matches ops/attention.py):
   q            (S, h, d)
@@ -34,12 +47,9 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = float(jnp.finfo(jnp.float32).min)
 
 # KV streaming shape: each pipeline slot holds a super-block of MBLK
-# cache blocks (MBLK gather-DMAs per slot, one compute pass over
-# MBLK*block_size keys). Per-block compute is tiny, so iterating single
-# blocks is instruction-issue bound (~20% of HBM roofline measured on
-# v5e); wider compute passes amortize the issue overhead while NBUF slots
-# keep 2*MBLK fetches in flight. VMEM cost: NBUF * MBLK * block_size *
-# kvh * d for each of the two caches.
+# cache blocks. NBUF slots keep the next item's MBLK fetches in flight
+# behind the current item's compute. VMEM cost: NBUF * MBLK *
+# block_size * kvh * d per cache.
 NBUF = 2
 MBLK = 4
 
@@ -67,21 +77,22 @@ def _decode_kernel(
     # scalar prefetch
     block_tables_ref,  # (S*W,) int32 in SMEM
     ctx_lens_ref,      # (S,) int32 in SMEM
-    base_ref,          # (2,) int32 — [flat-cache layer offset, window]
+    base_ref,          # (3,) int32 — [flat-cache layer offset, window, n_work]
+    work_ref,          # (3, WI) int32 — [seq, super-block js, flags] per item
     # inputs
-    q_ref,             # (1, h, d) VMEM — this sequence's queries
+    q_ref,             # (S, h, d) VMEM — all queries
     k_hbm,             # (num_slots, kvh, d) ANY/HBM
     v_hbm,
     ks_hbm,            # (total_blocks, kvh, lanes) fp32 ANY — per-block
     vs_hbm,            #   scale slabs (lane l = slot offset l); dummy if
                        #   !quantized
     # outputs
-    o_ref,             # (1, h, d) VMEM
+    o_ref,             # (S, h, d) VMEM
     # scratch
-    kbuf, vbuf,        # (2, bs, kvh, d) VMEM
-    ksbuf, vsbuf,      # (2, 1, kvh, lanes) fp32 VMEM (int8 dequant scales)
+    kbuf, vbuf,        # (NBUF, MBLK*bs, kvh, d) VMEM
+    ksbuf, vsbuf,      # (NBUF, MBLK, kvh, lanes) fp32 VMEM (int8 scales)
     acc, m_i, l_i,     # (h, d) fp32, (h, 128) fp32, (h, 128) fp32
-    sems,              # DMA semaphores (2, 4)
+    sems,              # DMA semaphores (NBUF, MBLK, 4)
     *,
     block_size: int,
     num_kv_heads: int,
@@ -90,26 +101,21 @@ def _decode_kernel(
     quantized: bool,
     softcap: float | None,
 ):
-    s = pl.program_id(0)
-    ctx_len = ctx_lens_ref[s]
-    num_blocks = pl.cdiv(ctx_len, block_size)
-    # Sliding window (Gemma2): keys before ctx_len - window are invalid,
-    # so super-blocks wholly below the window start are never even fetched.
-    win_start = jnp.maximum(ctx_len - base_ref[1], 0)
-    first_super = (win_start // block_size) // MBLK
-    num_super = pl.cdiv(num_blocks, MBLK)
+    total = base_ref[2]
     h = q_ref.shape[1]
     d = q_ref.shape[2]
     g = h // num_kv_heads
     span = MBLK * block_size  # keys per compute pass
 
-    def start_fetch(js, slot):
-        """Fetch super-block js (MBLK gather-DMAs) into `slot`.
+    def start_fetch(i, slot):
+        """Fetch work item i's super-block (MBLK gather-DMAs) into `slot`.
 
         Sub-blocks past the sequence's block count clamp to the last
         table entry — table padding points at the trash block, so the
         fetched data is finite (never uninitialized VMEM, whose NaNs
         would poison the 0-weighted PV matmul) and fully masked."""
+        s = work_ref[0, i]
+        js = work_ref[1, i]
         for m in range(MBLK):
             j = jnp.minimum(js * MBLK + m, max_blocks - 1)
             blk = block_tables_ref[s * max_blocks + j]
@@ -155,37 +161,49 @@ def _decode_kernel(
                     sems.at[slot, m, 3],
                 ).wait()
 
-    @pl.when(num_super > first_super)
+    @pl.when(total > 0)
     def _():
-        start_fetch(first_super, first_super % NBUF)
+        start_fetch(0, 0)
 
-    acc[...] = jnp.zeros_like(acc)
-    m_i[...] = jnp.full_like(m_i, NEG_INF)
-    l_i[...] = jnp.zeros_like(l_i)
+    # Padding rows (never in the work list) must still produce finite
+    # output; the zero fill overlaps the first item's DMA.
+    o_ref[...] = jnp.zeros_like(o_ref)
 
-    # fp32 MXU operands: measured faster than bf16 here — the per-head
-    # (g, span) matmuls have tiny, often odd M (g = h/kvh), and bf16's
-    # sublane-pair layout forces relayouts that cost far more than the
-    # fp32 rate penalty (6x regression measured at g=7 on v5e).
-    q = q_ref[0].astype(jnp.float32) * scale  # (h, d)
+    def body(i, _):
+        slot = i % NBUF
 
-    def body(js, _):
-        slot = js % NBUF
-
-        @pl.when(js + 1 < num_super)
+        @pl.when(i + 1 < total)
         def _():
-            start_fetch(js + 1, (js + 1) % NBUF)
+            start_fetch(i + 1, (i + 1) % NBUF)
 
         wait_fetch(slot)
+        s = work_ref[0, i]
+        js = work_ref[1, i]
+        flags = work_ref[2, i]  # bit0: first item of seq, bit1: last
+
+        @pl.when(flags & 1 == 1)
+        def _():
+            acc[...] = jnp.zeros_like(acc)
+            m_i[...] = jnp.full_like(m_i, NEG_INF)
+            l_i[...] = jnp.zeros_like(l_i)
+
+        ctx_len = ctx_lens_ref[s]
+        win_start = jnp.maximum(ctx_len - base_ref[1], 0)
+        # fp32 MXU operands: measured faster than bf16 here — the
+        # per-head (g, span) matmuls have tiny, often odd M (g = h/kvh),
+        # and bf16's sublane-pair layout forces relayouts that cost far
+        # more than the fp32 rate penalty (6x regression at g=7 on v5e).
+        q = q_ref[s].astype(jnp.float32) * scale  # (h, d)
         k = kbuf[slot].astype(jnp.float32)  # (span, kvh, d)
         v = vbuf[slot].astype(jnp.float32)
         if quantized:
             # Scale slabs: ksbuf[slot] is (MBLK, kvh, lanes); lane l of
-            # sub-block m, head kv holds the dequant scale of slot offset
-            # l. Assemble a (kvh-indexable) per-head (1, span) scale row
-            # by lane-concatenating the MBLK sub-slabs (Mosaic supports
-            # lane concat; a (MBLK,kvh,bs)->(kvh,span) shape cast doesn't
-            # lower). Mathematically identical to dequantizing k/v.
+            # sub-block m, head kv holds the dequant scale of slot
+            # offset l. Assemble a per-head (1, span) scale row by
+            # lane-concatenating the MBLK sub-slabs (Mosaic supports
+            # lane concat; a (MBLK,kvh,bs)->(kvh,span) shape cast
+            # doesn't lower). Mathematically identical to dequantizing
+            # k/v.
             ksb = ksbuf[slot]
             vsb = vsbuf[slot]
 
@@ -194,6 +212,7 @@ def _decode_kernel(
                     [slab[m, kv : kv + 1, :block_size] for m in range(MBLK)],
                     axis=1,
                 )  # (1, span)
+
         # Per-KV-head 2D matmuls (static unroll — Mosaic requires equal
         # batch-dim positions, so grouped batched dots are avoided).
         score_rows = []
@@ -237,13 +256,46 @@ def _decode_kernel(
         acc[...] = acc[...] * alpha + pv
         m_i[...] = jnp.broadcast_to(m_new, m_i.shape)
         l_i[...] = jnp.broadcast_to(l_new, l_i.shape)
+
+        @pl.when(flags & 2 == 2)
+        def _():
+            denom = jnp.maximum(l_i[:, 0:1], 1e-30)
+            o_ref[s] = (acc[...] / denom).astype(o_ref.dtype)
+
         return 0
 
-    jax.lax.fori_loop(first_super, num_super, body, 0)
-    denom = jnp.maximum(l_i[:, 0:1], 1e-30)
-    out = acc[...] / denom
-    # Fully-masked rows (padding sequences) produce 0/eps -> 0; keep finite.
-    o_ref[0] = out.astype(o_ref.dtype)
+    jax.lax.fori_loop(0, total, body, 0)
+
+
+def _build_work_list(ctx_lens, window, block_size: int, max_blocks: int):
+    """Flat (seq, super-block) work list, computed in-jit.
+
+    Returns (work (3, WI) int32, n_work (int32 scalar)). Row 0: sequence
+    index; row 1: super-block index within the sequence; row 2: flags
+    (bit0 first-item-of-seq, bit1 last). Items of one sequence are
+    consecutive (the kernel's accumulators carry across them). Padding
+    rows (ctx 0) contribute no items; out-of-window super-blocks are
+    excluded up front so their KV is never fetched."""
+    S = ctx_lens.shape[0]
+    WI = S * ((max_blocks + MBLK - 1) // MBLK)
+    n_blocks = (ctx_lens + block_size - 1) // block_size
+    win_start = jnp.maximum(ctx_lens - window, 0)
+    first = (win_start // block_size) // MBLK
+    n_sup = jnp.maximum((n_blocks + MBLK - 1) // MBLK - first, 0)
+    n_sup = jnp.where(ctx_lens > 0, n_sup, 0)
+    offs = jnp.cumsum(n_sup)
+    total = offs[-1] if S > 0 else jnp.int32(0)
+    i = jnp.arange(WI, dtype=jnp.int32)
+    s_of = jnp.searchsorted(offs, i, side="right").astype(jnp.int32)
+    s_cl = jnp.minimum(s_of, S - 1)
+    start = jnp.where(s_of > 0, offs[jnp.maximum(s_of - 1, 0)], 0)
+    js = first[s_cl] + (i - start)
+    flags = (
+        jnp.where(i == start, 1, 0)
+        | jnp.where(i == start + n_sup[s_cl] - 1, 2, 0)
+    )
+    work = jnp.stack([s_cl, js, flags]).astype(jnp.int32)
+    return work, total.astype(jnp.int32)
 
 
 @functools.partial(
@@ -282,6 +334,8 @@ def decode_attention(
         k_scale = jnp.ones((1, kvh, lanes), jnp.float32)
         v_scale = k_scale
     W = meta.block_tables.shape[1]
+    win = jnp.asarray(window if window is not None else 1 << 30, jnp.int32)
+    work, n_work = _build_work_list(meta.ctx_lens, win, block_size, W)
     kernel = functools.partial(
         _decode_kernel,
         block_size=block_size,
@@ -292,16 +346,16 @@ def decode_attention(
         softcap=softcap,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
-        grid=(S,),
+        num_scalar_prefetch=4,
+        grid=(1,),
         in_specs=[
-            pl.BlockSpec((1, h, d), lambda s, *_: (s, 0, 0)),
+            pl.BlockSpec((S, h, d), lambda *_: (0, 0, 0)),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=pl.BlockSpec((1, h, d), lambda s, *_: (s, 0, 0)),
+        out_specs=pl.BlockSpec((S, h, d), lambda *_: (0, 0, 0)),
         scratch_shapes=[
             pltpu.VMEM((NBUF, MBLK * block_size, kvh, d), k_data.dtype),
             pltpu.VMEM((NBUF, MBLK * block_size, kvh, d), v_data.dtype),
@@ -327,9 +381,11 @@ def decode_attention(
         jnp.stack(
             [
                 jnp.asarray(base, jnp.int32),
-                jnp.asarray(window if window is not None else 1 << 30, jnp.int32),
+                win,
+                n_work,
             ]
         ),
+        work,
         q,
         k_data,
         v_data,
