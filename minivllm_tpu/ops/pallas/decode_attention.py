@@ -46,12 +46,18 @@ from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = float(jnp.finfo(jnp.float32).min)
 
-# KV streaming shape: each pipeline slot holds a super-block of MBLK
-# cache blocks. NBUF slots keep the next item's MBLK fetches in flight
-# behind the current item's compute. VMEM cost: NBUF * MBLK *
-# block_size * kvh * d per cache.
+# KV streaming shape: each pipeline slot holds a super-block of `mblk`
+# cache blocks. NBUF slots keep the next item's fetches in flight behind
+# the current item's compute. VMEM cost: NBUF * mblk * block_size * kvh
+# * d per cache. mblk adapts to the (static) block-table width: wide
+# passes amortize per-item overhead at long contexts (+10% GB/s at ctx
+# >= 1024) but waste VPU/MXU lanes on masked keys at short ones (-30%
+# at ctx 256), so W <= 8 buckets use 4 and larger buckets use 8.
 NBUF = 2
-MBLK = 4
+
+
+def _pick_mblk(max_blocks: int) -> int:
+    return 4 if max_blocks <= 8 else 8
 
 
 def _cache_parts(cache):
@@ -100,66 +106,92 @@ def _decode_kernel(
     max_blocks: int,
     quantized: bool,
     softcap: float | None,
+    mblk: int,
 ):
     total = base_ref[2]
     h = q_ref.shape[1]
     d = q_ref.shape[2]
     g = h // num_kv_heads
-    span = MBLK * block_size  # keys per compute pass
+    span = mblk * block_size  # keys per compute pass
 
-    def start_fetch(i, slot):
-        """Fetch work item i's super-block (MBLK gather-DMAs) into `slot`.
-
-        Sub-blocks past the sequence's block count clamp to the last
-        table entry — table padding points at the trash block, so the
-        fetched data is finite (never uninitialized VMEM, whose NaNs
-        would poison the 0-weighted PV matmul) and fully masked."""
+    def _sub_blocks(i):
+        """(sub-block validity predicate maker) — DMAs for sub-blocks
+        past the sequence's block count are skipped entirely (predicated
+        off), saving both bandwidth and issue slots on ragged tails."""
         s = work_ref[0, i]
         js = work_ref[1, i]
-        for m in range(MBLK):
-            j = jnp.minimum(js * MBLK + m, max_blocks - 1)
+        nb = pl.cdiv(ctx_lens_ref[s], block_size)
+        return s, js, nb
+
+    def start_fetch(i, slot):
+        """Fetch work item i's super-block (up to mblk gather-DMAs)
+        into `slot`."""
+        s, js, nb = _sub_blocks(i)
+        for m in range(mblk):
+            j = jnp.minimum(js * mblk + m, max_blocks - 1)
             blk = block_tables_ref[s * max_blocks + j]
             off = base_ref[0] + blk * block_size
             dst = pl.ds(m * block_size, block_size)
-            pltpu.make_async_copy(
-                k_hbm.at[pl.ds(off, block_size)], kbuf.at[slot, dst],
-                sems.at[slot, m, 0],
-            ).start()
-            pltpu.make_async_copy(
-                v_hbm.at[pl.ds(off, block_size)], vbuf.at[slot, dst],
-                sems.at[slot, m, 1],
-            ).start()
-            if quantized:
-                row = off // block_size
-                pltpu.make_async_copy(
-                    ks_hbm.at[pl.ds(row, 1)], ksbuf.at[slot, pl.ds(m, 1)],
-                    sems.at[slot, m, 2],
-                ).start()
-                pltpu.make_async_copy(
-                    vs_hbm.at[pl.ds(row, 1)], vsbuf.at[slot, pl.ds(m, 1)],
-                    sems.at[slot, m, 3],
-                ).start()
 
-    def wait_fetch(slot):
-        for m in range(MBLK):
+            @pl.when(js * mblk + m < nb)
+            def _():
+                pltpu.make_async_copy(
+                    k_hbm.at[pl.ds(off, block_size)], kbuf.at[slot, dst],
+                    sems.at[slot, m, 0],
+                ).start()
+                pltpu.make_async_copy(
+                    v_hbm.at[pl.ds(off, block_size)], vbuf.at[slot, dst],
+                    sems.at[slot, m, 1],
+                ).start()
+                if quantized:
+                    row = off // block_size
+                    pltpu.make_async_copy(
+                        ks_hbm.at[pl.ds(row, 1)],
+                        ksbuf.at[slot, pl.ds(m, 1)],
+                        sems.at[slot, m, 2],
+                    ).start()
+                    pltpu.make_async_copy(
+                        vs_hbm.at[pl.ds(row, 1)],
+                        vsbuf.at[slot, pl.ds(m, 1)],
+                        sems.at[slot, m, 3],
+                    ).start()
+
+    def wait_fetch(i, slot):
+        s, js, nb = _sub_blocks(i)
+        for m in range(mblk):
             dst = pl.ds(m * block_size, block_size)
-            pltpu.make_async_copy(
-                k_hbm.at[pl.ds(0, block_size)], kbuf.at[slot, dst],
-                sems.at[slot, m, 0],
-            ).wait()
-            pltpu.make_async_copy(
-                v_hbm.at[pl.ds(0, block_size)], vbuf.at[slot, dst],
-                sems.at[slot, m, 1],
-            ).wait()
-            if quantized:
+
+            @pl.when(js * mblk + m < nb)
+            def _():
                 pltpu.make_async_copy(
-                    ks_hbm.at[pl.ds(0, 1)], ksbuf.at[slot, pl.ds(m, 1)],
-                    sems.at[slot, m, 2],
+                    k_hbm.at[pl.ds(0, block_size)], kbuf.at[slot, dst],
+                    sems.at[slot, m, 0],
                 ).wait()
                 pltpu.make_async_copy(
-                    vs_hbm.at[pl.ds(0, 1)], vsbuf.at[slot, pl.ds(m, 1)],
-                    sems.at[slot, m, 3],
+                    v_hbm.at[pl.ds(0, block_size)], vbuf.at[slot, dst],
+                    sems.at[slot, m, 1],
                 ).wait()
+                if quantized:
+                    pltpu.make_async_copy(
+                        ks_hbm.at[pl.ds(0, 1)], ksbuf.at[slot, pl.ds(m, 1)],
+                        sems.at[slot, m, 2],
+                    ).wait()
+                    pltpu.make_async_copy(
+                        vs_hbm.at[pl.ds(0, 1)], vsbuf.at[slot, pl.ds(m, 1)],
+                        sems.at[slot, m, 3],
+                    ).wait()
+
+    # The V-buffer fill keeps never-fetched (predicated-off) regions
+    # finite: masked scores zero their softmax weights, but 0 * NaN =
+    # NaN in the PV matmul. (Stale data from earlier items is finite
+    # and fully masked, so one fill at kernel start suffices.) It MUST
+    # precede the prologue fetch — a DMA lands in this buffer.
+    vbuf[...] = jnp.zeros_like(vbuf)
+    if quantized:
+        # Same for the V-scale slabs, whose garbage lanes would multiply
+        # the zeroed weights of masked keys (and K-scale for hygiene).
+        ksbuf[...] = jnp.zeros_like(ksbuf)
+        vsbuf[...] = jnp.zeros_like(vsbuf)
 
     @pl.when(total > 0)
     def _():
@@ -176,7 +208,7 @@ def _decode_kernel(
         def _():
             start_fetch(i + 1, (i + 1) % NBUF)
 
-        wait_fetch(slot)
+        wait_fetch(i, slot)
         s = work_ref[0, i]
         js = work_ref[1, i]
         flags = work_ref[2, i]  # bit0: first item of seq, bit1: last
@@ -209,7 +241,7 @@ def _decode_kernel(
 
             def scale_row(slab, kv):
                 return jnp.concatenate(
-                    [slab[m, kv : kv + 1, :block_size] for m in range(MBLK)],
+                    [slab[m, kv : kv + 1, :block_size] for m in range(mblk)],
                     axis=1,
                 )  # (1, span)
 
@@ -267,7 +299,9 @@ def _decode_kernel(
     jax.lax.fori_loop(0, total, body, 0)
 
 
-def _build_work_list(ctx_lens, window, block_size: int, max_blocks: int):
+def _build_work_list(
+    ctx_lens, window, block_size: int, max_blocks: int, mblk: int
+):
     """Flat (seq, super-block) work list, computed in-jit.
 
     Returns (work (3, WI) int32, n_work (int32 scalar)). Row 0: sequence
@@ -277,11 +311,11 @@ def _build_work_list(ctx_lens, window, block_size: int, max_blocks: int):
     rows (ctx 0) contribute no items; out-of-window super-blocks are
     excluded up front so their KV is never fetched."""
     S = ctx_lens.shape[0]
-    WI = S * ((max_blocks + MBLK - 1) // MBLK)
+    WI = S * ((max_blocks + mblk - 1) // mblk)
     n_blocks = (ctx_lens + block_size - 1) // block_size
     win_start = jnp.maximum(ctx_lens - window, 0)
-    first = (win_start // block_size) // MBLK
-    n_sup = jnp.maximum((n_blocks + MBLK - 1) // MBLK - first, 0)
+    first = (win_start // block_size) // mblk
+    n_sup = jnp.maximum((n_blocks + mblk - 1) // mblk - first, 0)
     n_sup = jnp.where(ctx_lens > 0, n_sup, 0)
     offs = jnp.cumsum(n_sup)
     total = offs[-1] if S > 0 else jnp.int32(0)
@@ -334,8 +368,9 @@ def decode_attention(
         k_scale = jnp.ones((1, kvh, lanes), jnp.float32)
         v_scale = k_scale
     W = meta.block_tables.shape[1]
+    mblk = _pick_mblk(W)
     win = jnp.asarray(window if window is not None else 1 << 30, jnp.int32)
-    work, n_work = _build_work_list(meta.ctx_lens, win, block_size, W)
+    work, n_work = _build_work_list(meta.ctx_lens, win, block_size, W, mblk)
     kernel = functools.partial(
         _decode_kernel,
         block_size=block_size,
@@ -344,6 +379,7 @@ def decode_attention(
         max_blocks=W,
         quantized=quantized,
         softcap=softcap,
+        mblk=mblk,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
@@ -357,14 +393,14 @@ def decode_attention(
         ],
         out_specs=pl.BlockSpec((S, h, d), lambda *_: (0, 0, 0)),
         scratch_shapes=[
-            pltpu.VMEM((NBUF, MBLK * block_size, kvh, d), k_data.dtype),
-            pltpu.VMEM((NBUF, MBLK * block_size, kvh, d), v_data.dtype),
-            pltpu.VMEM((NBUF, MBLK, kvh, lanes), jnp.float32),
-            pltpu.VMEM((NBUF, MBLK, kvh, lanes), jnp.float32),
+            pltpu.VMEM((NBUF, mblk * block_size, kvh, d), k_data.dtype),
+            pltpu.VMEM((NBUF, mblk * block_size, kvh, d), v_data.dtype),
+            pltpu.VMEM((NBUF, mblk, kvh, lanes), jnp.float32),
+            pltpu.VMEM((NBUF, mblk, kvh, lanes), jnp.float32),
             pltpu.VMEM((h, d), jnp.float32),
             pltpu.VMEM((h, 128), jnp.float32),
             pltpu.VMEM((h, 128), jnp.float32),
-            pltpu.SemaphoreType.DMA((NBUF, MBLK, 4)),
+            pltpu.SemaphoreType.DMA((NBUF, mblk, 4)),
         ],
     )
     out = pl.pallas_call(

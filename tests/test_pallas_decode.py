@@ -58,6 +58,7 @@ def build_case(rng, ctx_lens, kvh, h, d, num_blocks=32, dtype=jnp.float32,
         ([16, 64], 4, 4),        # exact block multiples, MHA
         ([1], 1, 8),             # single token context, g=8
         ([40, 0, 23, 7], 2, 8),  # padding row with ctx_len=0
+        ([150, 40, 200], 2, 4),  # W>8 -> wide (mblk=8) super-blocks
     ],
 )
 def test_matches_oracle(ctx_lens, kvh, h):
@@ -97,6 +98,12 @@ def test_quantized_cache_matches_oracle():
     dequant exactly (same fp32 math, same values)."""
     rng = np.random.default_rng(3)
     q, kc, vc, meta = build_case(rng, [17, 33, 5, 0], 2, 4, 128, quantized=True)
+    ref = decode_attention_xla(q, kc, vc, meta, 0.125, BS)
+    out = pdec.decode_attention(q, kc, vc, meta, 0.125, BS, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+    # W>8 exercises the wide (mblk=8) super-block path with scale slabs
+    q, kc, vc, meta = build_case(rng, [150, 77], 2, 4, 128, quantized=True)
     ref = decode_attention_xla(q, kc, vc, meta, 0.125, BS)
     out = pdec.decode_attention(q, kc, vc, meta, 0.125, BS, interpret=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
