@@ -17,7 +17,7 @@ from typing import Any, ClassVar
 __all__ = ["Config"]
 
 _VALID_DTYPES = ("auto", "bfloat16", "float32", "float16")
-_VALID_ATTN = ("auto", "pallas", "xla")
+_VALID_ATTN = ("auto", "pallas", "xla", "pallas_interpret")
 
 
 def _default_decode_buckets(max_num_seqs: int) -> list[int]:
@@ -82,7 +82,8 @@ class Config:
     # Data type of the paged KV cache ("auto" follows `dtype`).
     kvcache_dtype: str = "auto"
     # Attention kernel: "pallas" (Mosaic kernels), "xla" (jnp gather oracle),
-    # "auto" picks pallas on TPU and xla elsewhere.
+    # "auto" picks pallas on TPU and xla elsewhere; "pallas_interpret"
+    # runs the Pallas kernels as interpreted jax ops (CPU testing).
     attention_impl: str = "auto"
     # Compile buckets; None -> derived from max_num_seqs / batched tokens.
     decode_seq_buckets: list[int] | None = None
@@ -253,8 +254,14 @@ class Config:
         return self.model_dtype
 
     @property
+    def attention_interpret(self) -> bool:
+        """Run the Pallas kernels in interpret mode (CPU test path for
+        the real kernel code, incl. the shard_map SPMD wrappers)."""
+        return self.attention_impl == "pallas_interpret"
+
+    @property
     def use_pallas_attention(self) -> bool:
-        if self.attention_impl == "pallas":
+        if self.attention_impl in ("pallas", "pallas_interpret"):
             return True
         if self.attention_impl == "xla":
             return False

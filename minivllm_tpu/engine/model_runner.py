@@ -115,6 +115,20 @@ class ModelRunner:
             else _DTYPES.get(config.kv_dtype, jnp.bfloat16)
         )
         self.block_size = config.kvcache_block_size
+        if mesh is None and (
+            config.tensor_parallel_size > 1
+            or config.data_parallel_size > 1
+            or config.sequence_parallel_size > 1
+            or config.pipeline_parallel_size > 1
+        ):
+            from minivllm_tpu.parallel.sharding import make_mesh
+
+            mesh = make_mesh(
+                config.tensor_parallel_size,
+                dp_size=config.data_parallel_size,
+                sp_size=config.sequence_parallel_size,
+                pp_size=config.pipeline_parallel_size,
+            )
         self.mesh = mesh
 
         def axis(name: str, cfg_size: int) -> int:
@@ -123,17 +137,18 @@ class ModelRunner:
         backend_name = "pallas" if config.use_pallas_attention else "xla"
         if backend_name == "pallas" and (
             axis("pp", config.pipeline_parallel_size) > 1
-            or axis("dp", config.data_parallel_size) > 1
-            or axis("sp", config.sequence_parallel_size) > 1
         ):
-            # pp stages run inside a shard_map and dp/sp shard the batch
-            # axes; the Pallas kernels have no SPMD partitioning rule and
-            # assume the full unsharded cache/batch layout — keep the
-            # portable XLA attention path on those meshes (tp/ep shard
-            # only weights/experts and compose with the kernels fine).
-            logger.info("pp/dp/sp mesh axes active: using XLA attention")
+            # pp stages already run the layer stack inside their own
+            # shard_map (parallel/pipeline.py) — nesting the attention
+            # shard_map there is unsupported; keep the portable XLA
+            # attention path on pp meshes. dp/sp/tp/ep compose via the
+            # explicit shard_map wrappers in ops/pallas/spmd.py.
+            logger.info("pp mesh axis active: using XLA attention")
             backend_name = "xla"
-        self.attn_backend = make_backend(backend_name, self.block_size)
+        self.attn_backend = make_backend(
+            backend_name, self.block_size, mesh,
+            interpret=config.attention_interpret,
+        )
         self.model = create_model(config.hf_config, self.dtype, self.attn_backend)
 
         t0 = time.perf_counter()
@@ -159,21 +174,6 @@ class ModelRunner:
                 self.params = self.model.quantize_params(
                     self.params, config.quantization
                 )
-        if mesh is None and (
-            config.tensor_parallel_size > 1
-            or config.data_parallel_size > 1
-            or config.sequence_parallel_size > 1
-            or config.pipeline_parallel_size > 1
-        ):
-            from minivllm_tpu.parallel.sharding import make_mesh
-
-            mesh = make_mesh(
-                config.tensor_parallel_size,
-                dp_size=config.data_parallel_size,
-                sp_size=config.sequence_parallel_size,
-                pp_size=config.pipeline_parallel_size,
-            )
-        self.mesh = mesh
         if self.mesh is not None:
             from minivllm_tpu.parallel.sharding import shard_params
 
@@ -654,8 +654,12 @@ class ModelRunner:
             q_start.append(ofs)
             ofs += -(-ql // Q_TILE) * Q_TILE
         T = _pick_bucket(max(ofs, 1), self.config.prefill_token_buckets)
-        if T % Q_TILE:
-            T = -(-T // Q_TILE) * Q_TILE
+        # Q_TILE alignment for the Pallas kernel; under sequence
+        # parallelism the tile axis also shards evenly over sp
+        # (shard_map needs exact divisibility, unlike GSPMD).
+        mult = Q_TILE * (self.mesh.shape.get("sp", 1) if self.mesh else 1)
+        if T % mult:
+            T = -(-T // mult) * mult
 
         # Row 4 holds the NEXT token id at each packed position (-1 when
         # there is none): the prompt-logprob target — token i+1's logprob

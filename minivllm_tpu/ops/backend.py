@@ -46,23 +46,47 @@ class PallasAttentionBackend:
 
     Falls back to the XLA oracle per-phase when a kernel does not support
     the configuration; selection happens at trace time (static).
+
+    On a multi-device mesh the kernels run inside `shard_map`
+    (ops/pallas/spmd.py) — batch rows over "dp", packed prefill tiles
+    over "sp", heads over "tp" — because a pallas_call has no GSPMD
+    partitioning rule (XLA would replicate the whole KV cache).
+    `interpret=True` runs the kernels as interpreted jax ops (CPU test
+    path for the SPMD wrappers).
     """
 
     name = "pallas"
 
-    def __init__(self, block_size: int) -> None:
+    def __init__(self, block_size: int, mesh=None,
+                 interpret: bool = False) -> None:
         self.block_size = block_size
         self._oracle = XlaAttentionBackend(block_size)
+        self.interpret = interpret
+        self.mesh = None
+        if mesh is not None and any(
+            mesh.shape.get(a, 1) > 1 for a in ("dp", "sp", "ep", "tp")
+        ):
+            self.mesh = mesh
 
     def prefill(self, q, k_cache, v_cache, meta: A.PrefillBatch, scale,
                 base=0, window=None, softcap=None):
         from minivllm_tpu.ops.pallas import prefill_attention as kernel
 
+        softcap = float(softcap) if softcap is not None else None
         if kernel.is_supported(q, k_cache, self.block_size):
+            if self.mesh is not None:
+                from minivllm_tpu.ops.pallas.spmd import (
+                    prefill_attention_spmd,
+                )
+
+                return prefill_attention_spmd(
+                    self.mesh, q, k_cache, v_cache, meta, scale,
+                    self.block_size, base, window=window, softcap=softcap,
+                    interpret=self.interpret,
+                )
             return kernel.prefill_attention(
                 q, k_cache, v_cache, meta, scale, self.block_size, base,
-                window=window,
-                softcap=float(softcap) if softcap is not None else None,
+                window=window, softcap=softcap, interpret=self.interpret,
             )
         return self._oracle.prefill(
             q, k_cache, v_cache, meta, scale, base, window, softcap
@@ -72,22 +96,33 @@ class PallasAttentionBackend:
                base=0, window=None, softcap=None):
         from minivllm_tpu.ops.pallas import decode_attention as kernel
 
+        softcap = float(softcap) if softcap is not None else None
         if kernel.is_supported(q, k_cache, self.block_size):
             # window/softcap are in-kernel (sliding-window blocks are
             # never fetched); softcap must be a static float.
+            if self.mesh is not None:
+                from minivllm_tpu.ops.pallas.spmd import (
+                    decode_attention_spmd,
+                )
+
+                return decode_attention_spmd(
+                    self.mesh, q, k_cache, v_cache, meta, scale,
+                    self.block_size, base, window=window, softcap=softcap,
+                    interpret=self.interpret,
+                )
             return kernel.decode_attention(
                 q, k_cache, v_cache, meta, scale, self.block_size, base,
-                window=window,
-                softcap=float(softcap) if softcap is not None else None,
+                window=window, softcap=softcap, interpret=self.interpret,
             )
         return self._oracle.decode(
             q, k_cache, v_cache, meta, scale, base, window, softcap
         )
 
 
-def make_backend(name: str, block_size: int):
+def make_backend(name: str, block_size: int, mesh=None,
+                 interpret: bool = False):
     if name == "xla":
         return XlaAttentionBackend(block_size)
     if name == "pallas":
-        return PallasAttentionBackend(block_size)
+        return PallasAttentionBackend(block_size, mesh, interpret)
     raise ValueError(f"unknown attention backend {name!r}")

@@ -228,44 +228,15 @@ def _prefill_kernel(
     o_ref[...] = out.reshape(Q_TILE, h, d).astype(o_ref.dtype)
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("scale", "block_size", "interpret", "softcap"),
-)
-def prefill_attention(
-    q: jnp.ndarray,
-    k_cache: jnp.ndarray,
-    v_cache: jnp.ndarray,
-    meta,
-    scale: float,
-    block_size: int,
-    base=0,
-    window=None,
-    softcap: float | None = None,
-    interpret: bool = False,
-) -> jnp.ndarray:
-    """Tile-aligned packed varlen prefill flash attention.
+def tile_metadata(meta, nt: int):
+    """Per-tile metadata from the per-sequence packing arrays, in-jit.
 
-    Requires the runner's Q_TILE-aligned packing: meta.q_start (S,) row
-    offsets, meta.q_lens (S,), plus positions/ctx_lens/block_tables.
-    `window` bounds attention to the trailing window per query (sliding-
-    window models; blocks wholly below a tile's window are not fetched);
-    `softcap` (static) applies tanh score capping in-kernel.
-    """
-    T, h, d = q.shape
-    k_data, k_scale, quantized = _cache_parts(k_cache)
-    v_data, v_scale, _ = _cache_parts(v_cache)
-    kvh = k_data.shape[1]
-    lanes = k_scale.shape[-1] if quantized else 128
-    if not quantized:
-        # dummies keep one kernel signature; never DMA'd when !quantized
-        k_scale = jnp.ones((1, kvh, lanes), jnp.float32)
-        v_scale = k_scale
-    W = meta.block_tables.shape[1]
-    nt = T // Q_TILE
-    S = meta.q_start.shape[0]
-
-    # Host-free tile metadata (computed in-jit from per-seq arrays).
+    Each Q_TILE-row tile belongs to exactly one sequence (the runner
+    packs at Q_TILE-aligned offsets). Returns (tile_seq, tile_pos0,
+    tile_rows), each (nt,) int32; padding tiles get tile_seq = -1.
+    Computed at the GLOBAL packed layout — under sequence parallelism
+    the arrays shard along tiles and the kernel needs no other change
+    (it never reads q_start directly)."""
     tile_idx = jnp.arange(nt, dtype=jnp.int32)
     starts = meta.q_start // Q_TILE                  # (S,) first tile of seq
     n_tiles = (meta.q_lens + Q_TILE - 1) // Q_TILE   # (S,)
@@ -287,6 +258,36 @@ def prefill_attention(
     tile_rows = jnp.clip(
         meta.q_lens[s_clamped] - local * Q_TILE, 0, Q_TILE
     )
+    return tile_seq, tile_pos0, tile_rows
+
+
+def prefill_attention_tiles(
+    q: jnp.ndarray,
+    k_cache: jnp.ndarray,
+    v_cache: jnp.ndarray,
+    tile_seq, tile_pos0, tile_rows,
+    block_tables, ctx_lens,
+    scale: float,
+    block_size: int,
+    base=0,
+    window=None,
+    softcap: float | None = None,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Tile-level entry: takes precomputed (possibly sharded) per-tile
+    metadata — the shard_map SPMD path enters here with tiles/q sharded
+    along the packed-token axis."""
+    T, h, d = q.shape
+    k_data, k_scale, quantized = _cache_parts(k_cache)
+    v_data, v_scale, _ = _cache_parts(v_cache)
+    kvh = k_data.shape[1]
+    lanes = k_scale.shape[-1] if quantized else 128
+    if not quantized:
+        # dummies keep one kernel signature; never DMA'd when !quantized
+        k_scale = jnp.ones((1, kvh, lanes), jnp.float32)
+        v_scale = k_scale
+    W = block_tables.shape[1]
+    nt = T // Q_TILE
 
     kernel = functools.partial(
         _prefill_kernel,
@@ -329,7 +330,7 @@ def prefill_attention(
         interpret=interpret,
     )(
         tile_seq, tile_pos0, tile_rows,
-        meta.block_tables.reshape(-1), meta.ctx_lens,
+        block_tables.reshape(-1), ctx_lens,
         jnp.stack(
             [
                 jnp.asarray(base, jnp.int32),
@@ -337,4 +338,37 @@ def prefill_attention(
             ]
         ),
         q, k_data, v_data, k_scale, v_scale,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("scale", "block_size", "interpret", "softcap"),
+)
+def prefill_attention(
+    q: jnp.ndarray,
+    k_cache: jnp.ndarray,
+    v_cache: jnp.ndarray,
+    meta,
+    scale: float,
+    block_size: int,
+    base=0,
+    window=None,
+    softcap: float | None = None,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Tile-aligned packed varlen prefill flash attention.
+
+    Requires the runner's Q_TILE-aligned packing: meta.q_start (S,) row
+    offsets, meta.q_lens (S,), plus positions/ctx_lens/block_tables.
+    `window` bounds attention to the trailing window per query (sliding-
+    window models; blocks wholly below a tile's window are not fetched);
+    `softcap` (static) applies tanh score capping in-kernel.
+    """
+    nt = q.shape[0] // Q_TILE
+    tile_seq, tile_pos0, tile_rows = tile_metadata(meta, nt)
+    return prefill_attention_tiles(
+        q, k_cache, v_cache, tile_seq, tile_pos0, tile_rows,
+        meta.block_tables, meta.ctx_lens, scale, block_size, base,
+        window, softcap, interpret,
     )

@@ -12,7 +12,11 @@ Passes (every mesh axis the engine supports, each with real shardings):
 (4) [n even] dense over ("sp", "tp") = (2, n/2): packed prefill tokens
     sharded over sp (sequence-parallel long-prompt prefill);
 (5) [n even] dense over ("pp", "tp") = (2, n/2): layer-pipeline stages,
-    microbatches flowing through ppermute hand-offs (parallel/pipeline.py).
+    microbatches flowing through ppermute hand-offs (parallel/pipeline.py);
+(6) [n even] dense over ("dp", "tp") with the PALLAS attention kernels in
+    interpret mode inside their shard_map SPMD wrappers
+    (ops/pallas/spmd.py) — validates the real kernel partitioning, not
+    just the XLA oracle path.
 """
 
 from __future__ import annotations
@@ -68,6 +72,13 @@ def run_dryrun(n_devices: int) -> None:
             ("dense dp x tp", dense, {"tp_size": half, "dp_size": 2}),
             ("dense sp x tp", dense, {"tp_size": half, "sp_size": 2}),
             ("dense pp x tp", dense, {"tp_size": half, "pp_size": 2}),
+            (
+                # d=128: the Pallas kernels' lane requirement
+                "pallas dp x tp",
+                {**dense, "head_dim": 128, "num_attention_heads": 4,
+                 "num_key_value_heads": 2},
+                {"tp_size": min(half, 2), "dp_size": 2},
+            ),
         ]
 
     for name, cfg_dict, mesh_kw in passes:
@@ -86,7 +97,9 @@ def run_dryrun(n_devices: int) -> None:
             sequence_parallel_size=mesh_kw.get("sp_size", 1),
             pipeline_parallel_size=mesh_kw.get("pp_size", 1),
             dtype="float32",
-            attention_impl="xla",
+            attention_impl=(
+                "pallas_interpret" if name.startswith("pallas") else "xla"
+            ),
         )
         mesh = make_mesh(**mesh_kw)
         runner = ModelRunner(config, init_random=True, mesh=mesh)

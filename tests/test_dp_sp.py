@@ -32,11 +32,11 @@ def ckpt(tmp_path_factory):
     )
 
 
-def run_tokens(ckpt, *, tp=1, dp=1, sp=1):
+def run_tokens(ckpt, *, tp=1, dp=1, sp=1, attn="xla"):
     cfg = Config(
         model=str(ckpt), max_num_seqs=4, max_model_len=128,
         max_num_batched_tokens=128, kvcache_block_size=16,
-        num_kvcache_blocks=32, dtype="float32", attention_impl="xla",
+        num_kvcache_blocks=32, dtype="float32", attention_impl=attn,
         tensor_parallel_size=tp, data_parallel_size=dp,
         sequence_parallel_size=sp,
     )
@@ -86,3 +86,31 @@ def test_dp_sp_tp_composed(ckpt, ref):
 def test_mesh_axis_sizes_validated():
     with pytest.raises(ValueError, match="power of two"):
         Config(model="x", hf_config=object(), data_parallel_size=3)
+
+
+
+# -- Pallas kernels under dp/sp/tp via shard_map (interpret mode) ----------
+
+
+@pytest.fixture(scope="module")
+def ckpt128(tmp_path_factory):
+    """head_dim=128 (the Pallas kernels' lane requirement)."""
+    return make_tiny_checkpoint(
+        "qwen3",
+        tmp_path_factory.mktemp("dpsp128") / "m",
+        num_attention_heads=4,
+        num_key_value_heads=2,
+        head_dim=128,
+        hidden_size=64,
+    )
+
+
+def test_pallas_spmd_engine_parity(ckpt128):
+    """The real Pallas kernels (interpret mode) inside the shard_map SPMD
+    wrappers produce the same greedy tokens as the XLA oracle, across
+    dp / sp / tp meshes — previously those meshes forced the oracle."""
+    ref = run_tokens(ckpt128)  # single-device oracle
+    assert run_tokens(ckpt128, attn="pallas_interpret") == ref
+    assert run_tokens(ckpt128, dp=2, attn="pallas_interpret") == ref
+    assert run_tokens(ckpt128, sp=2, attn="pallas_interpret") == ref
+    assert run_tokens(ckpt128, tp=2, dp=2, attn="pallas_interpret") == ref
