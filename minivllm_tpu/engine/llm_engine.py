@@ -282,6 +282,74 @@ class LLMEngine:
             seq_ids.append(seq.seq_id)
         return seq_ids
 
+    def warmup(
+        self,
+        prompt_len: int | None = None,
+        batch_sizes: list[int] | None = None,
+        max_tokens: list[int] | None = None,
+        sampled: bool = True,
+    ) -> int:
+        """Precompile the serving working set at boot (roadmap "bucket
+        precompile"): drives dummy generations through every decode
+        batch-size bucket at the dominant fused-decode window and the
+        single-step path, in greedy and (optionally) filtered-sampling
+        variants — so first-request latency does not include bucket
+        compiles (~10-60s each through a compile relay; the persistent
+        compile cache then makes this a once-per-binary cost).
+
+        Prefix caching is suspended for the dummy prompts, so warmup
+        neither pollutes the block hash table nor short-circuits its own
+        prefill shapes. Buckets not covered (unusual block-table widths,
+        logprob/penalty variants) still compile lazily on first hit.
+        Returns the number of warmup generations run."""
+        import dataclasses
+
+        import numpy as np
+
+        if not self.is_finished():
+            raise RuntimeError("warmup requires an idle engine")
+        cfg = self.config
+        if batch_sizes is None:
+            batch_sizes = [
+                b for b in cfg.decode_seq_buckets if b <= cfg.max_num_seqs
+            ]
+        if max_tokens is None:
+            # mt = K+1: after the prefill's first token, K remain -> the
+            # pow2 window is exactly K. mt=2 warms single-step decode.
+            max_tokens = sorted({cfg.decode_multi_step + 1, 2})
+        if prompt_len is None:
+            prompt_len = max(16, min(cfg.max_model_len // 4, 256))
+        prompt_len = min(prompt_len, cfg.max_model_len - max(max_tokens) - 1)
+        variants = [SamplingParams(temperature=0.0, ignore_eos=True)]
+        if sampled:
+            variants.append(
+                SamplingParams(temperature=0.8, top_p=0.95, ignore_eos=True)
+            )
+        vocab = int(getattr(cfg.hf_config, "vocab_size", 1000))
+        rng = np.random.default_rng(0)
+        bm = self.scheduler.block_manager
+        saved = bm.enable_prefix_caching
+        bm.enable_prefix_caching = False
+        runs = 0
+        try:
+            for S in batch_sizes:
+                for mt in max_tokens:
+                    for sp in variants:
+                        prompts = [
+                            [int(t) for t in rng.integers(1, vocab, prompt_len)]
+                            for _ in range(S)
+                        ]
+                        params = dataclasses.replace(sp, max_tokens=mt)
+                        self.generate(prompts, params, use_tqdm=False)
+                        runs += 1
+        finally:
+            bm.enable_prefix_caching = saved
+        logger.info(
+            "warmup: %d generations over %d batch buckets", runs,
+            len(batch_sizes),
+        )
+        return runs
+
     def get_stats(self) -> dict:
         """Serving statistics: timing percentiles, throughput, prefix-cache
         hit rate, speculative-pipeline hits, preemptions."""

@@ -74,10 +74,17 @@ class AsyncEngine:
     same granularity the device produces them).
     """
 
-    def __init__(self, config: Config, *, init_random: bool = False) -> None:
+    def __init__(
+        self, config: Config, *, init_random: bool = False,
+        warmup: bool = False,
+    ) -> None:
         from minivllm_tpu.engine.llm_engine import LLMEngine
 
         self.engine = LLMEngine(config, init_random=init_random)
+        if warmup:
+            # Before the loop thread exists — the engine is not
+            # thread-safe and warmup drives generate() itself.
+            self.engine.warmup()
         self._intake: queue.Queue = queue.Queue()
         self._aborts: queue.Queue = queue.Queue()
         self.num_aborted = 0
@@ -564,6 +571,12 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--kv-dtype", default="auto")
     p.add_argument("--dtype", default="bfloat16")
     p.add_argument("--tensor-parallel-size", type=int, default=1)
+    p.add_argument(
+        "--warmup", action="store_true",
+        help="precompile the serving bucket working set before accepting "
+        "traffic (engine.warmup(); first-request latency then excludes "
+        "bucket compiles)",
+    )
     args = p.parse_args(argv)
 
     config = Config(
@@ -576,7 +589,9 @@ def main(argv: list[str] | None = None) -> None:
         dtype=args.dtype,
         tensor_parallel_size=args.tensor_parallel_size,
     )
-    async_engine = AsyncEngine(config)
+    if args.warmup:
+        logger.info("warming compile buckets...")
+    async_engine = AsyncEngine(config, warmup=args.warmup)
     server = create_server(async_engine, args.host, args.port)
     logger.info("serving %s on %s:%d", args.model, args.host, args.port)
     try:

@@ -216,3 +216,34 @@ def test_preemption_recovers_correct_output(tiny_qwen3):
     tight, stats = run(10)
     assert stats["num_preemptions"] > 0, "expected memory-pressure preemption"
     assert tight == ample
+
+
+def test_warmup_precompiles_buckets(llm):
+    """After warmup, a generate hitting the warmed buckets triggers no
+    new jit compilation (cache sizes across compiled step fns stay
+    fixed), and the prefix-cache hash table stays clean."""
+    import numpy as np
+
+    runner = llm.model_runner
+    bm = llm.scheduler.block_manager
+    hashes_before = dict(bm.hash_to_block_id)
+    runs = llm.warmup(prompt_len=24, batch_sizes=[2], max_tokens=[3, 2])
+    assert runs == 4  # 2 windows x (greedy + sampled)
+    assert bm.enable_prefix_caching  # restored
+    # dummy prompts left no new cache entries
+    assert bm.hash_to_block_id == hashes_before
+
+    def cache_sizes():
+        return {
+            k: fn._cache_size() for k, fn in runner._compiled.items()
+        }
+    before = cache_sizes()
+    rng = np.random.default_rng(9)
+    prompts = [[int(t) for t in rng.integers(1, 150, 24)] for _ in range(2)]
+    llm.generate(
+        prompts,
+        SamplingParams(temperature=0.0, max_tokens=3, ignore_eos=True),
+        use_tqdm=False,
+    )
+    after = cache_sizes()
+    assert after == before, "post-warmup generate triggered a new compile"
