@@ -84,10 +84,25 @@ def pipeline_forward(
 ):
     """Drop-in replacement for model.forward on a mesh with pp > 1."""
     ppn = mesh.shape["pp"]
-    M = num_microbatches or ppn
     n_local = model.num_layers // ppn
     x, aux = model.pre_layers(params, batch)
     N = x.shape[0]
+    M = num_microbatches
+    if M is None:
+        # Adaptive microbatch count: the bubble fraction is
+        # (P-1)/(M+P-1), so more microbatches help — but each one must
+        # still keep the MXU fed (>= min_rows rows) and too many just
+        # multiply per-tick overhead; cap the schedule at 4 ticks of
+        # work per stage. N and ppn are powers of two, so doubling
+        # preserves divisibility.
+        min_rows = 64 if is_prefill else 8
+        M = ppn
+        while (
+            M * 2 <= 4 * ppn
+            and N % (M * 2) == 0
+            and N // (M * 2) >= min_rows
+        ):
+            M *= 2
     if N % M:
         raise ValueError(f"batch axis {N} not divisible by {M} microbatches")
     xs = x.reshape(M, N // M, *x.shape[1:])

@@ -97,3 +97,36 @@ def test_pp_gemma2_alternating_windows(tmp_path):
     )
     ref = run_tokens(ckpt)
     assert run_tokens(ckpt, pp=2) == ref
+
+
+def test_pp_adaptive_microbatches_large_batch(ckpt):
+    """A 32-row decode batch raises the adaptive microbatch count above
+    the stage count (bubble shrinks (P-1)/(M+P-1)); outputs must still
+    match single-device execution exactly."""
+
+    def run(pp):
+        cfg = Config(
+            model=str(ckpt), max_num_seqs=32, max_model_len=64,
+            max_num_batched_tokens=2048, kvcache_block_size=16,
+            num_kvcache_blocks=128, dtype="float32", attention_impl="xla",
+            pipeline_parallel_size=pp,
+        )
+        mesh = make_mesh(1, pp_size=pp) if pp > 1 else None
+        runner = ModelRunner(cfg, mesh=mesh)
+        seqs = [
+            Sequence([1 + (i % 50), 3 + i % 7, 9], SamplingParams(temperature=0.0),
+                     block_size=16)
+            for i in range(32)
+        ]
+        for i, s in enumerate(seqs):
+            s.block_table = [i]
+        out = [runner.run(seqs, is_prefill=True)]
+        for t, s in zip(out[-1], seqs):
+            s.append_token(int(t))
+        for _ in range(2):
+            out.append(runner.run(seqs, is_prefill=False))
+            for t, s in zip(out[-1], seqs):
+                s.append_token(int(t))
+        return out
+
+    assert run(2) == run(1)
