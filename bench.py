@@ -86,14 +86,16 @@ def main() -> None:
     # bucket the measured run will use.
     llm.generate(prompts, sp, use_tqdm=False)
     llm.generate(prompts, sp, use_tqdm=False)
-    # Three measured passes to average out relay/dispatch jitter.
-    gen_tokens = 0
-    t0 = time.perf_counter()
-    for _ in range(3):
+    # Median of per-pass throughput: the TPU here sits behind a relay
+    # whose per-dispatch latency jitters by tens of ms — a single slow
+    # round trip would skew a mean over so short a workload.
+    rates = []
+    for _ in range(5):
+        t0 = time.perf_counter()
         outs = llm.generate(prompts, sp, use_tqdm=False)
-        gen_tokens += sum(len(o["token_ids"]) for o in outs)
-    elapsed = time.perf_counter() - t0
-    tok_s = gen_tokens / elapsed
+        dt = time.perf_counter() - t0
+        rates.append(sum(len(o["token_ids"]) for o in outs) / dt)
+    tok_s = sorted(rates)[len(rates) // 2]
 
     baseline = 39.9 if on_tpu else 8.7  # BASELINE.md Qwen3-0.6B NPU / CPU
     print(

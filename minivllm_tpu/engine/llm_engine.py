@@ -111,6 +111,27 @@ class LLMEngine:
         llm_engine.py:203-251)."""
         t0 = perf_counter()
         seqs, is_prefill = self.scheduler.schedule()
+
+        def pick_window() -> int:
+            """Adaptive fused-decode window: pow2 ceiling of the fewest
+            remaining tokens, clamped by the model length and K_max."""
+            rem = max(
+                1,
+                min(
+                    s.sampling_params.max_tokens - s.num_completion_tokens
+                    for s in seqs
+                ),
+            )
+            hard = min(self.config.max_model_len - len(s) for s in seqs)
+            k = min(
+                self.config.decode_multi_step,
+                1 << (rem - 1).bit_length(),  # ceil pow2: overshoot < 2x
+                max(hard, 1),
+            )
+            return 1 << (k.bit_length() - 1)  # floor to a power of two
+
+        K = 1
+        fused_cached = False
         if is_prefill:
             chunk_tokens = sum(
                 (s.chunk_range[1] - s.chunk_range[0]) if s.chunk_range else 0
@@ -119,6 +140,37 @@ class LLMEngine:
             completing = [
                 s for s in seqs if s.num_computed_tokens >= len(s)
             ]
+            # Fused cached prefill: when every scheduled prompt has exactly
+            # ONE uncached token left (all blocks prefix-cache hits, or a
+            # final 1-token chunk), the step is shape-wise a decode — so
+            # instead of dispatching it alone and the first decode window
+            # separately, reserve the window's blocks now and run prompt
+            # token + first K-1 completion tokens as ONE fused dispatch.
+            # Halves dispatches (and per-dispatch host/relay latency) for
+            # cache-hot serving. Skipped when other running sequences
+            # would sit out the window, or for penalty/logprob requests
+            # (those need the single-step path).
+            bm = self.scheduler.block_manager
+            if (
+                self.config.decode_multi_step > 1
+                and seqs
+                and len(completing) == len(seqs)
+                and all(s.chunk_range == (len(s) - 1, len(s)) for s in seqs)
+                and len(self.scheduler.running) == len(seqs)
+                and not any(
+                    s.sampling_params.has_penalties
+                    or s.sampling_params.logprobs is not None
+                    or s.sampling_params.prompt_logprobs is not None
+                    for s in seqs
+                )
+            ):
+                K = pick_window()
+                if K > 1 and all(bm.can_append(s, K) for s in seqs):
+                    for s in seqs:
+                        bm.may_append(s, K)
+                    fused_cached = True
+                else:
+                    K = 1
         # Adaptive multi-step decode: fuse a power-of-two window sized to
         # the batch, so R remaining tokens decode in O(log R) dispatches
         # (often one) instead of R. Power-of-two windows bound the number
@@ -129,26 +181,12 @@ class LLMEngine:
         # fully rewritten by any future owner's prefill). Only the model
         # length is a hard clamp — positions must stay inside the block
         # table.
-        K = 1
         if not is_prefill and seqs and not any(
             s.sampling_params.has_penalties
             or s.sampling_params.logprobs is not None
             for s in seqs
         ):
-            rem = max(
-                1,
-                min(
-                    s.sampling_params.max_tokens - s.num_completion_tokens
-                    for s in seqs
-                ),
-            )
-            hard = min(self.config.max_model_len - len(s) for s in seqs)
-            K = min(
-                self.config.decode_multi_step,
-                1 << (rem - 1).bit_length(),  # ceil pow2: overshoot < 2x
-                max(hard, 1),
-            )
-            K = 1 << (K.bit_length() - 1)  # floor to a power of two
+            K = pick_window()
         appended = 0
         if K > 1:
             for step_toks in self.model_runner.run_multi(seqs, K):
@@ -177,7 +215,13 @@ class LLMEngine:
                     seq.arrival_time = None  # only the first token counts
         else:
             n = appended
-        self.metrics.record("prefill" if is_prefill else "decode", n, now - t0)
+        # A fused cached-prefill window is decode-shaped work: every
+        # appended token (prompt's last + K-1 completions) is decode-rate.
+        self.metrics.record(
+            "decode" if (fused_cached or not is_prefill) else "prefill",
+            appended if fused_cached else n,
+            now - t0,
+        )
         outputs = [
             (
                 seq.seq_id,
@@ -190,7 +234,7 @@ class LLMEngine:
             for seq in seqs
             if seq.is_finished
         ]
-        num_tokens = chunk_tokens if is_prefill else -appended
+        num_tokens = -appended if (fused_cached or not is_prefill) else chunk_tokens
         return outputs, num_tokens
 
     def is_finished(self) -> bool:

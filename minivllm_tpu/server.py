@@ -496,6 +496,7 @@ def create_server(
             sent_text = 0
             all_ids: list[int] = []
             stopped = False
+            completed = False
             try:
                 if echo_text:
                     # OpenAI streams the echoed prompt as the first chunk.
@@ -551,10 +552,17 @@ def create_server(
                 send_event("[DONE]")
                 self.wfile.write(b"0\r\n\r\n")
                 self.wfile.flush()
-            except (BrokenPipeError, ConnectionResetError):
-                # Client went away mid-stream: cancel the generation so
-                # its KV blocks free immediately.
-                async_engine.abort(req)
+                completed = True
+            except (BrokenPipeError, ConnectionResetError, OSError):
+                pass  # dead socket; the finally below cancels the request
+            finally:
+                if not completed:
+                    # Any abnormal exit (client went away mid-stream, socket
+                    # error, stop-string break with the client already gone)
+                    # cancels the generation so its KV blocks free
+                    # immediately; aborting an already-finished request is a
+                    # no-op.
+                    async_engine.abort(req)
 
     return ThreadingHTTPServer((host, port), Handler)
 

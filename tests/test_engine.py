@@ -247,3 +247,28 @@ def test_warmup_precompiles_buckets(llm):
     )
     after = cache_sizes()
     assert after == before, "post-warmup generate triggered a new compile"
+
+
+def test_cached_prefill_fuses_into_decode_window(tiny_qwen3):
+    """A fully-prefix-cached prompt runs its last prompt token AND the
+    whole completion in ONE fused dispatch (no separate cached-prefill
+    step), still matching HF greedy output exactly."""
+    llm = LLM(Config(
+        model=str(tiny_qwen3), max_num_seqs=8, max_model_len=256,
+        max_num_batched_tokens=256, kvcache_block_size=16,
+        num_kvcache_blocks=128, dtype="float32", attention_impl="xla",
+        decode_multi_step=8,
+    ))
+    rng = np.random.default_rng(11)
+    prompt = list(rng.integers(1, 190, 32))  # two full 16-token blocks
+    sp = SamplingParams(temperature=0.0, max_tokens=6, ignore_eos=True)
+    first = llm.generate([prompt], sp, use_tqdm=False)
+    runner = llm.model_runner
+    prefill_before = runner.total_prefill_tokens
+    count_before = runner.inference_count
+    again = llm.generate([prompt], sp, use_tqdm=False)
+    assert again[0]["token_ids"] == first[0]["token_ids"]
+    assert first[0]["token_ids"] == hf_greedy(tiny_qwen3, prompt, 6)
+    assert runner.total_prefill_tokens == prefill_before
+    # one fused window of 8 covers the prompt token + all 6 completions
+    assert runner.inference_count == count_before + 1
