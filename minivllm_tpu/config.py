@@ -90,6 +90,11 @@ class Config:
     prefill_token_buckets: list[int] | None = None
     # Enable hash-based prefix caching (reference: block_manager.py:128-152).
     enable_prefix_caching: bool = True
+    # Shared-prefix (two-phase) decode attention: sequences whose block
+    # tables share a leading run (prefix-cache hits on a common system
+    # prompt) stream those KV blocks once per group instead of once per
+    # sequence. Pallas backend, mesh-less, non-sliding-window only.
+    shared_prefix_decode: bool = True
     # Weight quantization: None | "int8" | "fp8" (both weight-only;
     # fp8 = float8_e4m3 with per-channel scales).
     quantization: str | None = None

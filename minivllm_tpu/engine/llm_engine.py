@@ -407,6 +407,7 @@ class LLMEngine:
             "total_prefill_tokens": self.model_runner.total_prefill_tokens,
             "total_decode_tokens": self.model_runner.total_decode_tokens,
             "spec_pipeline_hits": self.model_runner.spec_hits,
+            "shared_prefix_steps": self.model_runner.shared_prefix_steps,
         }
         return stats
 

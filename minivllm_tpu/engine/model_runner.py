@@ -249,6 +249,7 @@ class ModelRunner:
         # Speculative pipeline state (see _maybe_speculate).
         self._spec = None
         self.spec_hits = 0
+        self.shared_prefix_steps = 0
         # Per-seq (chosen_lp, top_ids, top_lps) of the last run() batch
         # when any sequence requested logprobs, else None.
         self.last_logprobs = None
@@ -439,7 +440,7 @@ class ModelRunner:
 
     def _decode_step(
         self, with_filters, typical, lp_k, params, k_cache, v_cache, packed,
-        tables, state, key, prev_toks=None, hist=None,
+        tables, state, key, prev_toks=None, hist=None, groups=None,
     ):
         from minivllm_tpu.parallel.sharding import shard_batch
 
@@ -452,6 +453,7 @@ class ModelRunner:
                 slot_mapping=packed[2],
                 ctx_lens=packed[3],
                 block_tables=tables,
+                **(groups or {}),
             ),
             self.mesh,
         )
@@ -470,7 +472,7 @@ class ModelRunner:
 
     def _decode_multi_step(
         self, with_filters, typical, num_steps, params, k_cache, v_cache,
-        packed, tables, state, key,
+        packed, tables, state, key, groups=None,
     ):
         """`num_steps` fused decode iterations: sampled tokens feed the next
         iteration on device; returns (num_steps, S) tokens.
@@ -493,6 +495,7 @@ class ModelRunner:
                     slot_mapping=blk * bs + pos % bs,
                     ctx_lens=packed[3] + i,
                     block_tables=tables,
+                    **(groups or {}),
                 ),
                 self.mesh,
             )
@@ -577,7 +580,9 @@ class ModelRunner:
             W,
         )
 
-    def _maybe_speculate(self, seqs, toks_dev, with_filters, typical, S_pad, W):
+    def _maybe_speculate(
+        self, seqs, toks_dev, with_filters, typical, S_pad, W, groups=None
+    ):
         bs = self.block_size
         # Only when no sequence needs a new block next step.
         if any(len(s) % bs == 0 for s in seqs):
@@ -599,6 +604,7 @@ class ModelRunner:
         toks, _, self.k_cache, self.v_cache = fn(
             self.params, self.k_cache, self.v_cache,
             jnp.asarray(packed), jnp.asarray(tables), state, key, toks_dev,
+            groups=groups,
         )
         self._spec = {
             "sig": (
@@ -714,6 +720,89 @@ class ModelRunner:
             (ranges, q_start),
         )
 
+    # Shared-prefix grouping pays off only when the saved KV streaming
+    # ((members - 1) x shared blocks, per layer) outweighs the extra
+    # phase-1 kernel launch; ~128 blocks (~16 MB of bf16 KV) is the
+    # measured break-even ballpark on v5e.
+    SHARED_PREFIX_MIN_SAVED_BLOCKS = 128
+    # Phase-1 stacks member queries into the head axis: its accumulator
+    # and (m, l) scratch scale with Gmax * h rows, so cap the group size
+    # (VMEM is ~16 MB; 32 members x 32 heads x 128 lanes x 3 arrays x
+    # 4 B ~ 6 MB). Oversized groups split into chunks that still divide
+    # the shared streaming by the cap.
+    SHARED_PREFIX_MAX_GROUP = 32
+
+    def _detect_groups(self, seqs: list[Sequence], S_pad: int):
+        """Shared-prefix decode groups (PAT-style two-phase attention).
+
+        Sequences whose block tables share a leading run of block ids
+        (prefix-cache hits on a common system prompt) form a group; the
+        shared run is capped so every member keeps a non-empty tail
+        (the online-softmax continuation needs at least one phase-2
+        item). Returns None, or a dict of padded jnp arrays for
+        DecodeBatch(seq_start/group_member/group_tables/group_ctx).
+        Gated off under meshes (the SPMD wrappers do not thread carry
+        state yet) and for sliding-window models (the window bound and
+        the shared/tail split do not compose)."""
+        if (
+            self.mesh is not None
+            or not self.config.shared_prefix_decode
+            or self.attn_backend.name != "pallas"
+            or getattr(self.config.hf_config, "sliding_window", None)
+        ):
+            return None
+        bs = self.block_size
+        byfirst: dict[int, list[int]] = {}
+        for i, s in enumerate(seqs):
+            if s.block_table:
+                byfirst.setdefault(s.block_table[0], []).append(i)
+        found = []
+        saved = 0
+        for idxs in byfirst.values():
+            if len(idxs) < 2:
+                continue
+            tables = [seqs[i].block_table for i in idxs]
+            limit = min(
+                min(len(t) for t in tables),
+                min((len(seqs[i]) - 1) // bs for i in idxs),
+            )
+            t0 = tables[0]
+            depth = 0
+            while depth < limit and all(
+                t[depth] == t0[depth] for t in tables[1:]
+            ):
+                depth += 1
+            if depth < 1:
+                continue
+            cap = self.SHARED_PREFIX_MAX_GROUP
+            for lo in range(0, len(idxs), cap):
+                chunk = idxs[lo : lo + cap]
+                if len(chunk) < 2:
+                    continue
+                found.append((chunk, t0[:depth]))
+                saved += (len(chunk) - 1) * depth
+        if not found or saved < self.SHARED_PREFIX_MIN_SAVED_BLOCKS:
+            return None
+        G = _next_pow2(len(found), 1)
+        Gmax = _next_pow2(max(len(f[0]) for f in found), 2)
+        Wg = _next_pow2(max(len(f[1]) for f in found), 1)
+        member = np.full((G, Gmax), -1, np.int32)
+        gtab = np.full((G, Wg), self.trash_block, np.int32)
+        gctx = np.zeros((G,), np.int32)
+        seq_start = np.zeros((S_pad,), np.int32)
+        for gi, (idxs, blocks) in enumerate(found):
+            member[gi, : len(idxs)] = idxs
+            gtab[gi, : len(blocks)] = blocks
+            gctx[gi] = len(blocks) * bs
+            for i in idxs:
+                seq_start[i] = len(blocks) * bs
+        return {
+            "seq_start": jnp.asarray(seq_start),
+            "group_member": jnp.asarray(member),
+            "group_tables": jnp.asarray(gtab),
+            "group_ctx": jnp.asarray(gctx),
+        }
+
     def _prepare_decode(self, seqs: list[Sequence]):
         bs = self.block_size
         S = len(seqs)
@@ -735,7 +824,10 @@ class ModelRunner:
             packed[2, s] = seq.block_table[pos // bs] * bs + pos % bs
             packed[3, s] = len(seq)
             tables[s, : len(seq.block_table)] = seq.block_table
-        return jnp.asarray(packed), jnp.asarray(tables), S_pad
+        groups = self._detect_groups(seqs, S_pad)
+        if groups is not None:
+            self.shared_prefix_steps += 1
+        return jnp.asarray(packed), jnp.asarray(tables), S_pad, groups
 
     # -- execution -----------------------------------------------------------
 
@@ -831,7 +923,7 @@ class ModelRunner:
             if plp is not None:
                 self._record_prompt_logprobs(seqs, plp, layout)
         else:
-            packed, tables, S_pad = self._prepare_decode(seqs)
+            packed, tables, S_pad, groups = self._prepare_decode(seqs)
             W = int(tables.shape[1])
             sig = self._decode_signature(seqs, S_pad, W)
             spec = self._spec
@@ -849,7 +941,7 @@ class ModelRunner:
                 self._step_counter += 1
                 toks, lp, self.k_cache, self.v_cache = fn(
                     self.params, self.k_cache, self.v_cache,
-                    packed, tables, state, key, hist=hist,
+                    packed, tables, state, key, hist=hist, groups=groups,
                 )
             # Dispatch the likely next step before fetching this one's
             # tokens, so the D2H overlaps its compute. Penalty histories
@@ -857,7 +949,9 @@ class ModelRunner:
             # is disabled when penalties are active; logprob requests skip
             # it too (the speculative step has no logprob outputs).
             if not with_penalties and lp_k is None:
-                self._maybe_speculate(seqs, toks, with_filters, typical, S_pad, W)
+                self._maybe_speculate(
+                    seqs, toks, with_filters, typical, S_pad, W, groups
+                )
         if lp is not None:
             chosen, top_ids, top_lps = (np.asarray(x) for x in lp)
             self.last_logprobs = [
@@ -897,13 +991,14 @@ class ModelRunner:
         )
         self._spec = None
         self.last_logprobs = None
-        packed, tables, S_pad = self._prepare_decode(seqs)
+        packed, tables, S_pad, groups = self._prepare_decode(seqs)
         fn = self._get_step_fn("decode", with_filters, num_steps, typical)
         state = self._get_state(params_list, S_pad)
         key = jax.random.fold_in(self._base_key, self._step_counter)
         self._step_counter += 1
         all_toks, self.k_cache, self.v_cache = fn(
-            self.params, self.k_cache, self.v_cache, packed, tables, state, key
+            self.params, self.k_cache, self.v_cache, packed, tables, state,
+            key, groups=groups,
         )
         out = np.asarray(all_toks[:, :S])
         self.inference_count += 1

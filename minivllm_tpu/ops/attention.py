@@ -69,13 +69,25 @@ class PrefillBatch(NamedTuple):
 
 
 class DecodeBatch(NamedTuple):
-    """Decode batch: one new token per sequence (padded to S bucket)."""
+    """Decode batch: one new token per sequence (padded to S bucket).
+
+    The optional group fields drive shared-prefix (two-phase) decode
+    attention: sequences sharing a block-aligned prefix (system prompts
+    resident in the prefix cache) stream those KV blocks once per GROUP
+    with group-batched matmuls, then finish their tails individually
+    (cf. the PAT two-phase structure, arXiv 2511.22333). All None when
+    grouping is off; only the Pallas backend consumes them — the XLA
+    oracle computes full per-sequence attention regardless."""
 
     input_ids: jnp.ndarray        # (S,) int32; padding -> 0
     positions: jnp.ndarray        # (S,) int32 (= ctx_len - 1); padding -> 0
     slot_mapping: jnp.ndarray     # (S,) int32; padding -> trash slot
     block_tables: jnp.ndarray     # (S, W) int32; padding -> trash block
     ctx_lens: jnp.ndarray         # (S,) int32; padding -> 0
+    seq_start: jnp.ndarray | None = None    # (S,) tail start (0 ungrouped)
+    group_member: jnp.ndarray | None = None  # (G, Gmax) seq ids; pad -> -1
+    group_tables: jnp.ndarray | None = None  # (G, W) shared-prefix blocks
+    group_ctx: jnp.ndarray | None = None     # (G,) shared prefix length
 
 
 class QuantizedCache(NamedTuple):

@@ -80,26 +80,7 @@ def is_supported(q, k_cache, block_size: int | None = None) -> bool:
 
 
 def _decode_kernel(
-    # scalar prefetch
-    block_tables_ref,  # (S*W,) int32 in SMEM
-    ctx_lens_ref,      # (S,) int32 in SMEM
-    base_ref,          # (3,) int32 — [flat-cache layer offset, window, n_work]
-    work_ref,          # (3, WI) int32 — [seq, super-block js, flags] per item
-    # inputs
-    q_ref,             # (S, h, d) VMEM — all queries
-    k_hbm,             # (num_slots, kvh, d) ANY/HBM
-    v_hbm,
-    ks_hbm,            # (total_blocks, kvh, lanes) fp32 ANY — per-block
-    vs_hbm,            #   scale slabs (lane l = slot offset l); dummy if
-                       #   !quantized
-    # outputs
-    o_ref,             # (S, h, d) VMEM
-    # scratch
-    kbuf, vbuf,        # (NBUF, MBLK*bs, kvh, d) VMEM
-    ksbuf, vsbuf,      # (NBUF, MBLK, kvh, lanes) fp32 VMEM (int8 scales)
-    acc, m_i, l_i,     # (h, d) fp32, (h, 128) fp32, (h, 128) fp32
-    sems,              # DMA semaphores (NBUF, MBLK, 4)
-    *,
+    *refs,
     block_size: int,
     num_kv_heads: int,
     scale: float,
@@ -107,7 +88,37 @@ def _decode_kernel(
     quantized: bool,
     softcap: float | None,
     mblk: int,
+    carry: bool,
+    return_state: bool,
 ):
+    """Ref order (optional groups controlled by the static flags):
+
+    scalar prefetch: block_tables (S*W,), ctx_lens (S,), start (S,) —
+      per-seq first attended token (shared-prefix tail start; zeros
+      normally), base (3,) [flat-cache layer offset, window, n_work],
+      work (3, WI) [seq, super-block js, flags] per item.
+    inputs: q (S, h, d) VMEM; k/v (num_slots, kvh, d) ANY/HBM;
+      ks/vs (total_blocks, kvh, lanes) fp32 scale slabs (dummy if
+      !quantized); [if carry] acc0 (S, h, d) f32 + ml0 (S, 2, h, 128)
+      f32 — softmax state to continue from (shared-prefix phase 1).
+    outputs: o (S, h, d); [if return_state] acc_out (S, h, d) f32 +
+      ml_out (S, 2, h, 128) f32 — UNNORMALIZED accumulator and (m, l)
+      written at each sequence's last item.
+    scratch: kbuf/vbuf, ksbuf/vsbuf, acc, m_i, l_i, sems.
+    """
+    (
+        block_tables_ref, ctx_lens_ref, start_ref, base_ref, work_ref,
+        q_ref, k_hbm, v_hbm, ks_hbm, vs_hbm, *rest
+    ) = refs
+    if carry:
+        acc0_ref, ml0_ref = rest[:2]
+        rest = rest[2:]
+    o_ref = rest[0]
+    rest = rest[1:]
+    if return_state:
+        accout_ref, mlout_ref = rest[:2]
+        rest = rest[2:]
+    kbuf, vbuf, ksbuf, vsbuf, acc, m_i, l_i, sems = rest
     total = base_ref[2]
     h = q_ref.shape[1]
     d = q_ref.shape[2]
@@ -215,12 +226,20 @@ def _decode_kernel(
 
         @pl.when(flags & 1 == 1)
         def _():
-            acc[...] = jnp.zeros_like(acc)
-            m_i[...] = jnp.full_like(m_i, NEG_INF)
-            l_i[...] = jnp.zeros_like(l_i)
+            if carry:
+                # Continue a partial softmax (shared-prefix phase 2):
+                # ungrouped rows carry the identity state (0, -inf, 0).
+                acc[...] = acc0_ref[s]
+                m_i[...] = ml0_ref[s, 0]
+                l_i[...] = ml0_ref[s, 1]
+            else:
+                acc[...] = jnp.zeros_like(acc)
+                m_i[...] = jnp.full_like(m_i, NEG_INF)
+                l_i[...] = jnp.zeros_like(l_i)
 
         ctx_len = ctx_lens_ref[s]
-        win_start = jnp.maximum(ctx_len - base_ref[1], 0)
+        win_start = jnp.maximum(ctx_len - base_ref[1], start_ref[s])
+        win_start = jnp.maximum(win_start, 0)
         # fp32 MXU operands: measured faster than bf16 here — the
         # per-head (g, span) matmuls have tiny, often odd M (g = h/kvh),
         # and bf16's sublane-pair layout forces relayouts that cost far
@@ -293,6 +312,10 @@ def _decode_kernel(
         def _():
             denom = jnp.maximum(l_i[:, 0:1], 1e-30)
             o_ref[s] = (acc[...] / denom).astype(o_ref.dtype)
+            if return_state:
+                accout_ref[s] = acc[...]
+                mlout_ref[s, 0] = m_i[...]
+                mlout_ref[s, 1] = l_i[...]
 
         return 0
 
@@ -300,7 +323,8 @@ def _decode_kernel(
 
 
 def _build_work_list(
-    ctx_lens, window, block_size: int, max_blocks: int, mblk: int
+    ctx_lens, window, block_size: int, max_blocks: int, mblk: int,
+    start_tok=None,
 ):
     """Flat (seq, super-block) work list, computed in-jit.
 
@@ -308,12 +332,15 @@ def _build_work_list(
     index; row 1: super-block index within the sequence; row 2: flags
     (bit0 first-item-of-seq, bit1 last). Items of one sequence are
     consecutive (the kernel's accumulators carry across them). Padding
-    rows (ctx 0) contribute no items; out-of-window super-blocks are
-    excluded up front so their KV is never fetched."""
+    rows (ctx 0) contribute no items; super-blocks wholly below the
+    per-seq start (sliding window / shared-prefix tail) or past the
+    context are excluded up front so their KV is never fetched."""
     S = ctx_lens.shape[0]
     WI = S * ((max_blocks + mblk - 1) // mblk)
     n_blocks = (ctx_lens + block_size - 1) // block_size
     win_start = jnp.maximum(ctx_lens - window, 0)
+    if start_tok is not None:
+        win_start = jnp.maximum(win_start, start_tok)
     first = (win_start // block_size) // mblk
     n_sup = jnp.maximum((n_blocks + mblk - 1) // mblk - first, 0)
     n_sup = jnp.where(ctx_lens > 0, n_sup, 0)
@@ -334,7 +361,9 @@ def _build_work_list(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("scale", "block_size", "interpret", "softcap"),
+    static_argnames=(
+        "scale", "block_size", "interpret", "softcap", "return_state"
+    ),
 )
 def decode_attention(
     q: jnp.ndarray,
@@ -347,7 +376,10 @@ def decode_attention(
     window=None,
     softcap: float | None = None,
     interpret: bool = False,
-) -> jnp.ndarray:
+    start=None,
+    init_state=None,
+    return_state: bool = False,
+):
     """Paged flash-decode. q (S, h, d) -> (S, h, d).
 
     k_cache/v_cache: plain (num_slots, kvh, d) arrays or QuantizedCache
@@ -357,7 +389,16 @@ def decode_attention(
     `window` (may be a traced per-layer scalar — Gemma2's alternating
     sliding/full layers) bounds attention to the last `window` keys;
     out-of-window blocks are never fetched. `softcap` (static) applies
-    tanh score capping in-kernel."""
+    tanh score capping in-kernel.
+
+    Shared-prefix (two-phase) support: `start` (S,) int32 bounds each
+    sequence's attention to keys at positions >= start[s] (blocks below
+    it are never fetched); `init_state` = (acc0 (S,h,d) f32, ml0
+    (S,2,h,128) f32) continues the online softmax from a prior partial
+    pass; `return_state=True` additionally returns that state pair,
+    UNNORMALIZED, for a later continuation. Composing a bounded pass
+    over [0, L) (return_state) with a pass over [L, ctx) (start +
+    init_state) is bit-equivalent to one full pass."""
     S, h, d = q.shape
     k_data, k_scale, quantized = _cache_parts(k_cache)
     v_data, v_scale, _ = _cache_parts(v_cache)
@@ -370,7 +411,14 @@ def decode_attention(
     W = meta.block_tables.shape[1]
     mblk = _pick_mblk(W)
     win = jnp.asarray(window if window is not None else 1 << 30, jnp.int32)
-    work, n_work = _build_work_list(meta.ctx_lens, win, block_size, W, mblk)
+    start_arr = (
+        jnp.zeros((S,), jnp.int32) if start is None
+        else start.astype(jnp.int32)
+    )
+    work, n_work = _build_work_list(
+        meta.ctx_lens, win, block_size, W, mblk, start_tok=start_arr
+    )
+    carry = init_state is not None
     kernel = functools.partial(
         _decode_kernel,
         block_size=block_size,
@@ -380,18 +428,38 @@ def decode_attention(
         quantized=quantized,
         softcap=softcap,
         mblk=mblk,
+        carry=carry,
+        return_state=return_state,
     )
+    vmem = lambda shp: pl.BlockSpec(shp, lambda *_: (0,) * len(shp))  # noqa: E731
+    in_specs = [
+        vmem((S, h, d)),
+        pl.BlockSpec(memory_space=pl.ANY),
+        pl.BlockSpec(memory_space=pl.ANY),
+        pl.BlockSpec(memory_space=pl.ANY),
+        pl.BlockSpec(memory_space=pl.ANY),
+    ]
+    inputs = [q, k_data, v_data, k_scale, v_scale]
+    if carry:
+        acc0, ml0 = init_state
+        in_specs += [vmem((S, h, d)), vmem((S, 2, h, 128))]
+        inputs += [acc0, ml0]
+    out_specs = vmem((S, h, d))
+    out_shape = jax.ShapeDtypeStruct((S, h, d), q.dtype)
+    if return_state:
+        out_specs = (
+            out_specs, vmem((S, h, d)), vmem((S, 2, h, 128))
+        )
+        out_shape = (
+            out_shape,
+            jax.ShapeDtypeStruct((S, h, d), jnp.float32),
+            jax.ShapeDtypeStruct((S, 2, h, 128), jnp.float32),
+        )
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
+        num_scalar_prefetch=5,
         grid=(1,),
-        in_specs=[
-            pl.BlockSpec((S, h, d), lambda *_: (0, 0, 0)),
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-        ],
-        out_specs=pl.BlockSpec((S, h, d), lambda *_: (0, 0, 0)),
+        in_specs=in_specs,
+        out_specs=out_specs,
         scratch_shapes=[
             pltpu.VMEM((NBUF, mblk * block_size, kvh, d), k_data.dtype),
             pltpu.VMEM((NBUF, mblk * block_size, kvh, d), v_data.dtype),
@@ -406,7 +474,7 @@ def decode_attention(
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((S, h, d), q.dtype),
+        out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
         ),
@@ -414,6 +482,7 @@ def decode_attention(
     )(
         meta.block_tables.reshape(-1),
         meta.ctx_lens,
+        start_arr,
         jnp.stack(
             [
                 jnp.asarray(base, jnp.int32),
@@ -422,10 +491,6 @@ def decode_attention(
             ]
         ),
         work,
-        q,
-        k_data,
-        v_data,
-        k_scale,
-        v_scale,
+        *inputs,
     )
     return out

@@ -52,9 +52,12 @@ _PREFILL_TOKEN_FIELDS = ("input_ids", "positions", "q_seg", "slot_mapping")
 def _split_meta(meta, M: int):
     """-> (split pytree with leading M axis per split leaf, replicated meta)."""
     if isinstance(meta, DecodeBatch):
+        # Optional (None) fields — shared-prefix groups — are never set
+        # on pp meshes (the runner gates grouping to mesh-less runs).
         split = {
             f: getattr(meta, f).reshape(M, -1, *getattr(meta, f).shape[1:])
             for f in meta._fields
+            if getattr(meta, f) is not None
         }
         return split, None
     split = {

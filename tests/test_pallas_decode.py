@@ -157,3 +157,48 @@ def test_window_and_softcap_quantized():
     np.testing.assert_allclose(
         np.asarray(out), np.asarray(ref), rtol=5e-2, atol=5e-2
     )
+
+
+def test_two_phase_composition_matches_full():
+    """Shared-prefix machinery: a bounded pass over [0, L) with
+    return_state composed with a pass over [L, ctx) via start+init_state
+    must equal one full pass (same online-softmax trajectory)."""
+    rng = np.random.default_rng(9)
+    q, kc, vc, meta = build_case(rng, [40, 23, 0], 2, 4, 128)
+    full = pdec.decode_attention(q, kc, vc, meta, 0.125, BS, interpret=True)
+    L = 16  # one full block boundary
+    meta1 = meta._replace(
+        ctx_lens=jnp.minimum(meta.ctx_lens, L)
+    )
+    _, acc1, ml1 = pdec.decode_attention(
+        q, kc, vc, meta1, 0.125, BS, interpret=True, return_state=True
+    )
+    out2 = pdec.decode_attention(
+        q, kc, vc, meta, 0.125, BS, interpret=True,
+        start=jnp.where(meta.ctx_lens > 0, L, 0),
+        init_state=(acc1, ml1),
+    )
+    np.testing.assert_allclose(
+        np.asarray(out2), np.asarray(full), rtol=2e-5, atol=2e-5
+    )
+
+
+def test_two_phase_quantized_and_wide():
+    """Composition holds for the quantized cache and the wide (mblk=8)
+    work-list path, with a 64-token shared region."""
+    rng = np.random.default_rng(10)
+    q, kc, vc, meta = build_case(rng, [150, 77], 2, 4, 128, quantized=True)
+    full = pdec.decode_attention(q, kc, vc, meta, 0.125, BS, interpret=True)
+    L = 64
+    meta1 = meta._replace(ctx_lens=jnp.minimum(meta.ctx_lens, L))
+    _, acc1, ml1 = pdec.decode_attention(
+        q, kc, vc, meta1, 0.125, BS, interpret=True, return_state=True
+    )
+    out2 = pdec.decode_attention(
+        q, kc, vc, meta, 0.125, BS, interpret=True,
+        start=jnp.full((2,), L, jnp.int32),
+        init_state=(acc1, ml1),
+    )
+    np.testing.assert_allclose(
+        np.asarray(out2), np.asarray(full), rtol=2e-5, atol=2e-5
+    )
