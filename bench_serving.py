@@ -97,6 +97,16 @@ def main() -> None:
         help="reuse identical prompts across passes (measures fully "
         "prefix-cached serving; default uses fresh prompts per pass)",
     )
+    p.add_argument(
+        "--no-shared-prefix-decode", action="store_true",
+        help="disable the two-phase grouped decode (A/B comparison)",
+    )
+    p.add_argument(
+        "--shared-prefix", type=int, default=0, metavar="LEN",
+        help="system-prompt workload: every request = one LEN-token "
+        "shared prefix + its own prompt-len tail. Exercises prefix-"
+        "cached prefill and shared-prefix two-phase decode attention.",
+    )
     args = p.parse_args()
 
     from transformers import AutoConfig
@@ -118,6 +128,7 @@ def main() -> None:
         kvcache_dtype=args.kv_dtype,
         quantization=args.quant,
         decode_multi_step=args.multi_step,
+        shared_prefix_decode=not args.no_shared_prefix_decode,
     )
     t0 = time.perf_counter()
     llm = LLM(config, init_random=True)
@@ -128,9 +139,15 @@ def main() -> None:
     rng = np.random.default_rng(0)
     vocab = llm.model_runner.model.vocab_size
 
+    system = (
+        list(rng.integers(1, vocab, size=args.shared_prefix))
+        if args.shared_prefix
+        else []
+    )
+
     def prompt_set():
         return [
-            list(rng.integers(1, vocab, size=args.prompt_len))
+            system + list(rng.integers(1, vocab, size=args.prompt_len))
             for _ in range(args.num_seqs)
         ]
 
@@ -165,7 +182,9 @@ def main() -> None:
             "max_tokens": args.max_tokens, "quant": args.quant,
             "kv_dtype": args.kv_dtype, "multi_step": args.multi_step,
             "batched_tokens": args.batched_tokens, "cached": args.cached,
+            "shared_prefix": args.shared_prefix,
         },
+        "shared_prefix_steps": stats.get("shared_prefix_steps", 0),
         "decode_tokens_per_s": round(stats.get("decode_tokens_per_s", 0), 2),
         "decode_ms_per_token_p50": round(
             stats.get("decode_ms_per_token_p50", 0), 4),
