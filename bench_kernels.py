@@ -98,6 +98,75 @@ def bench_decode(S, ctx, kvh, h, d, bs, dtype_name, iters=200):
     }
 
 
+def bench_prefill(S, q_len, ctx, kvh, h, d, bs, iters=100):
+    """Varlen prefill flash kernel: S sequences, q_len new tokens each,
+    over ctx total context (prefix-cached tokens = ctx - q_len)."""
+    import jax
+    import jax.numpy as jnp
+
+    from minivllm_tpu.ops.attention import PrefillBatch, store_kv
+    from minivllm_tpu.ops.pallas import prefill_attention as ppre
+
+    QT = ppre.Q_TILE
+    dtype = jnp.bfloat16
+    W = -(-ctx // bs)
+    num_blocks = S * W
+    slots_total = (num_blocks + 1) * bs
+    kc = jnp.zeros((slots_total, kvh, d), dtype)
+    vc = jnp.zeros_like(kc)
+    rng = np.random.default_rng(0)
+    tables = np.arange(S * W, dtype=np.int32).reshape(S, W)
+    for s in range(S):
+        slots = (tables[s][:, None] * bs + np.arange(bs)[None, :]).reshape(-1)[:ctx]
+        k = jnp.asarray(rng.standard_normal((ctx, kvh, d)), dtype)
+        v = jnp.asarray(rng.standard_normal((ctx, kvh, d)), dtype)
+        kc, vc = store_kv(kc, vc, k, v, jnp.asarray(slots))
+    per = -(-q_len // QT) * QT
+    T = S * per
+    q = jnp.asarray(rng.standard_normal((T, h, d)), dtype)
+    q_start = np.arange(S, dtype=np.int32) * per
+    meta = PrefillBatch(
+        input_ids=jnp.zeros(T, jnp.int32),
+        positions=jnp.zeros(T, jnp.int32),
+        q_seg=jnp.zeros(T, jnp.int32),
+        slot_mapping=jnp.zeros(T, jnp.int32),
+        ctx_slot_mapping=jnp.zeros(1, jnp.int32),
+        k_seg=jnp.zeros(1, jnp.int32),
+        k_pos=jnp.zeros(1, jnp.int32),
+        last_token_idx=jnp.zeros(S, jnp.int32),
+        block_tables=jnp.asarray(tables),
+        ctx_lens=jnp.full((S,), ctx, jnp.int32),
+        q_start=jnp.asarray(q_start),
+        q_lens=jnp.full((S,), q_len, jnp.int32),
+    )
+    scale = d ** -0.5
+
+    @jax.jit
+    def run_chained(q, kc, vc, meta):
+        def body(q, _):
+            o = ppre.prefill_attention(q, kc, vc, meta, scale, bs)
+            return o.astype(q.dtype), None
+
+        out, _ = jax.lax.scan(body, q, None, length=iters)
+        return out[0, 0, :1]
+
+    np.asarray(run_chained(q, kc, vc, meta))  # compile
+    t0 = time.perf_counter()
+    np.asarray(run_chained(q, kc, vc, meta))
+    dt = (time.perf_counter() - t0) / iters
+    # attention FLOPs: per seq, q_len rows x ctx keys (~causal half for
+    # the fresh part, full for the cached prefix; report the exact
+    # masked count) x 2 matmuls x 2 flops
+    fresh = q_len * (ctx - q_len) + q_len * (q_len + 1) // 2
+    flops = S * fresh * h * d * 4
+    return {
+        "kernel": "prefill",
+        "S": S, "q_len": q_len, "ctx": ctx, "kvh": kvh, "h": h, "d": d,
+        "ms": round(dt * 1e3, 3),
+        "tflops": round(flops / dt / 1e12, 2),
+    }
+
+
 def main() -> None:
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--kv-dtype", choices=["bf16", "int8"], default="bf16")
@@ -118,6 +187,10 @@ def main() -> None:
     ]:
         out = bench_decode(S, ctx, kvh, h, d, 64, args.kv_dtype, args.iters)
         print(json.dumps(out))
+    if args.kv_dtype == "bf16":
+        # Qwen2-7B prefill shapes: fresh prompts and long-context chunks
+        for S, q_len, ctx in [(8, 512, 512), (2, 2048, 2048), (2, 1024, 4096)]:
+            print(json.dumps(bench_prefill(S, q_len, ctx, 4, 28, 128, 64)))
 
 
 if __name__ == "__main__":

@@ -38,6 +38,11 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = float(jnp.finfo(jnp.float32).min)
 
 Q_TILE = 64
+# KV streaming super-block: MBLK gather-DMAs per pipeline slot, one
+# compute pass over MBLK*block_size keys. Single-block passes left the
+# kernel issue/VPU-bound at ~4 TFLOP/s issued; wide passes amortize the
+# per-pass mask/softmax lanes and matmul issue.
+MBLK = 4
 
 
 def _cache_parts(cache):
@@ -72,8 +77,8 @@ def _prefill_kernel(
     # outputs
     o_ref,            # (Q_TILE, h, d) VMEM
     # scratch
-    kbuf, vbuf,       # (2, bs, kvh, d) VMEM
-    ksbuf, vsbuf,     # (2, 1, kvh, lanes) fp32 VMEM (int8 dequant scales)
+    kbuf, vbuf,       # (2, MBLK*bs, kvh, d) VMEM
+    ksbuf, vsbuf,     # (2, MBLK, kvh, lanes) fp32 VMEM (int8 dequant scales)
     acc,              # (h * Q_TILE, d) fp32
     m_i, l_i,         # (h * Q_TILE, 128) fp32
     sems,
@@ -105,42 +110,79 @@ def _prefill_kernel(
     # before pos0 - window + 1, so earlier blocks are never fetched.
     first_block = jnp.maximum(pos0 - window + 1, 0) // bs
 
-    def start_fetch(j, slot):
-        blk = block_tables_ref[s * max_blocks + j]
-        off = base_ref[0] + blk * bs
-        pltpu.make_async_copy(
-            k_hbm.at[pl.ds(off, bs)], kbuf.at[slot], sems.at[slot, 0]
-        ).start()
-        pltpu.make_async_copy(
-            v_hbm.at[pl.ds(off, bs)], vbuf.at[slot], sems.at[slot, 1]
-        ).start()
-        if quantized:
-            row = off // bs  # scale row per block (lane-aligned)
-            pltpu.make_async_copy(
-                ks_hbm.at[pl.ds(row, 1)], ksbuf.at[slot], sems.at[slot, 2]
-            ).start()
-            pltpu.make_async_copy(
-                vs_hbm.at[pl.ds(row, 1)], vsbuf.at[slot], sems.at[slot, 3]
-            ).start()
+    first_super = first_block // MBLK
+    num_super = pl.cdiv(num_blocks, MBLK)
 
-    def wait_fetch(slot):
-        pltpu.make_async_copy(
-            k_hbm.at[pl.ds(0, bs)], kbuf.at[slot], sems.at[slot, 0]
-        ).wait()
-        pltpu.make_async_copy(
-            v_hbm.at[pl.ds(0, bs)], vbuf.at[slot], sems.at[slot, 1]
-        ).wait()
-        if quantized:
-            pltpu.make_async_copy(
-                ks_hbm.at[pl.ds(0, 1)], ksbuf.at[slot], sems.at[slot, 2]
-            ).wait()
-            pltpu.make_async_copy(
-                vs_hbm.at[pl.ds(0, 1)], vsbuf.at[slot], sems.at[slot, 3]
-            ).wait()
+    def start_fetch(js, slot):
+        """Fetch super-block js (up to MBLK gather-DMAs); sub-blocks
+        outside [first_block, num_blocks) are predicated off entirely —
+        no ragged-tail or below-window traffic."""
+        for m in range(MBLK):
+            j = jnp.clip(js * MBLK + m, 0, max_blocks - 1)
+            blk = block_tables_ref[s * max_blocks + j]
+            off = base_ref[0] + blk * bs
+            dst = pl.ds(m * bs, bs)
 
-    @pl.when(num_blocks > first_block)
+            @pl.when(
+                (js * MBLK + m >= first_block) & (js * MBLK + m < num_blocks)
+            )
+            def _():
+                pltpu.make_async_copy(
+                    k_hbm.at[pl.ds(off, bs)], kbuf.at[slot, dst],
+                    sems.at[slot, m, 0],
+                ).start()
+                pltpu.make_async_copy(
+                    v_hbm.at[pl.ds(off, bs)], vbuf.at[slot, dst],
+                    sems.at[slot, m, 1],
+                ).start()
+                if quantized:
+                    row = off // bs  # scale row per block (lane-aligned)
+                    pltpu.make_async_copy(
+                        ks_hbm.at[pl.ds(row, 1)], ksbuf.at[slot, pl.ds(m, 1)],
+                        sems.at[slot, m, 2],
+                    ).start()
+                    pltpu.make_async_copy(
+                        vs_hbm.at[pl.ds(row, 1)], vsbuf.at[slot, pl.ds(m, 1)],
+                        sems.at[slot, m, 3],
+                    ).start()
+
+    def wait_fetch(js, slot):
+        for m in range(MBLK):
+            dst = pl.ds(m * bs, bs)
+
+            @pl.when(
+                (js * MBLK + m >= first_block) & (js * MBLK + m < num_blocks)
+            )
+            def _():
+                pltpu.make_async_copy(
+                    k_hbm.at[pl.ds(0, bs)], kbuf.at[slot, dst],
+                    sems.at[slot, m, 0],
+                ).wait()
+                pltpu.make_async_copy(
+                    v_hbm.at[pl.ds(0, bs)], vbuf.at[slot, dst],
+                    sems.at[slot, m, 1],
+                ).wait()
+                if quantized:
+                    pltpu.make_async_copy(
+                        ks_hbm.at[pl.ds(0, 1)], ksbuf.at[slot, pl.ds(m, 1)],
+                        sems.at[slot, m, 2],
+                    ).wait()
+                    pltpu.make_async_copy(
+                        vs_hbm.at[pl.ds(0, 1)], vsbuf.at[slot, pl.ds(m, 1)],
+                        sems.at[slot, m, 3],
+                    ).wait()
+
+    # Never-fetched (predicated-off) V regions must be finite: masked
+    # probabilities are zero, but 0 * NaN = NaN in the PV matmul. Must
+    # precede the prologue fetch (a DMA lands in this buffer).
+    vbuf[...] = jnp.zeros_like(vbuf)
+    if quantized:
+        ksbuf[...] = jnp.zeros_like(ksbuf)
+        vsbuf[...] = jnp.zeros_like(vsbuf)
+
+    @pl.when(num_super > first_super)
     def _():
-        start_fetch(first_block, first_block % 2)
+        start_fetch(first_super, first_super % 2)
 
     acc[...] = jnp.zeros_like(acc)
     m_i[...] = jnp.full_like(m_i, NEG_INF)
@@ -151,24 +193,34 @@ def _prefill_kernel(
     q = q_ref[...].astype(jnp.float32) * scale      # (QT, h, d)
     q_pos = pos0 + jax.lax.broadcasted_iota(jnp.int32, (Q_TILE, 1), 0)[:, 0]
 
-    def body(j, _):
-        slot = j % 2
+    span = MBLK * bs
 
-        @pl.when(j + 1 < num_blocks)
+    def body(js, _):
+        slot = js % 2
+
+        @pl.when(js + 1 < num_super)
         def _():
-            start_fetch(j + 1, (j + 1) % 2)
+            start_fetch(js + 1, (js + 1) % 2)
 
-        wait_fetch(slot)
-        k = kbuf[slot].astype(jnp.float32)           # (bs, kvh, d)
+        wait_fetch(js, slot)
+        k = kbuf[slot].astype(jnp.float32)           # (span, kvh, d)
         v = vbuf[slot].astype(jnp.float32)
         if quantized:
-            # Scale slabs for this block: lane l of head kv holds the
-            # dequant scale of slot offset l. Scores/probabilities are
-            # scaled per lane (mathematically identical to dequantizing
-            # k/v, but lane-aligned for Mosaic — no shape casts needed).
-            ks = ksbuf[slot][0]  # (kvh, lanes)
-            vs = vsbuf[slot][0]
-        k_pos = j * bs + jax.lax.broadcasted_iota(jnp.int32, (Q_TILE, bs), 1)
+            # Per-head (1, span) scale rows by lane-concatenating the
+            # MBLK sub-slabs (lane l of sub-block m, head kv = the scale
+            # of slot offset l); mathematically identical to
+            # dequantizing k/v but lane-aligned for Mosaic.
+            ksb = ksbuf[slot]
+            vsb = vsbuf[slot]
+
+            def scale_row(slab, kv):
+                return jnp.concatenate(
+                    [slab[m, kv : kv + 1, :bs] for m in range(MBLK)],
+                    axis=1,
+                )  # (1, span)
+        k_pos = js * span + jax.lax.broadcasted_iota(
+            jnp.int32, (Q_TILE, span), 1
+        )
         causal = (
             (k_pos <= q_pos[:, None])
             & (k_pos < ctx_len)
@@ -184,18 +236,18 @@ def _prefill_kernel(
                 qh2, kh,
                 dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
-            )  # (QT*g, bs)
+            )  # (QT*g, span)
             if quantized:
-                sc = sc * ks[kv : kv + 1, :bs]       # (1, bs) broadcast
+                sc = sc * scale_row(ksb, kv)         # (1, span) broadcast
             score_rows.append(sc)
-        scores = jnp.concatenate(score_rows, axis=0)  # (kvh*QT*g = h*QT, bs)
+        scores = jnp.concatenate(score_rows, axis=0)  # (kvh*QT*g = h*QT, span)
         if softcap is not None:
             scores = softcap * jnp.tanh(scores / softcap)
         # Row r within a kv-head block corresponds to q row (r // g): same
         # causal mask for every head in the group.
         mask = jnp.broadcast_to(
-            causal[:, None, :], (Q_TILE, g, bs)
-        ).reshape(Q_TILE * g, bs)
+            causal[:, None, :], (Q_TILE, g, span)
+        ).reshape(Q_TILE * g, span)
         mask = jnp.concatenate([mask] * num_kv_heads, axis=0)
         scores = jnp.where(mask, scores, NEG_INF)
 
@@ -212,7 +264,7 @@ def _prefill_kernel(
         for kv in range(num_kv_heads):
             ph = p[kv * Q_TILE * g : (kv + 1) * Q_TILE * g, :]
             if quantized:
-                ph = ph * vs[kv : kv + 1, :bs]
+                ph = ph * scale_row(vsb, kv)
             vh = v[:, kv, :]
             pv_rows.append(jnp.dot(ph, vh, preferred_element_type=jnp.float32))
         pv = jnp.concatenate(pv_rows, axis=0)         # (h*QT, d)
@@ -220,7 +272,7 @@ def _prefill_kernel(
         m_i[...] = jnp.broadcast_to(m_new, m_i.shape)
         return 0
 
-    jax.lax.fori_loop(first_block, num_blocks, body, 0)
+    jax.lax.fori_loop(first_super, num_super, body, 0)
     denom = jnp.maximum(l_i[:, 0:1], 1e-30)
     out = acc[...] / denom                            # (h*QT, d) kv-major rows
     # rows are ordered (kv, q_row, g); restore (QT, h, d)
@@ -310,14 +362,14 @@ def prefill_attention_tiles(
         ],
         out_specs=pl.BlockSpec((Q_TILE, h, d), lambda t, *_: (t, 0, 0)),
         scratch_shapes=[
-            pltpu.VMEM((2, block_size, kvh, d), k_data.dtype),
-            pltpu.VMEM((2, block_size, kvh, d), v_data.dtype),
-            pltpu.VMEM((2, 1, kvh, lanes), jnp.float32),
-            pltpu.VMEM((2, 1, kvh, lanes), jnp.float32),
+            pltpu.VMEM((2, MBLK * block_size, kvh, d), k_data.dtype),
+            pltpu.VMEM((2, MBLK * block_size, kvh, d), v_data.dtype),
+            pltpu.VMEM((2, MBLK, kvh, lanes), jnp.float32),
+            pltpu.VMEM((2, MBLK, kvh, lanes), jnp.float32),
             pltpu.VMEM((h * Q_TILE, d), jnp.float32),
             pltpu.VMEM((h * Q_TILE, 128), jnp.float32),
             pltpu.VMEM((h * Q_TILE, 128), jnp.float32),
-            pltpu.SemaphoreType.DMA((2, 4)),
+            pltpu.SemaphoreType.DMA((2, MBLK, 4)),
         ],
     )
     return pl.pallas_call(
