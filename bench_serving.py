@@ -65,6 +65,17 @@ MODELS = {
                    "rms_norm_eps": 1e-5, "rope_theta": 10000.0,
                    "max_position_embeddings": 32768, "sliding_window": 4096,
                    "tie_word_embeddings": False},
+    # Synthetic ~3B-total / ~0.9B-active MoE (Qwen3-MoE architecture):
+    # dropless grouped-matmul experts via lax.ragged_dot, fp32 routing.
+    "qwen3-moe-3b": {**_QWEN3, "architectures": ["Qwen3MoeForCausalLM"],
+                     "model_type": "qwen3_moe",
+                     "hidden_size": 2048, "intermediate_size": 5632,
+                     "num_attention_heads": 16, "num_key_value_heads": 4,
+                     "num_hidden_layers": 24, "head_dim": 128,
+                     "num_experts": 8, "num_experts_per_tok": 2,
+                     "moe_intermediate_size": 1408, "norm_topk_prob": True,
+                     "decoder_sparse_step": 1, "mlp_only_layers": [],
+                     "tie_word_embeddings": True},
     "opt-125m": {"architectures": ["OPTForCausalLM"], "model_type": "opt",
                  "hidden_size": 768, "ffn_dim": 3072,
                  "num_attention_heads": 12, "num_hidden_layers": 12,
