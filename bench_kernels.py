@@ -167,11 +167,77 @@ def bench_prefill(S, q_len, ctx, kvh, h, d, bs, iters=100):
     }
 
 
+def bench_gmm(T, K, N, E, wdtype_name, impl, iters=200):
+    """MoE grouped matmul (T rows sorted by expert, E experts of (K, N))
+    — decode shapes are bound by streaming the expert weights, so the
+    report is weight GB/s vs the HBM roofline."""
+    import jax
+    import jax.numpy as jnp
+
+    from minivllm_tpu.ops.moe import qragged_dot
+    from minivllm_tpu.ops.quant import quantize_weight
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((T, K)), jnp.bfloat16)
+    wf = rng.standard_normal((E, K, N)).astype(np.float32) * 0.05
+    if wdtype_name == "int8":
+        w = quantize_weight(wf, (1,))
+        wbytes = 1
+    else:
+        w = jnp.asarray(wf, jnp.bfloat16)
+        wbytes = 2
+    # uneven-but-full routing: every expert holds rows (worst case for
+    # weight streaming — all E weight matrices cross HBM every call)
+    gs = np.full(E, T // E, np.int32)
+    gs[0] += T - gs.sum()
+    gs = jnp.asarray(gs)
+
+    @jax.jit
+    def run_chained(x, w, gs):
+        def body(x, _):
+            o = qragged_dot(x, w, gs, impl)
+            return x + o[:, :1].astype(x.dtype), None
+
+        out, _ = jax.lax.scan(body, x, None, length=iters)
+        return out[0, :1]
+
+    np.asarray(run_chained(x, w, gs))  # compile
+    t0 = time.perf_counter()
+    np.asarray(run_chained(x, w, gs))
+    dt = (time.perf_counter() - t0) / iters
+    wtotal = E * K * N * wbytes
+    gbs = wtotal / dt / 1e9
+    return {
+        "kernel": "moe_gmm", "impl": impl,
+        "T": T, "K": K, "N": N, "E": E, "w_dtype": wdtype_name,
+        "ms": round(dt * 1e3, 3),
+        "w_gb_per_s": round(gbs, 1),
+        "roofline_frac": round(gbs / V5E_HBM_GBS, 3),
+        "tflops": round(2 * T * K * N / dt / 1e12, 2),
+    }
+
+
 def main() -> None:
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--kv-dtype", choices=["bf16", "int8"], default="bf16")
     p.add_argument("--iters", type=int, default=200)
+    p.add_argument("--moe", action="store_true",
+                   help="MoE grouped-matmul sweep instead of attention")
     args = p.parse_args()
+
+    if args.moe:
+        # qwen3-moe-3b shapes (bench_serving): D=2048, I=1408, E=8, k=2.
+        # T = decode batch x top_k (128) and a prefill chunk (4096).
+        for T, K, N in [
+            (128, 2048, 1408),   # gate/up, decode
+            (128, 1408, 2048),   # down, decode
+            (4096, 2048, 1408),  # gate/up, prefill
+        ]:
+            for wdt in ("bf16", "int8"):
+                for impl in ("xla", "pallas"):
+                    print(json.dumps(bench_gmm(
+                        T, K, N, 8, wdt, impl, args.iters)))
+        return
 
     # Qwen3-0.6B / Qwen2-7B GQA decode shapes at serving concurrency.
     # iters must be large: the whole chain costs one relay round trip

@@ -15,6 +15,8 @@ structure — a mixed dense/sparse stack would break the homogeneous
 
 from __future__ import annotations
 
+import os
+
 import jax.numpy as jnp
 import numpy as np
 
@@ -86,6 +88,22 @@ class QwenMoeForCausalLM(QwenForCausalLM):
 
     # -- forward hook --------------------------------------------------------
 
+    def _moe_impl(self) -> str:
+        """Grouped-matmul backend for the expert dispatch.
+
+        The Pallas kernel (ops/pallas/moe_gmm.py) engages with the Pallas
+        attention backend on a mesh-less run — under an ep/tp mesh the
+        expert weights are GSPMD-sharded and a pallas_call has no
+        partitioning rule, so sharded runs stay on lax.ragged_dot.
+        MINIVLLM_MOE_IMPL=xla forces the XLA path (A/B benchmarking).
+        """
+        if os.environ.get("MINIVLLM_MOE_IMPL") == "xla":
+            return "xla"
+        b = self.attn_backend
+        if b is None or b.name != "pallas" or getattr(b, "mesh", None) is not None:
+            return "xla"
+        return "pallas_interpret" if getattr(b, "interpret", False) else "pallas"
+
     def _mlp(self, lp: dict, h: jnp.ndarray) -> jnp.ndarray:
         return moe_mlp(
             h,
@@ -95,4 +113,5 @@ class QwenMoeForCausalLM(QwenForCausalLM):
             lp["moe_down"],
             self.top_k,
             self.norm_topk_prob,
+            impl=self._moe_impl(),
         )

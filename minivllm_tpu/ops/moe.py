@@ -31,10 +31,38 @@ from minivllm_tpu.ops.quant import is_quantized
 __all__ = ["moe_mlp", "qragged_dot"]
 
 
-def qragged_dot(x: jnp.ndarray, w, group_sizes: jnp.ndarray) -> jnp.ndarray:
+def qragged_dot(
+    x: jnp.ndarray, w, group_sizes: jnp.ndarray, impl: str = "xla"
+) -> jnp.ndarray:
     """Grouped matmul x (T, in) @ w (E, in, out) with `group_sizes` rows
-    per expert; accepts plain or quantized w."""
-    if not is_quantized(w):
+    per expert; accepts plain or quantized w.
+
+    impl: "xla" (lax.ragged_dot), "pallas" (Mosaic grouped-matmul kernel
+    with fused dequant, ops/pallas/moe_gmm.py), or "pallas_interpret"
+    (the kernel as interpreted jax ops — CPU test path). The Pallas
+    kernel streams quantized weights directly (the XLA path must
+    materialize a dequantized copy through HBM every step, which is why
+    it measured ~28% of roofline at decode batch sizes, docs/roadmap.md).
+    """
+    quant = is_quantized(w)
+    data = w["w"] if quant else w
+    # Measured crossover on v5e (bench_kernels --moe, Qwen3-MoE shapes):
+    # the Pallas kernel wins up to T=2048 (0.68 -> 0.23 ms at T=512) but
+    # big prefill batches are compute-bound and ragged_dot's MXU
+    # utilization is higher (66 vs 57 TFLOP/s at T=4096).
+    if impl != "xla" and x.shape[0] <= 2048:
+        from minivllm_tpu.ops.pallas import moe_gmm
+
+        if moe_gmm.is_supported(x, data):
+            scale = None
+            if quant:
+                E, _, N = data.shape
+                scale = w["s"].astype(jnp.float32).reshape(E, 1, N)
+            return moe_gmm.gmm(
+                x, data, group_sizes, scale,
+                interpret=impl == "pallas_interpret",
+            )
+    if not quant:
         return lax.ragged_dot(x, w, group_sizes)
     wd = w["w"].astype(x.dtype) * w["s"].astype(x.dtype)
     return lax.ragged_dot(x, wd, group_sizes)
@@ -48,12 +76,14 @@ def moe_mlp(
     w_down,
     top_k: int,
     norm_topk_prob: bool,
+    impl: str = "xla",
 ) -> jnp.ndarray:
     """Sparse SwiGLU MoE layer.
 
     x: (T, D) normed hidden states.
     router_w: (D, E) router projection (kept full precision).
     w_gate/w_up: (E, D, I); w_down: (E, I, D) — possibly quantized.
+    impl selects the grouped-matmul backend (see qragged_dot).
     Returns (T, D) in x.dtype.
     """
     T, D = x.shape
@@ -74,10 +104,10 @@ def moe_mlp(
     group_sizes = jnp.bincount(flat_e, length=E).astype(jnp.int32)
 
     h = silu_and_mul(
-        qragged_dot(xs, w_gate, group_sizes),
-        qragged_dot(xs, w_up, group_sizes),
+        qragged_dot(xs, w_gate, group_sizes, impl),
+        qragged_dot(xs, w_up, group_sizes, impl),
     )
-    out = qragged_dot(h, w_down, group_sizes)  # (T*k, D)
+    out = qragged_dot(h, w_down, group_sizes, impl)  # (T*k, D)
     out = out * jnp.take(top_p.reshape(-1), order).astype(out.dtype)[:, None]
     # Combine: scatter-add each weighted expert output back to its token.
     return jnp.zeros((T, D), out.dtype).at[src_tok].add(out).astype(x.dtype)

@@ -74,6 +74,28 @@ def test_moe_mlp_quantized_close():
     assert err < 0.05, err
 
 
+@pytest.mark.parametrize("quant", [False, True])
+def test_gmm_kernel_matches_ragged_dot(quant):
+    """The Pallas grouped matmul (interpret mode) vs the XLA path, at
+    kernel-supported shapes (K, N multiples of 128), uneven groups
+    including empty experts and groups straddling the 128-row tiles."""
+    from minivllm_tpu.ops.moe import qragged_dot
+
+    rng = np.random.default_rng(2)
+    T, K, N, E = 384, 128, 256, 8
+    gs = jnp.asarray([100, 0, 30, 90, 0, 64, 50, 50], jnp.int32)
+    x = jnp.asarray(rng.normal(0, 1, (T, K)).astype(np.float32))
+    w = rng.normal(0, 0.2, (E, K, N)).astype(np.float32)
+    wq = quantize_weight(w, (1,)) if quant else jnp.asarray(w)
+    ref = np.asarray(jax.jit(qragged_dot, static_argnames="impl")(x, wq, gs))
+    out = np.asarray(
+        jax.jit(qragged_dot, static_argnames="impl")(
+            x, wq, gs, impl="pallas_interpret"
+        )
+    )
+    np.testing.assert_allclose(out, ref, rtol=2e-5, atol=2e-5)
+
+
 @pytest.fixture(scope="module")
 def moe_ckpt(tmp_path_factory):
     # 8 kv heads / 8 experts so tp,ep in {1,2,4} divide evenly.
@@ -123,6 +145,32 @@ def test_moe_ep_tp_matches_single_device(moe_ckpt):
     assert _run_tokens(moe_ckpt, 2, 1) == ref, "tp=2 diverged"
     assert _run_tokens(moe_ckpt, 1, 4) == ref, "ep=4 diverged"
     assert _run_tokens(moe_ckpt, 2, 2) == ref, "tp=2 x ep=2 diverged"
+
+
+def test_moe_pallas_gmm_engine_parity(tmp_path):
+    """Greedy tokens through the engine with the Pallas grouped-matmul
+    engaged (interpret mode; hidden/intermediate at the kernel's 128
+    multiple) must match the XLA ragged_dot path."""
+    ckpt = make_tiny_checkpoint(
+        "qwen3_moe", tmp_path / "m128",
+        num_attention_heads=4, num_key_value_heads=4, head_dim=16,
+        hidden_size=128, moe_intermediate_size=128,
+    )
+
+    def toks(impl):
+        cfg = Config(
+            model=str(ckpt), max_num_seqs=4, max_model_len=128,
+            max_num_batched_tokens=128, kvcache_block_size=16,
+            num_kvcache_blocks=32, dtype="float32", attention_impl=impl,
+        )
+        outs = LLM(cfg).generate(
+            [[1, 2, 3, 4, 5], [9, 8, 7]],
+            SamplingParams(temperature=0.0, max_tokens=8),
+            use_tqdm=False,
+        )
+        return [o["token_ids"] for o in outs]
+
+    assert toks("pallas_interpret") == toks("xla")
 
 
 def test_moe_engine_generate(moe_ckpt):
