@@ -167,10 +167,18 @@ def bench_prefill(S, q_len, ctx, kvh, h, d, bs, iters=100):
     }
 
 
-def bench_gmm(T, K, N, E, wdtype_name, impl, iters=200):
+def bench_gmm(T, K, N, E, wdtype_name, impl, iters=2000):
     """MoE grouped matmul (T rows sorted by expert, E experts of (K, N))
     — decode shapes are bound by streaming the expert weights, so the
-    report is weight GB/s vs the HBM roofline."""
+    report is weight GB/s vs the HBM roofline.
+
+    Floor-subtracted: the chained scan still pays one fixed relay round
+    trip (~25 ms) per fetch, an additive `fixed/iters` per-iteration
+    offset LARGER than these sub-ms kernels at small iter counts. An
+    empty-body scan at the same iters measures that floor, which is
+    subtracted. group_sizes stay uniform-and-full deliberately: the
+    scan's feedback loop otherwise collapses the routing and both
+    backends skip the empty experts' weights, benchmarking nothing."""
     import jax
     import jax.numpy as jnp
 
@@ -192,25 +200,35 @@ def bench_gmm(T, K, N, E, wdtype_name, impl, iters=200):
     gs[0] += T - gs.sum()
     gs = jnp.asarray(gs)
 
-    @jax.jit
-    def run_chained(x, w, gs):
-        def body(x, _):
-            o = qragged_dot(x, w, gs, impl)
-            return x + o[:, :1].astype(x.dtype), None
+    def chained(body):
+        @jax.jit
+        def run(x, w, gs):
+            out, _ = jax.lax.scan(
+                lambda c, _: (body(c, w, gs), None), x, None, length=iters
+            )
+            return out[0, :1]
 
-        out, _ = jax.lax.scan(body, x, None, length=iters)
-        return out[0, :1]
+        run(x, w, gs).block_until_ready()  # compile
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            np.asarray(run(x, w, gs))
+            best = min(best, (time.perf_counter() - t0) / iters)
+        return best
 
-    np.asarray(run_chained(x, w, gs))  # compile
-    t0 = time.perf_counter()
-    np.asarray(run_chained(x, w, gs))
-    dt = (time.perf_counter() - t0) / iters
+    floor = chained(lambda c, w, gs: c + 1.0)
+    dt = chained(
+        lambda c, w, gs: c.at[:, :1].add(
+            qragged_dot(c, w, gs, impl)[:, :1].astype(c.dtype)
+        )
+    )
+    dt = max(dt - floor, 1e-9)
     wtotal = E * K * N * wbytes
     gbs = wtotal / dt / 1e9
     return {
         "kernel": "moe_gmm", "impl": impl,
         "T": T, "K": K, "N": N, "E": E, "w_dtype": wdtype_name,
-        "ms": round(dt * 1e3, 3),
+        "us": round(dt * 1e6, 1),
         "w_gb_per_s": round(gbs, 1),
         "roofline_frac": round(gbs / V5E_HBM_GBS, 3),
         "tflops": round(2 * T * K * N / dt / 1e12, 2),

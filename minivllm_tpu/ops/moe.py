@@ -32,7 +32,11 @@ __all__ = ["moe_mlp", "qragged_dot"]
 
 
 def qragged_dot(
-    x: jnp.ndarray, w, group_sizes: jnp.ndarray, impl: str = "xla"
+    x: jnp.ndarray,
+    w,
+    group_sizes: jnp.ndarray,
+    impl: str = "xla",
+    items: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """Grouped matmul x (T, in) @ w (E, in, out) with `group_sizes` rows
     per expert; accepts plain or quantized w.
@@ -43,14 +47,17 @@ def qragged_dot(
     kernel streams quantized weights directly (the XLA path must
     materialize a dequantized copy through HBM every step, which is why
     it measured ~28% of roofline at decode batch sizes, docs/roadmap.md).
+    `items` optionally carries a shared precomputed kernel work list
+    (moe_gmm.build_items) when several calls use the same (T, groups).
     """
     quant = is_quantized(w)
     data = w["w"] if quant else w
-    # Measured crossover on v5e (bench_kernels --moe, Qwen3-MoE shapes):
-    # the Pallas kernel wins up to T=2048 (0.68 -> 0.23 ms at T=512) but
-    # big prefill batches are compute-bound and ragged_dot's MXU
-    # utilization is higher (66 vs 57 TFLOP/s at T=4096).
-    if impl != "xla" and x.shape[0] <= 2048:
+    # Floor-subtracted v5e measurements (bench_kernels --moe, Qwen3-MoE
+    # shapes): the kernel is 2-3x ragged_dot at decode row counts
+    # (489-672 GB/s of weights vs ~291) and at parity on compute-bound
+    # prefill batches (102 vs 99 TFLOP/s at T=4096, tied at T=8192), so
+    # it runs at every supported shape.
+    if impl != "xla":
         from minivllm_tpu.ops.pallas import moe_gmm
 
         if moe_gmm.is_supported(x, data):
@@ -60,7 +67,7 @@ def qragged_dot(
                 scale = w["s"].astype(jnp.float32).reshape(E, 1, N)
             return moe_gmm.gmm(
                 x, data, group_sizes, scale,
-                interpret=impl == "pallas_interpret",
+                interpret=impl == "pallas_interpret", items=items,
             )
     if not quant:
         return lax.ragged_dot(x, w, group_sizes)
@@ -103,11 +110,19 @@ def moe_mlp(
     xs = jnp.take(x, src_tok, axis=0)  # (T*k, D)
     group_sizes = jnp.bincount(flat_e, length=E).astype(jnp.int32)
 
+    # One kernel work list serves gate/up/down (same rows and groups).
+    items = None
+    if impl != "xla":
+        from minivllm_tpu.ops.pallas import moe_gmm
+
+        items = moe_gmm.build_items(
+            group_sizes, xs.shape[0], moe_gmm._pick_tm(xs.shape[0]), E
+        )
     h = silu_and_mul(
-        qragged_dot(xs, w_gate, group_sizes, impl),
-        qragged_dot(xs, w_up, group_sizes, impl),
+        qragged_dot(xs, w_gate, group_sizes, impl, items),
+        qragged_dot(xs, w_up, group_sizes, impl, items),
     )
-    out = qragged_dot(h, w_down, group_sizes, impl)  # (T*k, D)
+    out = qragged_dot(h, w_down, group_sizes, impl, items)  # (T*k, D)
     out = out * jnp.take(top_p.reshape(-1), order).astype(out.dtype)[:, None]
     # Combine: scatter-add each weighted expert output back to its token.
     return jnp.zeros((T, D), out.dtype).at[src_tok].add(out).astype(x.dtype)

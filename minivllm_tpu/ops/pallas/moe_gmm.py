@@ -29,6 +29,11 @@ Design — a megablox-style (m-tile, expert) work list:
   out-channel) scale multiplies the fp32 tile product — the quantized
   weight bytes are all that crosses HBM (the north-star "dequant fused
   into the matmul read").
+- Weights may be pre-blocked to (E, N/TN, K, TN) (`block_weights`): a
+  (K, TN) tile of the row-major (E, K, N) layout is K strided rows of
+  TN*itemsize (256 B bf16) per fetch, which measured ~28% of HBM; the
+  blocked layout makes each weight fetch one contiguous K*TN*itemsize
+  slab.
 - TM adapts to the batch: at decode sizes (T <= 1024) a 128-row tile
   keeps the per-item MXU pass cheaper than the weight DMA it overlaps;
   large prefill batches take 512-row tiles so each expert's weights are
@@ -48,7 +53,25 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["gmm", "is_supported"]
+__all__ = [
+    "gmm", "is_supported", "build_items", "block_weights", "unblock_weights"
+]
+
+BLOCK_TN = 128  # lane width of the blocked weight layout
+
+
+def block_weights(w: jnp.ndarray, tn: int = BLOCK_TN) -> jnp.ndarray:
+    """(..., E, K, N) -> (..., E, N/tn, K, tn): each (K, tn) weight tile
+    becomes one contiguous slab (a single linear DMA in the kernel)."""
+    *lead, E, K, N = w.shape
+    assert N % tn == 0, (N, tn)
+    return jnp.swapaxes(w.reshape(*lead, E, K, N // tn, tn), -3, -2)
+
+
+def unblock_weights(w: jnp.ndarray) -> jnp.ndarray:
+    """Inverse of block_weights: (..., E, NB, K, tn) -> (..., E, K, NB*tn)."""
+    *lead, E, NB, K, tn = w.shape
+    return jnp.swapaxes(w, -3, -2).reshape(*lead, E, K, NB * tn)
 
 
 def _pick_tm(T: int) -> int:
@@ -69,48 +92,70 @@ def _pick_tn(N: int, K: int) -> int:
 
 
 def is_supported(x, w) -> bool:
-    if x.ndim != 2 or w.ndim != 3:
+    if x.ndim != 2 or w.ndim not in (3, 4):
         return False
     T, K = x.shape
-    E, Kw, N = w.shape
+    Kw = w.shape[2] if w.ndim == 4 else w.shape[1]
+    N = w.shape[1] * w.shape[3] if w.ndim == 4 else w.shape[2]
     return K == Kw and K % 128 == 0 and N % 128 == 0 and K <= 16384
 
 
-def _build_items(group_sizes: jnp.ndarray, T: int, TM: int, E: int):
+def build_items(group_sizes: jnp.ndarray, T: int, TM: int, E: int):
     """Work list (5, WI) int32: [m_tile, expert, row_start, row_end,
-    flags(bit0 first-of-tile, bit1 last-of-tile)].
+    flags(bit0 first-of-tile, bit1 last-of-tile, bit2 valid)].
 
     Items of a tile are consecutive; every tile has >= 1 item (group
     sizes sum to T, the static row count). Padding items carry an empty
     row range and no flags — their contribution is exactly zero.
+
+    Built from broadcast comparisons, NOT jnp.searchsorted: the work
+    list is rebuilt every call (routing is traced), and a searchsorted
+    chain measured 0.13 ms/call of pure tiny-op launch latency on v5e —
+    more than the grouped matmul itself. (MT, E)-shaped one-shot
+    compares keep it to a handful of fused vector ops. The three expert
+    matmuls of one MoE layer share one list (same T, TM, group_sizes).
     """
     MT = -(-T // TM)
     WI = MT + E
-    offs = jnp.cumsum(group_sizes).astype(jnp.int32)  # (E,)
-    starts = offs - group_sizes.astype(jnp.int32)
-    tlo = jnp.arange(MT, dtype=jnp.int32) * TM
-    # experts intersecting tile t: offs[e] > t*TM  and  starts[e] < (t+1)*TM
-    lo = jnp.searchsorted(offs, tlo, side="right").astype(jnp.int32)
-    hi = jnp.searchsorted(starts, tlo + TM, side="left").astype(jnp.int32)
+    gs = group_sizes.astype(jnp.int32)
+    offs = jnp.cumsum(gs)  # (E,) exclusive-end row of each expert
+    starts = offs - gs
+    tlo = jnp.arange(MT, dtype=jnp.int32)[:, None] * TM  # (MT, 1)
+    # experts intersecting tile t: offs[e] > t*TM and starts[e] < (t+1)*TM
+    lo = jnp.sum(offs[None, :] <= tlo, 1, dtype=jnp.int32)  # (MT,)
+    hi = jnp.sum(starts[None, :] < tlo + TM, 1, dtype=jnp.int32)
     cnt = jnp.maximum(hi - lo, 1)
-    toffs = jnp.cumsum(cnt)
+    toffs = jnp.cumsum(cnt)  # (MT,) exclusive-end item of each tile
     total = toffs[-1]
     i = jnp.arange(WI, dtype=jnp.int32)
-    t = jnp.searchsorted(toffs, i, side="right").astype(jnp.int32)
+    t = jnp.sum(toffs[None, :] <= i[:, None], 1, dtype=jnp.int32)  # (WI,)
     tcl = jnp.minimum(t, MT - 1)
-    prev = jnp.where(t > 0, toffs[jnp.maximum(t - 1, 0)], 0)
+    prev = toffs[tcl] - cnt[tcl]  # first item index of the tile
     e = lo[tcl] + (i - prev)
     valid = (i < total) & (e < E)
     ecl = jnp.clip(e, 0, E - 1)
     gstart = jnp.where(valid, starts[ecl], 0)
     gend = jnp.where(valid, offs[ecl], 0)
-    flags = jnp.where(valid & (i == prev), 1, 0) | jnp.where(
-        valid & (i == toffs[tcl] - 1), 2, 0
+    flags = (
+        jnp.where(valid & (i == prev), 1, 0)
+        | jnp.where(valid & (i == toffs[tcl] - 1), 2, 0)
+        | jnp.where(valid, 4, 0)
     )
+    # Padding items (i >= total) repeat the last real item's tile/expert
+    # indices: the kernel's block index maps then resolve to the SAME
+    # blocks, so Mosaic skips their DMAs entirely — otherwise every
+    # pad item refetches a full (K, TN) weight tile, and with skewed
+    # routing (few occupied experts) the pads dominate the traffic.
+    # Their flags stay 0, which also predicates off the compute.
+    src = jnp.minimum(i, jnp.maximum(total - 1, 0))
+    tcl = jnp.take(tcl, src)
+    ecl = jnp.take(ecl, src)
     return jnp.stack([tcl, ecl, gstart, gend, flags]).astype(jnp.int32)
 
 
-def _gmm_kernel(items_ref, x_ref, w_ref, s_ref, o_ref, acc_ref, *, TM, quantized):
+def _gmm_kernel(
+    items_ref, x_ref, w_ref, s_ref, o_ref, acc_ref, *, TM, quantized, blocked
+):
     i = pl.program_id(1)
     t = items_ref[0, i]
     gstart = items_ref[2, i]
@@ -121,17 +166,22 @@ def _gmm_kernel(items_ref, x_ref, w_ref, s_ref, o_ref, acc_ref, *, TM, quantized
     def _():
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
-    rows = t * TM + jax.lax.broadcasted_iota(jnp.int32, (TM, 1), 0)
-    mask = (rows >= gstart) & (rows < gend)  # (TM, 1)
-    x = x_ref[...]
-    xm = jnp.where(mask, x, jnp.zeros_like(x))
-    w = w_ref[0]  # (K, TN)
-    if w.dtype != x.dtype:
-        w = w.astype(x.dtype)
-    contrib = jnp.dot(xm, w, preferred_element_type=jnp.float32)  # (TM, TN)
-    if quantized:
-        contrib = contrib * s_ref[0]  # (1, TN) per-(expert, out-chan)
-    acc_ref[...] += contrib
+    # Padding items (valid bit unset) skip the matmul entirely; their
+    # block indices repeat the last real item's, so no DMA either.
+    @pl.when(flags & 4 == 4)
+    def _():
+        rows = t * TM + jax.lax.broadcasted_iota(jnp.int32, (TM, 1), 0)
+        mask = (rows >= gstart) & (rows < gend)  # (TM, 1)
+        x = x_ref[...]
+        xm = jnp.where(mask, x, jnp.zeros_like(x))
+        w = w_ref[0, 0] if blocked else w_ref[0]  # (K, TN)
+        if w.dtype != x.dtype:
+            w = w.astype(x.dtype)
+        contrib = jnp.dot(xm, w, preferred_element_type=jnp.float32)
+        if quantized:
+            # (1, TN) per-(expert, out-channel) scale
+            contrib = contrib * (s_ref[0, 0] if blocked else s_ref[0])
+        acc_ref[...] += contrib
 
     @pl.when(flags & 2 == 2)
     def _():
@@ -145,37 +195,61 @@ def gmm(
     group_sizes: jnp.ndarray,
     scale: jnp.ndarray | None = None,
     interpret: bool = False,
+    items: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """Grouped matmul: rows of x (T, K), sorted by expert with
-    group_sizes (E,) rows per expert, times w (E, K, N) -> (T, N).
+    group_sizes (E,) rows per expert, times w -> (T, N).
 
+    `w` is (E, K, N) row-major or (E, N/TN, K, TN) blocked
+    (`block_weights`) — blocked fetches are single contiguous slabs.
     `scale` ((E, 1, N) fp32, optional) dequantizes int8/fp8 `w` in-kernel
-    (per-expert, per-out-channel). Output dtype follows x.
+    (per-expert, per-out-channel). `items` is a precomputed
+    `build_items(group_sizes, T, _pick_tm(T), E)` work list — pass it
+    when several matmuls share (T, group_sizes), e.g. the gate/up/down
+    of one MoE layer. Output dtype follows x.
     """
     T, K = x.shape
-    E, _, N = w.shape
+    blocked = w.ndim == 4
+    if blocked:
+        E, NB, _, TN = w.shape
+        N = NB * TN
+    else:
+        E, _, N = w.shape
+        TN = _pick_tn(N, K)
     TM = _pick_tm(T)
-    TN = _pick_tn(N, K)
     MT = -(-T // TM)
     WI = MT + E
     quantized = scale is not None
-    if not quantized:
-        scale = jnp.ones((1, 1, TN), jnp.float32)  # dummy, never read
-    items = _build_items(group_sizes, T, TM, E)
+    if items is None:
+        items = build_items(group_sizes, T, TM, E)
 
-    kernel = functools.partial(_gmm_kernel, TM=TM, quantized=quantized)
+    kernel = functools.partial(
+        _gmm_kernel, TM=TM, quantized=quantized, blocked=blocked
+    )
+    if blocked:
+        w_spec = pl.BlockSpec((1, 1, K, TN), lambda n, i, it: (it[1, i], n, 0, 0))
+        if quantized:
+            scale = scale.reshape(E, 1, N // TN, TN).swapaxes(1, 2)
+            s_spec = pl.BlockSpec(
+                (1, 1, 1, TN), lambda n, i, it: (it[1, i], n, 0, 0)
+            )
+        else:
+            scale = jnp.ones((1, 1, 1, TN), jnp.float32)  # dummy, never read
+            s_spec = pl.BlockSpec((1, 1, 1, TN), lambda n, i, it: (0, 0, 0, 0))
+    else:
+        w_spec = pl.BlockSpec((1, K, TN), lambda n, i, it: (it[1, i], 0, n))
+        if quantized:
+            s_spec = pl.BlockSpec((1, 1, TN), lambda n, i, it: (it[1, i], 0, n))
+        else:
+            scale = jnp.ones((1, 1, TN), jnp.float32)  # dummy, never read
+            s_spec = pl.BlockSpec((1, 1, TN), lambda n, i, it: (0, 0, 0))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(N // TN, WI),
         in_specs=[
             pl.BlockSpec((TM, K), lambda n, i, it: (it[0, i], 0)),
-            pl.BlockSpec((1, K, TN), lambda n, i, it: (it[1, i], 0, n)),
-            pl.BlockSpec(
-                (1, 1, TN),
-                (lambda n, i, it: (it[1, i], 0, n))
-                if quantized
-                else (lambda n, i, it: (0, 0, 0)),
-            ),
+            w_spec,
+            s_spec,
         ],
         out_specs=pl.BlockSpec((TM, TN), lambda n, i, it: (it[0, i], n)),
         scratch_shapes=[pltpu.VMEM((TM, TN), jnp.float32)],

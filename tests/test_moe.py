@@ -96,6 +96,75 @@ def test_gmm_kernel_matches_ragged_dot(quant):
     np.testing.assert_allclose(out, ref, rtol=2e-5, atol=2e-5)
 
 
+def test_gmm_kernel_wide_tiles():
+    """T > 1024 takes the 512-row tile path (multi-tile work list,
+    experts straddling tile boundaries, a ragged last tile)."""
+    from minivllm_tpu.ops.moe import qragged_dot
+
+    rng = np.random.default_rng(11)
+    T, K, N, E = 2560, 128, 128, 4
+    gs = jnp.asarray([700, 1000, 0, 860], jnp.int32)
+    x = jnp.asarray(rng.normal(0, 1, (T, K)).astype(np.float32))
+    w = jnp.asarray(rng.normal(0, 0.2, (E, K, N)).astype(np.float32))
+    f = jax.jit(qragged_dot, static_argnames="impl")
+    np.testing.assert_allclose(
+        np.asarray(f(x, w, gs, impl="pallas_interpret")),
+        np.asarray(f(x, w, gs)),
+        rtol=2e-5, atol=2e-5,
+    )
+
+
+@pytest.mark.parametrize("quant", [False, True])
+def test_gmm_blocked_weight_layout(quant):
+    """The kernel also accepts (E, N/TN, K, TN) pre-blocked weights
+    (block_weights); outputs must match the row-major layout."""
+    from minivllm_tpu.ops.pallas import moe_gmm
+
+    rng = np.random.default_rng(7)
+    T, K, N, E = 256, 128, 256, 4
+    gs = jnp.asarray([60, 100, 0, 96], jnp.int32)
+    x = jnp.asarray(rng.normal(0, 1, (T, K)).astype(np.float32))
+    w = rng.normal(0, 0.2, (E, K, N)).astype(np.float32)
+    scale = None
+    if quant:
+        q = quantize_weight(w, (1,))
+        w, scale = q["w"], q["s"].astype(jnp.float32).reshape(E, 1, N)
+    else:
+        w = jnp.asarray(w)
+    wb = moe_gmm.block_weights(w)
+    assert np.asarray(moe_gmm.unblock_weights(wb) == w).all()
+    ref = np.asarray(moe_gmm.gmm(x, w, gs, scale, interpret=True))
+    out = np.asarray(moe_gmm.gmm(x, wb, gs, scale, interpret=True))
+    np.testing.assert_allclose(out, ref, rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize(
+    "gs",
+    [
+        [384, 0, 0, 0, 0, 0, 0, 0],   # fully collapsed routing
+        [0, 0, 0, 0, 0, 0, 0, 384],   # collapsed onto the last expert
+        [0, 200, 0, 0, 184, 0, 0, 0],  # two occupied experts
+    ],
+)
+def test_gmm_kernel_skewed_groups(gs):
+    """Skewed/collapsed routing: most experts empty, so most work-list
+    slots are padding items (block indices repeat the last real item's
+    and compute is predicated off) — the output must still match."""
+    from minivllm_tpu.ops.moe import qragged_dot
+
+    rng = np.random.default_rng(5)
+    T, K, N, E = 384, 128, 256, 8
+    x = jnp.asarray(rng.normal(0, 1, (T, K)).astype(np.float32))
+    w = jnp.asarray(rng.normal(0, 0.2, (E, K, N)).astype(np.float32))
+    gs = jnp.asarray(gs, jnp.int32)
+    f = jax.jit(qragged_dot, static_argnames="impl")
+    np.testing.assert_allclose(
+        np.asarray(f(x, w, gs, impl="pallas_interpret")),
+        np.asarray(f(x, w, gs)),
+        rtol=2e-5, atol=2e-5,
+    )
+
+
 @pytest.fixture(scope="module")
 def moe_ckpt(tmp_path_factory):
     # 8 kv heads / 8 experts so tp,ep in {1,2,4} divide evenly.
