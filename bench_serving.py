@@ -101,6 +101,8 @@ def main() -> None:
     p.add_argument("--multi-step", type=int, default=4)
     p.add_argument("--blocks", type=int, default=-1,
                    help="KV blocks (-1 = auto-size from free HBM)")
+    p.add_argument("--block-size", type=int, default=64,
+                   help="KV cache block size (tokens per block)")
     p.add_argument("--temperature", type=float, default=0.7)
     p.add_argument("--passes", type=int, default=2)
     p.add_argument(
@@ -133,7 +135,7 @@ def main() -> None:
         max_num_seqs=args.num_seqs,
         max_model_len=args.max_model_len,
         max_num_batched_tokens=args.batched_tokens,
-        kvcache_block_size=64,
+        kvcache_block_size=args.block_size,
         num_kvcache_blocks=args.blocks,
         dtype="bfloat16",
         kvcache_dtype=args.kv_dtype,

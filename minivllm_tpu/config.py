@@ -72,6 +72,13 @@ class Config:
     enforce_eager: bool = False
     hf_config: Any | None = None
     eos: int = -1
+    # Workload-dependent on v5e (adjacent-run A/Bs): 64 wins
+    # short-context serving (256 seqs of 64-96 token contexts: 1858 vs
+    # 1770 tok/s against 128), while 128 halves the gather-DMA issue
+    # count and wins long contexts (prefill flash 5.25 -> 3.19 ms at
+    # 2x2048, int8-KV decode 1.68 -> 1.27 ms at 64x4096). Default stays
+    # 64 (finer prefix-cache granularity, better short-context decode);
+    # pass 128 for long-prompt / long-generation deployments.
     kvcache_block_size: int = 64
     num_kvcache_blocks: int = -1
     trust_remote_code: bool = False

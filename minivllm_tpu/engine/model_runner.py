@@ -722,9 +722,11 @@ class ModelRunner:
 
     # Shared-prefix grouping pays off only when the saved KV streaming
     # ((members - 1) x shared blocks, per layer) outweighs the extra
-    # phase-1 kernel launch; ~128 blocks (~16 MB of bf16 KV) is the
-    # measured break-even ballpark on v5e.
-    SHARED_PREFIX_MIN_SAVED_BLOCKS = 128
+    # phase-1 kernel launch; ~8K saved tokens (~16 MB of bf16 KV at
+    # 7B-class kvh*hd) is the measured break-even ballpark on v5e. The
+    # gate is denominated in TOKENS so it is block-size independent
+    # (the saved-block count is scaled by block_size at check time).
+    SHARED_PREFIX_MIN_SAVED_TOKENS = 128 * 64
     # Phase-1 stacks member queries into the head axis: its accumulator
     # and (m, l) scratch scale with Gmax * h rows, so cap the group size
     # (VMEM is ~16 MB; 32 members x 32 heads x 128 lanes x 3 arrays x
@@ -781,7 +783,10 @@ class ModelRunner:
                     continue
                 found.append((chunk, t0[:depth]))
                 saved += (len(chunk) - 1) * depth
-        if not found or saved < self.SHARED_PREFIX_MIN_SAVED_BLOCKS:
+        if (
+            not found
+            or saved * self.block_size < self.SHARED_PREFIX_MIN_SAVED_TOKENS
+        ):
             return None
         G = _next_pow2(len(found), 1)
         Gmax = _next_pow2(max(len(f[0]) for f in found), 2)

@@ -56,8 +56,12 @@ NEG_INF = float(jnp.finfo(jnp.float32).min)
 NBUF = 2
 
 
-def _pick_mblk(max_blocks: int) -> int:
-    return 4 if max_blocks <= 8 else 8
+def _pick_mblk(max_blocks: int, block_size: int = 64) -> int:
+    # Span (mblk * block_size keys per pipeline slot) capped at 1024:
+    # beyond that the NBUF'd K/V buffers blow the 16 MB VMEM scope
+    # (measured: block_size 256 * mblk 8 OOMs at 16.29 MB).
+    mblk = 4 if max_blocks <= 8 else 8
+    return max(1, min(mblk, 1024 // block_size))
 
 
 def _cache_parts(cache):
@@ -409,7 +413,7 @@ def decode_attention(
         k_scale = jnp.ones((1, kvh, lanes), jnp.float32)
         v_scale = k_scale
     W = meta.block_tables.shape[1]
-    mblk = _pick_mblk(W)
+    mblk = _pick_mblk(W, block_size)
     win = jnp.asarray(window if window is not None else 1 << 30, jnp.int32)
     start_arr = (
         jnp.zeros((S,), jnp.int32) if start is None
@@ -477,6 +481,11 @@ def decode_attention(
         out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
+            # The Mosaic default scoped-VMEM budget is 16 MB (v5e has
+            # 128 MB physical): Qwen2-7B prefill at block_size 128
+            # needs 16.2 MB. 64 MB leaves headroom without starving
+            # XLA's own VMEM needs for the surrounding program.
+            vmem_limit_bytes=64 * 1024 * 1024,
         ),
         interpret=interpret,
     )(

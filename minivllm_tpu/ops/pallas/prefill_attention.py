@@ -45,6 +45,15 @@ Q_TILE = 64
 MBLK = 4
 
 
+def _pick_mblk(block_size: int) -> int:
+    """Sub-blocks per super-block, capped so the span (mblk *
+    block_size keys per pipeline slot) stays <= 512: block_size 256
+    with a 4-block span measured 25.2 MB of scoped VMEM (16 MB limit).
+    512-key spans already amortize the per-pass issue overhead (the
+    jump from 256 to 512 measured +63% at block_size 128)."""
+    return max(1, min(MBLK, 512 // block_size))
+
+
 def _cache_parts(cache):
     """(data, scale, quantized) for a plain array or QuantizedCache."""
     from minivllm_tpu.ops.attention import QuantizedCache
@@ -77,13 +86,14 @@ def _prefill_kernel(
     # outputs
     o_ref,            # (Q_TILE, h, d) VMEM
     # scratch
-    kbuf, vbuf,       # (2, MBLK*bs, kvh, d) VMEM
-    ksbuf, vsbuf,     # (2, MBLK, kvh, lanes) fp32 VMEM (int8 dequant scales)
+    kbuf, vbuf,       # (2, mblk*bs, kvh, d) VMEM
+    ksbuf, vsbuf,     # (2, mblk, kvh, lanes) fp32 VMEM (int8 dequant scales)
     acc,              # (h * Q_TILE, d) fp32
     m_i, l_i,         # (h * Q_TILE, 128) fp32
     sems,
     *,
     block_size: int,
+    mblk: int,
     num_kv_heads: int,
     scale: float,
     max_blocks: int,
@@ -110,21 +120,21 @@ def _prefill_kernel(
     # before pos0 - window + 1, so earlier blocks are never fetched.
     first_block = jnp.maximum(pos0 - window + 1, 0) // bs
 
-    first_super = first_block // MBLK
-    num_super = pl.cdiv(num_blocks, MBLK)
+    first_super = first_block // mblk
+    num_super = pl.cdiv(num_blocks, mblk)
 
     def start_fetch(js, slot):
-        """Fetch super-block js (up to MBLK gather-DMAs); sub-blocks
+        """Fetch super-block js (up to mblk gather-DMAs); sub-blocks
         outside [first_block, num_blocks) are predicated off entirely —
         no ragged-tail or below-window traffic."""
-        for m in range(MBLK):
-            j = jnp.clip(js * MBLK + m, 0, max_blocks - 1)
+        for m in range(mblk):
+            j = jnp.clip(js * mblk + m, 0, max_blocks - 1)
             blk = block_tables_ref[s * max_blocks + j]
             off = base_ref[0] + blk * bs
             dst = pl.ds(m * bs, bs)
 
             @pl.when(
-                (js * MBLK + m >= first_block) & (js * MBLK + m < num_blocks)
+                (js * mblk + m >= first_block) & (js * mblk + m < num_blocks)
             )
             def _():
                 pltpu.make_async_copy(
@@ -147,11 +157,11 @@ def _prefill_kernel(
                     ).start()
 
     def wait_fetch(js, slot):
-        for m in range(MBLK):
+        for m in range(mblk):
             dst = pl.ds(m * bs, bs)
 
             @pl.when(
-                (js * MBLK + m >= first_block) & (js * MBLK + m < num_blocks)
+                (js * mblk + m >= first_block) & (js * mblk + m < num_blocks)
             )
             def _():
                 pltpu.make_async_copy(
@@ -193,7 +203,7 @@ def _prefill_kernel(
     q = q_ref[...].astype(jnp.float32) * scale      # (QT, h, d)
     q_pos = pos0 + jax.lax.broadcasted_iota(jnp.int32, (Q_TILE, 1), 0)[:, 0]
 
-    span = MBLK * bs
+    span = mblk * bs
 
     def body(js, _):
         slot = js % 2
@@ -207,7 +217,7 @@ def _prefill_kernel(
         v = vbuf[slot].astype(jnp.float32)
         if quantized:
             # Per-head (1, span) scale rows by lane-concatenating the
-            # MBLK sub-slabs (lane l of sub-block m, head kv = the scale
+            # mblk sub-slabs (lane l of sub-block m, head kv = the scale
             # of slot offset l); mathematically identical to
             # dequantizing k/v but lane-aligned for Mosaic.
             ksb = ksbuf[slot]
@@ -215,7 +225,7 @@ def _prefill_kernel(
 
             def scale_row(slab, kv):
                 return jnp.concatenate(
-                    [slab[m, kv : kv + 1, :bs] for m in range(MBLK)],
+                    [slab[m, kv : kv + 1, :bs] for m in range(mblk)],
                     axis=1,
                 )  # (1, span)
         k_pos = js * span + jax.lax.broadcasted_iota(
@@ -340,10 +350,12 @@ def prefill_attention_tiles(
         v_scale = k_scale
     W = block_tables.shape[1]
     nt = T // Q_TILE
+    mblk = _pick_mblk(block_size)
 
     kernel = functools.partial(
         _prefill_kernel,
         block_size=block_size,
+        mblk=mblk,
         num_kv_heads=kvh,
         scale=scale,
         max_blocks=W,
@@ -362,14 +374,14 @@ def prefill_attention_tiles(
         ],
         out_specs=pl.BlockSpec((Q_TILE, h, d), lambda t, *_: (t, 0, 0)),
         scratch_shapes=[
-            pltpu.VMEM((2, MBLK * block_size, kvh, d), k_data.dtype),
-            pltpu.VMEM((2, MBLK * block_size, kvh, d), v_data.dtype),
-            pltpu.VMEM((2, MBLK, kvh, lanes), jnp.float32),
-            pltpu.VMEM((2, MBLK, kvh, lanes), jnp.float32),
+            pltpu.VMEM((2, mblk * block_size, kvh, d), k_data.dtype),
+            pltpu.VMEM((2, mblk * block_size, kvh, d), v_data.dtype),
+            pltpu.VMEM((2, mblk, kvh, lanes), jnp.float32),
+            pltpu.VMEM((2, mblk, kvh, lanes), jnp.float32),
             pltpu.VMEM((h * Q_TILE, d), jnp.float32),
             pltpu.VMEM((h * Q_TILE, 128), jnp.float32),
             pltpu.VMEM((h * Q_TILE, 128), jnp.float32),
-            pltpu.SemaphoreType.DMA((2, MBLK, 4)),
+            pltpu.SemaphoreType.DMA((2, mblk, 4)),
         ],
     )
     return pl.pallas_call(
@@ -378,6 +390,11 @@ def prefill_attention_tiles(
         out_shape=jax.ShapeDtypeStruct((T, h, d), q.dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
+            # The Mosaic default scoped-VMEM budget is 16 MB (v5e has
+            # 128 MB physical): Qwen2-7B prefill at block_size 128
+            # needs 16.2 MB. 64 MB leaves headroom without starving
+            # XLA's own VMEM needs for the surrounding program.
+            vmem_limit_bytes=64 * 1024 * 1024,
         ),
         interpret=interpret,
     )(

@@ -84,3 +84,19 @@ def short_sequence():
 def pytest_configure(config):
     config.addinivalue_line("markers", "slow: long-running test")
     config.addinivalue_line("markers", "tpu: requires real TPU hardware")
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Release compiled executables between test modules.
+
+    The full suite compiles several hundred XLA:CPU programs in one
+    process; past ~300 the CPU backend segfaults/aborts INSIDE
+    backend_compile (reproduced 4/4 at tests/test_shared_prefix.py's
+    engine test, which passes in isolation and in any small group —
+    the crash follows cumulative compiler state, not a specific
+    program). Dropping the jit caches at module teardown keeps the
+    live-executable count bounded; per-module recompiles on CPU are
+    cheap next to the engine tests themselves."""
+    yield
+    jax.clear_caches()

@@ -12,21 +12,21 @@ from minivllm_tpu.ops.pallas import decode_attention as pdec
 BS = 16
 
 
-def _zero_cache(slots_total, kvh, d, dtype, quantized):
+def _zero_cache(slots_total, kvh, d, dtype, quantized, bs=BS):
     if quantized:
         from minivllm_tpu.ops.attention import make_quantized_cache
 
-        return make_quantized_cache(slots_total, kvh, d, BS)
+        return make_quantized_cache(slots_total, kvh, d, bs)
     return jnp.zeros((slots_total, kvh, d), dtype)
 
 
 def build_case(rng, ctx_lens, kvh, h, d, num_blocks=32, dtype=jnp.float32,
-               quantized=False):
+               quantized=False, BS=BS):
     S = len(ctx_lens)
     W = max(1, -(-max(ctx_lens) // BS))
     slots_total = (num_blocks + 1) * BS
-    kc = _zero_cache(slots_total, kvh, d, dtype, quantized)
-    vc = _zero_cache(slots_total, kvh, d, dtype, quantized)
+    kc = _zero_cache(slots_total, kvh, d, dtype, quantized, BS)
+    vc = _zero_cache(slots_total, kvh, d, dtype, quantized, BS)
     tables = np.full((S, W), num_blocks, np.int32)
     nxt = 0
     for s, L in enumerate(ctx_lens):
@@ -67,6 +67,23 @@ def test_matches_oracle(ctx_lens, kvh, h):
     q, kc, vc, meta = build_case(rng, ctx_lens, kvh, h, d)
     ref = decode_attention_xla(q, kc, vc, meta, 0.125, BS)
     out = pdec.decode_attention(q, kc, vc, meta, 0.125, BS, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5
+    )
+
+
+@pytest.mark.parametrize("quant", [False, True])
+def test_large_block_size_matches_oracle(quant):
+    """block_size 128 (the serving-bench setting: fewer, fatter DMAs)
+    exercises the span cap and the wide lane-padded scale slabs."""
+    rng = np.random.default_rng(4)
+    bs, d = 128, 128
+    q, kc, vc, meta = build_case(
+        rng, [300, 70, 129], 2, 4, d, num_blocks=8, quantized=quant, BS=bs
+    )
+    from minivllm_tpu.ops.attention import decode_attention_xla as oracle
+    ref = oracle(q, kc, vc, meta, 0.125, bs)
+    out = pdec.decode_attention(q, kc, vc, meta, 0.125, bs, interpret=True)
     np.testing.assert_allclose(
         np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5
     )

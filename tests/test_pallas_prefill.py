@@ -13,7 +13,7 @@ BS = 16  # kv block size
 
 
 def build_aligned_case(rng, specs, kvh, h, d, num_blocks=64, dtype=jnp.float32,
-                       quantized=False):
+                       quantized=False, BS=BS):
     """specs: list of (ctx_len, cached_len). Returns (q, kc, vc, meta).
 
     Mimics the runner's Q_TILE-aligned packing: seq s's new-token queries
@@ -23,8 +23,8 @@ def build_aligned_case(rng, specs, kvh, h, d, num_blocks=64, dtype=jnp.float32,
     slots_total = (num_blocks + 1) * BS
     trash_slot = num_blocks * BS
     from test_pallas_decode import _zero_cache
-    kc = _zero_cache(slots_total, kvh, d, dtype, quantized)
-    vc = _zero_cache(slots_total, kvh, d, dtype, quantized)
+    kc = _zero_cache(slots_total, kvh, d, dtype, quantized, BS)
+    vc = _zero_cache(slots_total, kvh, d, dtype, quantized, BS)
     q_lens = [c - p for c, p in specs]
     q_start, ofs = [], 0
     for ql in q_lens:
@@ -104,6 +104,23 @@ def test_matches_oracle(specs, kvh, h):
     out = np.asarray(ppre.prefill_attention(q, kc, vc, meta, 0.1, BS, interpret=True))
     valid = np.asarray(meta.q_seg) >= 0
     np.testing.assert_allclose(out[valid], ref[valid], rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize("quant", [False, True])
+def test_large_block_size_matches_oracle(quant):
+    """block_size 128 (serving-bench setting): the span cap drops the
+    super-block to 4 sub-blocks of 128 and widens the scale slabs."""
+    rng = np.random.default_rng(9)
+    q, kc, vc, meta = build_aligned_case(
+        rng, [(300, 256), (70, 0)], 2, 4, 128, num_blocks=8,
+        quantized=quant, BS=128
+    )
+    ref = np.asarray(prefill_attention_xla(q, kc, vc, meta, 0.125))
+    out = np.asarray(
+        ppre.prefill_attention(q, kc, vc, meta, 0.125, 128, interpret=True)
+    )
+    valid = np.asarray(meta.q_seg) >= 0
+    np.testing.assert_allclose(out[valid], ref[valid], rtol=3e-5, atol=3e-5)
 
 
 def test_bf16():

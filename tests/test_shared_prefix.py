@@ -133,7 +133,7 @@ def test_engine_shared_prefix_greedy_parity(tmp_path):
         kvcache_block_size=16, num_kvcache_blocks=64,
     ))
     # make tiny sharing worthwhile for the test
-    llm.model_runner.SHARED_PREFIX_MIN_SAVED_BLOCKS = 1
+    llm.model_runner.SHARED_PREFIX_MIN_SAVED_TOKENS = 1
     rng = np.random.default_rng(4)
     shared = [int(t) for t in rng.integers(1, 190, 32)]  # two full blocks
     prompts = [shared + [int(t) for t in rng.integers(1, 190, n)]
