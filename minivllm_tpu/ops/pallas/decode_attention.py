@@ -57,9 +57,14 @@ NBUF = 2
 
 
 def _pick_mblk(max_blocks: int, block_size: int = 64) -> int:
-    # Span (mblk * block_size keys per pipeline slot) capped at 1024:
-    # beyond that the NBUF'd K/V buffers blow the 16 MB VMEM scope
-    # (measured: block_size 256 * mblk 8 OOMs at 16.29 MB).
+    # Span choice is a compute-waste tradeoff, and REAL (ragged)
+    # context lengths decide it: exact power-of-two microbenches said
+    # span 1024 wins (bf16 1.53 -> 1.21 ms at ctx 4096), but the
+    # adjacent-run serving A/B at 1024-token prompts said the opposite
+    # (decode 1820 -> 1648 tok/s): per-key VPU/softmax work runs on
+    # masked lanes too, and a wide span wastes nearly a full pass on
+    # every ragged tail. Span 512 (mblk 8 at block 64) balances it;
+    # W <= 8 tables stay at 4 (short contexts are mostly tail).
     mblk = 4 if max_blocks <= 8 else 8
     return max(1, min(mblk, 1024 // block_size))
 
