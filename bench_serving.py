@@ -103,6 +103,17 @@ def main() -> None:
                    help="KV blocks (-1 = auto-size from free HBM)")
     p.add_argument("--block-size", type=int, default=64,
                    help="KV cache block size (tokens per block)")
+    p.add_argument(
+        "--spec-tokens", type=int, default=0, metavar="K",
+        help="n-gram speculative decoding with K draft tokens (greedy "
+        "only — pair with --temperature 0; use --repetitive for a "
+        "workload whose prompts actually contain recurring n-grams)",
+    )
+    p.add_argument(
+        "--repetitive", action="store_true",
+        help="build each prompt by repeating a short random span "
+        "(extraction/quoting-like text where prompt lookup fires)",
+    )
     p.add_argument("--temperature", type=float, default=0.7)
     p.add_argument("--passes", type=int, default=2)
     p.add_argument(
@@ -142,6 +153,7 @@ def main() -> None:
         quantization=args.quant,
         decode_multi_step=args.multi_step,
         shared_prefix_decode=not args.no_shared_prefix_decode,
+        speculative_num_tokens=args.spec_tokens,
     )
     t0 = time.perf_counter()
     llm = LLM(config, init_random=True)
@@ -158,11 +170,15 @@ def main() -> None:
         else []
     )
 
+    def one_prompt():
+        if args.repetitive:
+            span = list(rng.integers(1, vocab, size=max(args.prompt_len // 8, 4)))
+            reps = -(-args.prompt_len // len(span))
+            return (span * reps)[: args.prompt_len]
+        return list(rng.integers(1, vocab, size=args.prompt_len))
+
     def prompt_set():
-        return [
-            system + list(rng.integers(1, vocab, size=args.prompt_len))
-            for _ in range(args.num_seqs)
-        ]
+        return [system + one_prompt() for _ in range(args.num_seqs)]
 
     # Fresh prompts per pass measure cold serving (real prefill each
     # pass); --cached reuses one set, measuring fully prefix-cached
@@ -198,6 +214,8 @@ def main() -> None:
             "shared_prefix": args.shared_prefix,
         },
         "shared_prefix_steps": stats.get("shared_prefix_steps", 0),
+        "ngram_spec_steps": stats.get("ngram_spec_steps", 0),
+        "ngram_spec_accepted": stats.get("ngram_spec_accepted", 0),
         "decode_tokens_per_s": round(stats.get("decode_tokens_per_s", 0), 2),
         "decode_ms_per_token_p50": round(
             stats.get("decode_ms_per_token_p50", 0), 4),

@@ -125,6 +125,17 @@ class Config:
     # compute is discarded. 1 = classic single-step with speculative
     # pipelining.
     decode_multi_step: int = 4
+    # N-gram (prompt-lookup) speculative decoding: propose up to this
+    # many draft tokens per decode step by matching the sequence's
+    # trailing n-gram earlier in its own tokens, verify them all in ONE
+    # model pass, and append the matched prefix plus the bonus token.
+    # 0 disables. Greedy-only (temperature 0, no penalties/logprobs);
+    # other requests silently take the normal path. Wins on text with
+    # self-repetition (code, extraction, RAG quoting); costs one
+    # prefill-shaped pass per engaged step elsewhere.
+    speculative_num_tokens: int = 0
+    # Trailing-token match length for the n-gram proposer.
+    speculative_ngram: int = 2
 
     # Backward-compat alias used by reference callers
     # (/root/reference/minivllm/config.py:80-88).
@@ -184,6 +195,15 @@ class Config:
         if not 1 <= self.decode_multi_step <= 64:
             raise ValueError(
                 f"decode_multi_step must be in [1, 64], got {self.decode_multi_step}"
+            )
+        if not 0 <= self.speculative_num_tokens <= 16:
+            raise ValueError(
+                "speculative_num_tokens must be in [0, 16], got "
+                f"{self.speculative_num_tokens}"
+            )
+        if self.speculative_ngram < 1:
+            raise ValueError(
+                f"speculative_ngram must be >= 1, got {self.speculative_ngram}"
             )
         for name in (
             "data_parallel_size",

@@ -206,10 +206,22 @@ class BlockManager:
 
     def on_token_appended(self, seq: Sequence) -> None:
         """Called after each real token append; finalizes the hash of a
-        block the moment it fills (reference: block_manager.py:404-450)."""
+        full block ONE TOKEN AFTER it fills (reference registers at fill
+        time, block_manager.py:404-450 — racy, see below).
+
+        A decode step writes the KV of the token it CONSUMES, so
+        position p's KV is on device only once len(seq) >= p + 2.
+        Registering a block the moment it fills (len % bs == 0) exposes
+        its last position to prefix-cache hits scheduled before the
+        owner's next step, which would read stale KV. Deferring to
+        len % bs == 1 restores the invariant (device KV valid through
+        len - 2 >= the block's last position). The same invariant is
+        what makes speculative verification safe: accepted draft rows
+        are KV-correct and the bonus token's row is rewritten by the
+        step that consumes it."""
         if not self.enable_prefix_caching:
             return
-        if len(seq) % self.block_size == 0:
+        if len(seq) % self.block_size == 1:
             self._finalize_full_block(seq, len(seq) // self.block_size - 1)
 
     def _finalize_full_block(self, seq: Sequence, logical_idx: int) -> None:

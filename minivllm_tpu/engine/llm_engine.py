@@ -188,6 +188,63 @@ class LLMEngine:
         ):
             K = pick_window()
         appended = 0
+        # N-gram speculative decoding (config.speculative_num_tokens,
+        # engine/spec.py): when every sequence is greedy and any trailing
+        # n-gram recurs in its own history, verify the looked-up draft
+        # in ONE pass and append the matched prefix + bonus token —
+        # several tokens per model pass, bit-identical to plain greedy.
+        # Takes precedence over the fused window for this dispatch (the
+        # window saves dispatches; speculation saves model passes).
+        spec_k = self.config.speculative_num_tokens
+        if (
+            spec_k > 0
+            and not is_prefill
+            and seqs
+            and all(
+                s.sampling_params.temperature == 0.0
+                and not s.sampling_params.has_penalties
+                and s.sampling_params.logprobs is None
+                for s in seqs
+            )
+        ):
+            from minivllm_tpu.engine.spec import propose_ngram
+
+            # Drafted positions must stay inside the scheduler-reserved
+            # lookahead window AND the model length (block tables cover
+            # max_model_len; the verify rows write KV at L-1 .. L-1+dl).
+            lim = self.config.decode_multi_step - 1
+            drafts = [
+                propose_ngram(
+                    s.token_ids,
+                    self.config.speculative_ngram,
+                    min(
+                        spec_k, lim,
+                        self.config.max_model_len - len(s),
+                        s.sampling_params.max_tokens
+                        - s.num_completion_tokens,
+                    ),
+                )
+                for s in seqs
+            ]
+            if any(drafts):
+                cols = self.model_runner.run_verify(seqs, drafts)
+                for j in range(max(len(c) for c in cols)):
+                    active = [
+                        s
+                        for s, c in zip(seqs, cols)
+                        if not s.is_finished and j < len(c)
+                    ]
+                    toks = [
+                        c[j]
+                        for s, c in zip(seqs, cols)
+                        if not s.is_finished and j < len(c)
+                    ]
+                    if not active:
+                        break
+                    self.scheduler.postprocess(active, toks)
+                    appended += len(active)
+                self.model_runner.total_decode_tokens += appended
+                K = 0  # handled; skip the window and single-step paths
         if K > 1:
             for step_toks in self.model_runner.run_multi(seqs, K):
                 active, toks = [], []
@@ -200,7 +257,7 @@ class LLMEngine:
                 self.scheduler.postprocess(active, toks)
                 appended += len(active)
             self.model_runner.total_decode_tokens += appended
-        else:
+        elif K == 1:  # K == 0: the speculative branch already appended
             token_ids = self.model_runner.run(seqs, is_prefill)
             self.scheduler.postprocess(
                 seqs, token_ids, self.model_runner.last_logprobs
@@ -408,6 +465,9 @@ class LLMEngine:
             "total_decode_tokens": self.model_runner.total_decode_tokens,
             "spec_pipeline_hits": self.model_runner.spec_hits,
             "shared_prefix_steps": self.model_runner.shared_prefix_steps,
+            "ngram_spec_steps": self.model_runner.ngram_steps,
+            "ngram_spec_drafted": self.model_runner.ngram_drafted,
+            "ngram_spec_accepted": self.model_runner.ngram_accepted,
         }
         return stats
 

@@ -250,6 +250,10 @@ class ModelRunner:
         self._spec = None
         self.spec_hits = 0
         self.shared_prefix_steps = 0
+        # N-gram speculative decoding counters (engine/spec.py).
+        self.ngram_steps = 0
+        self.ngram_drafted = 0
+        self.ngram_accepted = 0
         # Per-seq (chosen_lp, top_ids, top_lps) of the last run() batch
         # when any sequence requested logprobs, else None.
         self.last_logprobs = None
@@ -438,6 +442,44 @@ class ModelRunner:
         )
         return toks, lp, plp, k_cache, v_cache
 
+    def _verify_step(
+        self, params, k_cache, v_cache, packed_t, packed_c, packed_s,
+        tables, rows,
+    ):
+        """Speculative verification: a prefill-shaped pass over each
+        sequence's [last committed token] + draft tokens, returning the
+        greedy argmax at EVERY draft row (rows (S_pad, k+1) packed-row
+        indices) — the host accepts the longest matching prefix.
+        Greedy-only by design: acceptance == argmax equality keeps the
+        emitted stream bit-identical to plain greedy decoding, so no
+        rejection-sampling machinery is needed."""
+        from minivllm_tpu.parallel.sharding import shard_batch
+
+        meta = shard_batch(
+            PrefillBatch(
+                input_ids=packed_t[0],
+                positions=packed_t[1],
+                q_seg=packed_t[2],
+                slot_mapping=packed_t[3],
+                ctx_slot_mapping=packed_c[0],
+                k_seg=packed_c[1],
+                k_pos=packed_c[2],
+                last_token_idx=packed_s[0],
+                ctx_lens=packed_s[1],
+                block_tables=tables,
+                q_start=packed_s[2],
+                q_lens=packed_s[3],
+            ),
+            self.mesh,
+        )
+        hidden, k_cache, v_cache = self._forward(
+            params, meta, k_cache, v_cache, is_prefill=True
+        )
+        sel = hidden[rows.reshape(-1)]
+        logits = self.model.compute_logits(params, sel)
+        toks = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        return toks.reshape(rows.shape), k_cache, v_cache
+
     def _decode_step(
         self, with_filters, typical, lp_k, params, k_cache, v_cache, packed,
         tables, state, key, prev_toks=None, hist=None, groups=None,
@@ -530,6 +572,8 @@ class ModelRunner:
                     ),
                     donate_argnums=(1, 2),
                 )
+            elif phase == "verify":
+                fn = jax.jit(self._verify_step, donate_argnums=(1, 2))
             elif num_steps > 1:
                 fn = jax.jit(
                     partial(self._decode_multi_step, with_filters, typical,
@@ -719,6 +763,133 @@ class ModelRunner:
             S_pad,
             (ranges, q_start),
         )
+
+    def _prepare_verify(self, seqs: list[Sequence], drafts: list[list[int]]):
+        """Pack speculative-verification rows (engine/spec.py): per seq,
+        row 0 re-feeds the last committed token (rewriting its KV slot
+        with identical values) and rows 1..dl feed the draft tokens at
+        the positions they would occupy. Prefill-shaped packing
+        (Q_TILE-aligned offsets) so the ordinary prefill attention path
+        verifies the whole batch in one pass. The oracle's flat context
+        packing is built only on the XLA backend — it is O(total
+        context) host work per step, which the Pallas path never reads."""
+        from minivllm_tpu.ops.pallas.prefill_attention import Q_TILE
+
+        bs = self.block_size
+        S = len(seqs)
+        kmax = max(len(d) for d in drafts) + 1
+        q_lens = [len(d) + 1 for d in drafts]
+        q_start, ofs = [], 0
+        for ql in q_lens:
+            q_start.append(ofs)
+            ofs += -(-ql // Q_TILE) * Q_TILE
+        T = _pick_bucket(max(ofs, 1), self.config.prefill_token_buckets)
+        mult = Q_TILE * (self.mesh.shape.get("sp", 1) if self.mesh else 1)
+        if T % mult:
+            T = -(-T // mult) * mult
+        S_pad = _next_pow2(S, 8)
+        W = self._max_width
+
+        packed_t = np.zeros((5, T), np.int32)
+        packed_t[2, :] = -1
+        packed_t[3, :] = self.trash_slot
+        packed_t[4, :] = -1
+        rows = np.zeros((S_pad, kmax), np.int32)
+        last_idx = []
+        need_oracle = self.attn_backend.name == "xla"
+        ctx_slots, k_seg, k_pos = [], [], []
+        for s, seq in enumerate(seqs):
+            table = seq.block_table
+            L = len(seq)
+            toks = [seq.token_ids[-1], *drafts[s]]
+            o = q_start[s]
+            for j, tok in enumerate(toks):
+                i = L - 1 + j
+                packed_t[0, o + j] = tok
+                packed_t[1, o + j] = i
+                packed_t[2, o + j] = s
+                # Row 0 re-feeds the last committed token whose KV the
+                # previous step already stored: write its K/V to the
+                # trash slot so the canonical cache value is never
+                # perturbed by this pass's (numerically distinct bf16)
+                # recomputation — attention reads position L-1 from the
+                # cache either way. Draft rows store normally (their
+                # positions are uncommitted).
+                packed_t[3, o + j] = (
+                    self.trash_slot if j == 0
+                    else table[i // bs] * bs + i % bs
+                )
+            rows[s, :] = [o + min(j, q_lens[s] - 1) for j in range(kmax)]
+            last_idx.append(o + q_lens[s] - 1)
+            if need_oracle:
+                end = L + len(drafts[s])
+                for i in range(end):
+                    ctx_slots.append(table[i // bs] * bs + i % bs)
+                    k_seg.append(s)
+                    k_pos.append(i)
+
+        C = _next_pow2(len(ctx_slots), 64)
+        packed_c = np.zeros((3, C), np.int32)
+        m = len(ctx_slots)
+        packed_c[0, :m] = ctx_slots
+        packed_c[0, m:] = self.trash_slot
+        packed_c[1, :m] = k_seg
+        packed_c[1, m:] = -2
+        packed_c[2, :m] = k_pos
+        packed_s = np.zeros((4, S_pad), np.int32)
+        packed_s[0, :S] = last_idx
+        packed_s[0, S:] = T - 1
+        packed_s[1, :S] = [len(seq) + len(d) for seq, d in zip(seqs, drafts)]
+        packed_s[2, :S] = q_start
+        packed_s[3, :S] = q_lens
+        tables = np.full((S_pad, W), self.trash_block, np.int32)
+        for s, seq in enumerate(seqs):
+            tables[s, : len(seq.block_table)] = seq.block_table
+        return (
+            jnp.asarray(packed_t),
+            jnp.asarray(packed_c),
+            jnp.asarray(packed_s),
+            jnp.asarray(tables),
+            jnp.asarray(rows),
+        )
+
+    def run_verify(
+        self, seqs: list[Sequence], drafts: list[list[int]]
+    ) -> list[list[int]]:
+        """One speculative-verification pass (greedy sequences only).
+
+        Returns the tokens to APPEND per sequence: the longest accepted
+        draft prefix plus the model's own token at the first mismatch
+        (>= 1 token each — a no-draft sequence degenerates to a normal
+        decode row). KV invariants: accepted rows wrote correct KV
+        in-pass; the bonus token's slot is rewritten by the next step
+        that consumes it (the same len-2 invariant plain decode has,
+        and that block-hash registration defers for)."""
+        packed_t, packed_c, packed_s, tables, rows = self._prepare_verify(
+            seqs, drafts
+        )
+        self._spec = None  # any pipelined single-step is stale now
+        self.last_logprobs = None
+        fn = self._get_step_fn("verify", False)
+        toks, self.k_cache, self.v_cache = fn(
+            self.params, self.k_cache, self.v_cache,
+            packed_t, packed_c, packed_s, tables, rows,
+        )
+        out = np.asarray(toks)
+        accepted: list[list[int]] = []
+        for i, draft in enumerate(drafts):
+            o = out[i]
+            a = 0
+            while a < len(draft) and int(o[a]) == draft[a]:
+                a += 1
+            accepted.append([int(t) for t in o[: a + 1]])
+        self.inference_count += 1
+        self.ngram_steps += 1
+        self.ngram_drafted += sum(len(d) for d in drafts)
+        self.ngram_accepted += sum(len(a) - 1 for a in accepted)
+        # total_decode_tokens: the engine adds what it actually appends
+        # (EOS / max_tokens may clip the accepted run).
+        return accepted
 
     # Shared-prefix grouping pays off only when the saved KV streaming
     # ((members - 1) x shared blocks, per layer) outweighs the extra

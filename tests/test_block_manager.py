@@ -128,8 +128,12 @@ def test_hash_finalized_on_block_fill():
     assert b0.hash == -1  # partial block
     seq.append_token(4)  # fills block 0
     bm.on_token_appended(seq)
+    # NOT yet registered: the filling token's KV is only written by the
+    # decode step that consumes it — registering now would let a
+    # prefix-cache hit read one stale position.
+    assert b0.hash == -1
     bm.may_append(seq)
-    seq.append_token(5)  # position 4 -> new block
+    seq.append_token(5)  # position 4 -> new block; block 0 now KV-complete
     bm.on_token_appended(seq)
     bm.may_append(seq)
     assert b0.hash != -1

@@ -1,0 +1,140 @@
+"""N-gram (prompt-lookup) speculative decoding: proposer unit tests and
+engine-level greedy bit-parity (speculation must never change tokens,
+only the number of model passes)."""
+
+import numpy as np
+import pytest
+
+from minivllm_tpu import LLM, Config, SamplingParams
+from minivllm_tpu.engine.spec import propose_ngram
+from minivllm_tpu.utils.testing import make_tiny_checkpoint
+
+
+def test_propose_ngram_basic():
+    #            0  1  2  3  4  5  6  7
+    toks = [5, 6, 7, 8, 9, 5, 6]  # trailing (5, 6) recurs at start
+    assert propose_ngram(toks, 2, 3) == [7, 8, 9]
+    assert propose_ngram(toks, 2, 2) == [7, 8]
+    # no earlier occurrence
+    assert propose_ngram([1, 2, 3, 4], 2, 4) == []
+    # most RECENT earlier occurrence wins
+    toks = [1, 2, 9, 1, 2, 8, 1, 2]
+    assert propose_ngram(toks, 2, 4) == [8, 1, 2]
+    # degenerate sizes
+    assert propose_ngram([1], 2, 4) == []
+    assert propose_ngram([1, 2, 3], 2, 0) == []
+
+
+def test_propose_ngram_window():
+    toks = [7, 7] + [0] * 2000 + [7, 7]
+    assert propose_ngram(toks, 2, 2, window=100) == []
+    assert propose_ngram(toks, 2, 2, window=3000) == [0, 0]
+
+
+@pytest.fixture(scope="module")
+def ckpt(tmp_path_factory):
+    return make_tiny_checkpoint(
+        "qwen3", tmp_path_factory.mktemp("spec") / "m",
+        num_attention_heads=4, num_key_value_heads=2, head_dim=32,
+        hidden_size=64, vocab_size=256,
+    )
+
+
+def _generate(ckpt, spec_k, prompts, max_tokens=24, impl="xla"):
+    cfg = Config(
+        model=str(ckpt), max_num_seqs=8, max_model_len=256,
+        max_num_batched_tokens=512, kvcache_block_size=16,
+        num_kvcache_blocks=64, dtype="float32", attention_impl=impl,
+        decode_multi_step=8, speculative_num_tokens=spec_k,
+    )
+    llm = LLM(cfg)
+    outs = llm.generate(
+        prompts,
+        SamplingParams(temperature=0.0, max_tokens=max_tokens,
+                       ignore_eos=True),
+        use_tqdm=False,
+    )
+    return [o["token_ids"] for o in outs], llm.get_stats()
+
+
+@pytest.mark.parametrize("impl", ["xla", "pallas_interpret"])
+def test_engine_greedy_parity_with_speculation(ckpt, impl):
+    """Repetitive prompts (n-gram hits likely) through the engine with
+    speculation on vs off: token streams must be IDENTICAL, and the
+    speculative path must actually have engaged and accepted drafts.
+    Runs on both the XLA oracle and the (interpreted) Pallas prefill
+    path — the verification rows ride the prefill attention kernels."""
+    rng = np.random.default_rng(0)
+    base = [int(t) for t in rng.integers(1, 200, 12)]
+    prompts = [
+        base * 4,                                   # strong repetition
+        (base + [7, 9]) * 3,                        # repetition, offset
+        [int(t) for t in rng.integers(1, 200, 40)],  # random: no drafts
+    ]
+    ref, ref_stats = _generate(ckpt, 0, prompts, impl=impl)
+    out, stats = _generate(ckpt, 4, prompts, impl=impl)
+    assert out == ref, "speculation changed greedy tokens"
+    assert ref_stats["ngram_spec_steps"] == 0
+    assert stats["ngram_spec_steps"] > 0, "speculation never engaged"
+    # A tiny random model may rarely follow the prompt's repetition, but
+    # drafts must at least have been proposed and verified.
+    assert stats["ngram_spec_drafted"] > 0
+
+
+def test_speculation_respects_max_tokens_and_eos(ckpt):
+    """max_tokens=3 with highly-repetitive prompts: the accepted run is
+    clipped by postprocess exactly like plain decoding."""
+    prompts = [[3, 4] * 10, [9, 8, 7] * 8]
+    ref, _ = _generate(ckpt, 0, prompts, max_tokens=3)
+    out, _ = _generate(ckpt, 4, prompts, max_tokens=3)
+    assert out == ref
+    assert all(len(t) == 3 for t in out)
+
+
+def test_full_acceptance_and_draft_kv_correctness(ckpt, monkeypatch):
+    """Force full acceptance by monkeypatching the proposer with an
+    oracle that drafts the TRUE greedy continuation (precomputed with
+    speculation off). Every draft then matches argmax, multi-token
+    appends run every step, and — critically — later tokens attend to
+    KV that the verification pass wrote for draft rows: any error there
+    diverges the stream."""
+    prompt = [11, 23, 5, 8, 19, 3]
+    ref, _ = _generate(ckpt, 0, [prompt], max_tokens=16)
+    truth = prompt + ref[0]
+
+    import minivllm_tpu.engine.spec as spec_mod
+
+    def oracle(token_ids, ngram, max_draft, window=1024):
+        L = len(token_ids)
+        if token_ids != truth[:L] or max_draft <= 0:
+            return []
+        return truth[L:L + max_draft]
+
+    monkeypatch.setattr(spec_mod, "propose_ngram", oracle)
+    out, stats = _generate(ckpt, 4, [prompt], max_tokens=16)
+    assert out == ref
+    assert stats["ngram_spec_steps"] > 0
+    assert stats["ngram_spec_accepted"] == stats["ngram_spec_drafted"] > 0
+    # full acceptance of k=3 drafts (clamped by lookahead) + bonus each
+    # pass: 16 tokens in ~4 verification steps instead of 16 decodes
+    assert stats["ngram_spec_steps"] <= 6
+
+
+def test_mixed_sampling_disables_speculation(ckpt):
+    """A sampled (temperature > 0) request in the batch turns the
+    speculative path off for that dispatch — no crash, seeded sampling
+    stays reproducible."""
+    cfg = Config(
+        model=str(ckpt), max_num_seqs=4, max_model_len=128,
+        max_num_batched_tokens=256, kvcache_block_size=16,
+        num_kvcache_blocks=64, dtype="float32", attention_impl="xla",
+        decode_multi_step=8, speculative_num_tokens=4, seed=7,
+    )
+    llm = LLM(cfg)
+    outs = llm.generate(
+        [[1, 2] * 8, [5, 6] * 8],
+        SamplingParams(temperature=0.8, max_tokens=8, ignore_eos=True),
+        use_tqdm=False,
+    )
+    assert all(len(o["token_ids"]) == 8 for o in outs)
+    assert llm.get_stats()["ngram_spec_steps"] == 0
