@@ -84,6 +84,11 @@ class Config:
     trust_remote_code: bool = False
     dtype: str = "auto"
     seed: int | None = None
+    # Accepted for drop-in compatibility with reference callers
+    # (config.py:67, the NPU BufferedPageAttention gather-buffer
+    # workaround). No-op here: the Pallas kernels stream paged KV
+    # directly from HBM without host-managed gather buffers.
+    use_buffered_page_attention: bool = False
 
     # --- TPU-specific (additive) ---
     # Data type of the paged KV cache ("auto" follows `dtype`).

@@ -808,17 +808,16 @@ class ModelRunner:
                 packed_t[0, o + j] = tok
                 packed_t[1, o + j] = i
                 packed_t[2, o + j] = s
-                # Row 0 re-feeds the last committed token whose KV the
-                # previous step already stored: write its K/V to the
-                # trash slot so the canonical cache value is never
-                # perturbed by this pass's (numerically distinct bf16)
-                # recomputation — attention reads position L-1 from the
-                # cache either way. Draft rows store normally (their
-                # positions are uncommitted).
-                packed_t[3, o + j] = (
-                    self.trash_slot if j == 0
-                    else table[i // bs] * bs + i % bs
-                )
+                # Every row stores its K/V — including row 0: at decode
+                # step start the device KV is valid only through
+                # len - 2 (the previous step stored the token it
+                # CONSUMED, position L-2), so position L-1 is this
+                # pass's to write, exactly as a plain decode step
+                # would. (A trash-slot redirect for row 0 was tried to
+                # shield committed KV from bf16 recomputation noise —
+                # it starved position L-1 entirely and diverged
+                # streams; caught by test_engine_stress.)
+                packed_t[3, o + j] = table[i // bs] * bs + i % bs
             rows[s, :] = [o + min(j, q_lens[s] - 1) for j in range(kmax)]
             last_idx.append(o + q_lens[s] - 1)
             if need_oracle:
