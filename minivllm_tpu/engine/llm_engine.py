@@ -40,9 +40,37 @@ class LLMEngine:
 
         self.metrics = StepTimer()
         self._exited = False
+        # Adaptive speculative-decoding gate state (_spec_gate_open).
+        self._spec_window = (0, 0)  # (drafted, accepted) in the window
+        self._spec_cooldown = 0
         atexit.register(self.exit)
 
     # -- setup ---------------------------------------------------------------
+
+    # Adaptive gate for n-gram speculation: a verification pass only
+    # pays for itself when drafts actually get accepted, and acceptance
+    # is a property of the WORKLOAD (repetitive text accepts, fresh
+    # prose does not). Track acceptance over a sliding window of
+    # drafted tokens; when it drops below the threshold, stop proposing
+    # for a cooldown of engine steps, then probe again.
+    SPEC_GATE_WINDOW = 64       # drafted tokens per decision window
+    SPEC_GATE_MIN_ACCEPT = 0.2  # below this, speculation is a net loss
+    SPEC_GATE_COOLDOWN = 50     # decode steps to sit out after a miss
+
+    def _spec_gate_open(self) -> bool:
+        if self._spec_cooldown > 0:
+            self._spec_cooldown -= 1
+            return False
+        return True
+
+    def _spec_gate_update(self, drafted: int, accepted: int) -> None:
+        d, a = self._spec_window
+        d, a = d + drafted, a + accepted
+        if d >= self.SPEC_GATE_WINDOW:
+            if a < d * self.SPEC_GATE_MIN_ACCEPT:
+                self._spec_cooldown = self.SPEC_GATE_COOLDOWN
+            d, a = 0, 0
+        self._spec_window = (d, a)
 
     def _load_tokenizer(self):
         try:
@@ -200,6 +228,7 @@ class LLMEngine:
             spec_k > 0
             and not is_prefill
             and seqs
+            and self._spec_gate_open()
             and all(
                 s.sampling_params.temperature == 0.0
                 and not s.sampling_params.has_penalties
@@ -228,6 +257,10 @@ class LLMEngine:
             ]
             if any(drafts):
                 cols = self.model_runner.run_verify(seqs, drafts)
+                self._spec_gate_update(
+                    sum(len(d) for d in drafts),
+                    sum(len(c) - 1 for c in cols),
+                )
                 for j in range(max(len(c) for c in cols)):
                     active = [
                         s

@@ -120,6 +120,40 @@ def test_full_acceptance_and_draft_kv_correctness(ckpt, monkeypatch):
     assert stats["ngram_spec_steps"] <= 6
 
 
+def test_acceptance_gate_backs_off(ckpt):
+    """Repetitive prompts that the (random-weight) model does NOT
+    continue: drafts fire but acceptance stays near zero, so the
+    adaptive gate must put speculation on cooldown — engaged steps stay
+    well below the generated-token count. (Full-acceptance workloads
+    keep the gate open: see test_full_acceptance_...)."""
+    rng = np.random.default_rng(8)
+    base = [int(t) for t in rng.integers(1, 200, 10)]
+    prompts = [base * 6 for _ in range(4)]
+    cfg = Config(
+        model=str(ckpt), max_num_seqs=4, max_model_len=512,
+        max_num_batched_tokens=512, kvcache_block_size=16,
+        num_kvcache_blocks=256, dtype="float32", attention_impl="xla",
+        decode_multi_step=8, speculative_num_tokens=4,
+    )
+    llm = LLM(cfg)
+    # small windows so the test converges quickly
+    llm.SPEC_GATE_WINDOW = 8
+    llm.SPEC_GATE_COOLDOWN = 20
+    outs = llm.generate(
+        prompts,
+        SamplingParams(temperature=0.0, max_tokens=120, ignore_eos=True),
+        use_tqdm=False,
+    )
+    st = llm.get_stats()
+    generated = sum(len(o["token_ids"]) for o in outs)
+    assert st["ngram_spec_steps"] > 0
+    if st["ngram_spec_accepted"] < 0.2 * st["ngram_spec_drafted"]:
+        # acceptance poor -> the gate must have limited engagement
+        assert st["ngram_spec_steps"] * 4 < generated, (
+            st["ngram_spec_steps"], generated
+        )
+
+
 def test_mixed_sampling_disables_speculation(ckpt):
     """A sampled (temperature > 0) request in the batch turns the
     speculative path off for that dispatch — no crash, seeded sampling
