@@ -20,6 +20,7 @@ EXAMPLES = {
     "server": "server_example.py",
     "streaming": "streaming_logprobs_example.py",
     "check": "check_tpu.py",
+    "logit-match": "logit_match.py",
 }
 
 

@@ -347,6 +347,13 @@ def test_stream_disconnect_frees_request(slow_served):
         b"Content-Length: " + str(len(body)).encode() + b"\r\n\r\n" + body
     )
     s.recv(4096)  # read headers/first chunk so the stream is live
-    s.close()  # server's next SSE write raises BrokenPipe -> abort
+    # RST on close (SO_LINGER 0): a plain FIN lets small SSE writes keep
+    # landing in the TCP buffer for a while, so under a loaded machine
+    # the generation could finish before any write failed (flaky).
+    s.setsockopt(
+        _socket.SOL_SOCKET, _socket.SO_LINGER,
+        __import__("struct").pack("ii", 1, 0),
+    )
+    s.close()  # server's next SSE write raises -> abort
     assert _wait_idle(eng), "abandoned stream kept decoding"
     assert eng.num_aborted == before + 1
