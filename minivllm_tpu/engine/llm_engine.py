@@ -187,6 +187,7 @@ class LLMEngine:
                 and len(self.scheduler.running) == len(seqs)
                 and not any(
                     s.sampling_params.has_penalties
+                    or s.sampling_params.mirostat > 0
                     or s.sampling_params.logprobs is not None
                     or s.sampling_params.prompt_logprobs is not None
                     for s in seqs
@@ -211,6 +212,7 @@ class LLMEngine:
         # table.
         if not is_prefill and seqs and not any(
             s.sampling_params.has_penalties
+            or s.sampling_params.mirostat > 0
             or s.sampling_params.logprobs is not None
             for s in seqs
         ):
@@ -220,7 +222,10 @@ class LLMEngine:
         # engine/spec.py): when every sequence is greedy and any trailing
         # n-gram recurs in its own history, verify the looked-up draft
         # in ONE pass and append the matched prefix + bonus token —
-        # several tokens per model pass, bit-identical to plain greedy.
+        # several tokens per model pass, greedy-equivalent up to
+        # batch-shape-invariant numerics (verify runs prefill-shaped;
+        # under bf16 a near-tie argmax can flip vs the decode-shaped
+        # pass — exact bit-parity is proven in fp32, tests/test_spec.py).
         # Takes precedence over the fused window for this dispatch (the
         # window saves dispatches; speculation saves model passes).
         spec_k = self.config.speculative_num_tokens
@@ -232,6 +237,7 @@ class LLMEngine:
             and all(
                 s.sampling_params.temperature == 0.0
                 and not s.sampling_params.has_penalties
+                and s.sampling_params.mirostat == 0
                 and s.sampling_params.logprobs is None
                 for s in seqs
             )
@@ -356,6 +362,7 @@ class LLMEngine:
                 "sampling_params": dataclasses.asdict(seq.sampling_params),
                 "logprobs": seq.logprobs,
                 "prompt_logprobs": seq.prompt_logprobs,
+                "mirostat_mu": seq.mirostat_mu,
             }
             for seq in self.scheduler.unfinished()
         ]
@@ -411,6 +418,7 @@ class LLMEngine:
             # resume prefill recomputes every prompt position (the prefix
             # cache is disabled for prompt-logprob requests) and would
             # otherwise append duplicates.
+            seq.mirostat_mu = req.get("mirostat_mu")
             seq.arrival_time = perf_counter()
             self.scheduler.add(seq)
             seq_ids.append(seq.seq_id)
@@ -506,12 +514,14 @@ class LLMEngine:
 
     def abort_request(self, seq_id: int) -> bool:
         """Cancel an in-flight request: frees its KV blocks and removes it
-        from the scheduler. Returns False if the id is unknown/finished."""
-        for seq in self.scheduler.unfinished():
-            if seq.seq_id == seq_id:
-                self.scheduler.abort(seq)
-                return True
-        return False
+        from the scheduler. Returns False if the id is unknown/finished.
+        O(1) lookup via the scheduler's live-id map (the disconnect poll
+        calls this once per dead client)."""
+        seq = self.scheduler.get(seq_id)
+        if seq is None:
+            return False
+        self.scheduler.abort(seq)
+        return True
 
     def stream(
         self,

@@ -36,7 +36,9 @@ from minivllm_tpu.ops.attention import DecodeBatch, PrefillBatch
 from minivllm_tpu.ops.backend import make_backend
 from minivllm_tpu.sampling.ops import (
     SamplingState,
+    make_mirostat_rows,
     make_state,
+    mirostat_tokens,
     sample_tokens,
     token_logprobs,
 )
@@ -400,8 +402,9 @@ class ModelRunner:
         return jax.tree.map(lambda x: x.reshape((T,) + x.shape[2:]), out)
 
     def _prefill_step(
-        self, with_filters, typical, lp_k, plp_k, params, k_cache, v_cache,
-        packed_t, packed_c, packed_s, tables, state, key, hist=None,
+        self, with_filters, typical, lp_k, plp_k, seeded, m_on, params,
+        k_cache, v_cache, packed_t, packed_c, packed_s, tables, state, key,
+        hist=None, m=None,
     ):
         from minivllm_tpu.parallel.sharding import shard_batch
 
@@ -427,12 +430,14 @@ class ModelRunner:
         )
         last = hidden[meta.last_token_idx]
         logits = self.model.compute_logits(params, last)
+        positions = packed_s[1]  # sampled-token position = context length
         toks = sample_tokens(
             logits, state, key,
             all_tokens=None if hist is None else hist[0],
             out_tokens=None if hist is None else hist[1],
             with_filters=with_filters,
             typical_active=typical,
+            positions=positions, seeded=seeded,
         )
         lp = None if lp_k is None else token_logprobs(logits, toks, lp_k)
         plp = (
@@ -440,6 +445,11 @@ class ModelRunner:
             if plp_k is None
             else self._prompt_logprobs(params, hidden, packed_t[4], plp_k)
         )
+        if m_on:
+            toks, mu = mirostat_tokens(
+                logits, toks, m, key, state, positions, seeded
+            )
+            return toks, lp, plp, mu, k_cache, v_cache
         return toks, lp, plp, k_cache, v_cache
 
     def _verify_step(
@@ -481,8 +491,9 @@ class ModelRunner:
         return toks.reshape(rows.shape), k_cache, v_cache
 
     def _decode_step(
-        self, with_filters, typical, lp_k, params, k_cache, v_cache, packed,
-        tables, state, key, prev_toks=None, hist=None, groups=None,
+        self, with_filters, typical, lp_k, seeded, m_on, params, k_cache,
+        v_cache, packed, tables, state, key, prev_toks=None, hist=None,
+        groups=None, m=None,
     ):
         from minivllm_tpu.parallel.sharding import shard_batch
 
@@ -503,18 +514,25 @@ class ModelRunner:
             params, meta, k_cache, v_cache, is_prefill=False
         )
         logits = self.model.compute_logits(params, hidden)
+        positions = packed[3]  # sampled-token position = context length
         toks = sample_tokens(
             logits, state, key,
             all_tokens=None if hist is None else hist[0],
             out_tokens=None if hist is None else hist[1],
             with_filters=with_filters,
+            positions=positions, seeded=seeded,
         )
         lp = None if lp_k is None else token_logprobs(logits, toks, lp_k)
+        if m_on:
+            toks, mu = mirostat_tokens(
+                logits, toks, m, key, state, positions, seeded
+            )
+            return toks, lp, mu, k_cache, v_cache
         return toks, lp, k_cache, v_cache
 
     def _decode_multi_step(
-        self, with_filters, typical, num_steps, params, k_cache, v_cache,
-        packed, tables, state, key, groups=None,
+        self, with_filters, typical, num_steps, seeded, params, k_cache,
+        v_cache, packed, tables, state, key, groups=None,
     ):
         """`num_steps` fused decode iterations: sampled tokens feed the next
         iteration on device; returns (num_steps, S) tokens.
@@ -549,6 +567,7 @@ class ModelRunner:
                 logits, state, jax.random.fold_in(key, i),
                 with_filters=with_filters,
                 typical_active=typical,
+                positions=packed[3] + i, seeded=seeded,
             )
             return (k_cache, v_cache, toks), toks
 
@@ -560,15 +579,19 @@ class ModelRunner:
     def _get_step_fn(
         self, phase: str, with_filters: bool, num_steps: int = 1,
         typical: bool = False, lp_k: int | None = None,
-        plp_k: int | None = None,
+        plp_k: int | None = None, seeded: bool = False, m_on: bool = False,
     ):
-        cache_key = (phase, with_filters, num_steps, typical, lp_k, plp_k)
+        cache_key = (
+            phase, with_filters, num_steps, typical, lp_k, plp_k, seeded,
+            m_on,
+        )
         fn = self._compiled.get(cache_key)
         if fn is None:
             if phase == "prefill":
                 fn = jax.jit(
                     partial(
-                        self._prefill_step, with_filters, typical, lp_k, plp_k
+                        self._prefill_step, with_filters, typical, lp_k,
+                        plp_k, seeded, m_on,
                     ),
                     donate_argnums=(1, 2),
                 )
@@ -577,12 +600,13 @@ class ModelRunner:
             elif num_steps > 1:
                 fn = jax.jit(
                     partial(self._decode_multi_step, with_filters, typical,
-                            num_steps),
+                            num_steps, seeded),
                     donate_argnums=(1, 2),
                 )
             else:
                 fn = jax.jit(
-                    partial(self._decode_step, with_filters, typical, lp_k),
+                    partial(self._decode_step, with_filters, typical, lp_k,
+                            seeded, m_on),
                     donate_argnums=(1, 2),
                 )
             self._compiled[cache_key] = fn
@@ -628,9 +652,14 @@ class ModelRunner:
         self, seqs, toks_dev, with_filters, typical, S_pad, W, groups=None
     ):
         bs = self.block_size
-        # Only when no sequence needs a new block next step.
-        if any(len(s) % bs == 0 for s in seqs):
+        # Only when no sequence needs a new block next step. Mirostat rows
+        # never pipeline: the speculative step would sample without the
+        # updated mu.
+        if any(len(s) % bs == 0 for s in seqs) or any(
+            s.sampling_params.mirostat > 0 for s in seqs
+        ):
             return
+        seeded = any(s.sampling_params.seed is not None for s in seqs)
         S = len(seqs)
         packed = np.zeros((4, S_pad), np.int32)
         packed[2, S:] = self.trash_slot
@@ -644,7 +673,9 @@ class ModelRunner:
         state = self._get_state([s.sampling_params for s in seqs], S_pad)
         key = jax.random.fold_in(self._base_key, self._step_counter)
         self._step_counter += 1
-        fn = self._get_step_fn("decode", with_filters, typical=typical)
+        fn = self._get_step_fn(
+            "decode", with_filters, typical=typical, seeded=seeded
+        )
         toks, _, self.k_cache, self.v_cache = fn(
             self.params, self.k_cache, self.v_cache,
             jnp.asarray(packed), jnp.asarray(tables), state, key, toks_dev,
@@ -669,7 +700,7 @@ class ModelRunner:
                     sp.temperature, sp.top_k, sp.top_p, sp.min_p,
                     sp.typical_p, sp.repetition_penalty,
                     sp.frequency_penalty, sp.presence_penalty,
-                    sp.avoid_top_k,
+                    sp.avoid_top_k, sp.seed,
                 )
                 for sp in params_list
             ),
@@ -1063,6 +1094,8 @@ class ModelRunner:
         params_list = [seq.sampling_params for seq in seqs]
         with_penalties = any(sp.has_penalties for sp in params_list)
         typical = any(sp.typical_p < 1.0 for sp in params_list)
+        seeded = any(sp.seed is not None for sp in params_list)
+        with_mirostat = any(sp.mirostat > 0 for sp in params_list)
         with_filters = with_penalties or typical or any(
             sp.top_k > 0
             or sp.top_p < 1.0
@@ -1078,6 +1111,7 @@ class ModelRunner:
             else None
         )
         lp = None
+        mu = None
         if is_prefill:
             self._spec = None
             packed_t, packed_c, packed_s, tables, S_pad, layout = (
@@ -1085,16 +1119,27 @@ class ModelRunner:
             )
             fn = self._get_step_fn(
                 "prefill", with_filters, typical=typical, lp_k=lp_k,
-                plp_k=plp_k,
+                plp_k=plp_k, seeded=seeded, m_on=with_mirostat,
             )
             state = self._get_state(params_list, S_pad)
             hist = self._build_hist(seqs, S_pad) if with_penalties else None
             key = jax.random.fold_in(self._base_key, self._step_counter)
             self._step_counter += 1
-            toks, lp, plp, self.k_cache, self.v_cache = fn(
-                self.params, self.k_cache, self.v_cache,
-                packed_t, packed_c, packed_s, tables, state, key, hist=hist,
-            )
+            if with_mirostat:
+                m = make_mirostat_rows(
+                    params_list, [s.mirostat_mu for s in seqs], S_pad
+                )
+                toks, lp, plp, mu, self.k_cache, self.v_cache = fn(
+                    self.params, self.k_cache, self.v_cache,
+                    packed_t, packed_c, packed_s, tables, state, key,
+                    hist=hist, m=m,
+                )
+            else:
+                toks, lp, plp, self.k_cache, self.v_cache = fn(
+                    self.params, self.k_cache, self.v_cache,
+                    packed_t, packed_c, packed_s, tables, state, key,
+                    hist=hist,
+                )
             if plp is not None:
                 self._record_prompt_logprobs(seqs, plp, layout)
         else:
@@ -1103,30 +1148,51 @@ class ModelRunner:
             sig = self._decode_signature(seqs, S_pad, W)
             spec = self._spec
             self._spec = None
-            if spec is not None and spec["sig"] == sig and lp_k is None:
+            if (
+                spec is not None
+                and spec["sig"] == sig
+                and lp_k is None
+                and not with_mirostat
+            ):
                 toks = spec["toks"]
                 self.spec_hits += 1
             else:
                 fn = self._get_step_fn(
-                    "decode", with_filters, typical=typical, lp_k=lp_k
+                    "decode", with_filters, typical=typical, lp_k=lp_k,
+                    seeded=seeded, m_on=with_mirostat,
                 )
                 state = self._get_state(params_list, S_pad)
                 hist = self._build_hist(seqs, S_pad) if with_penalties else None
                 key = jax.random.fold_in(self._base_key, self._step_counter)
                 self._step_counter += 1
-                toks, lp, self.k_cache, self.v_cache = fn(
-                    self.params, self.k_cache, self.v_cache,
-                    packed, tables, state, key, hist=hist, groups=groups,
-                )
+                if with_mirostat:
+                    m = make_mirostat_rows(
+                        params_list, [s.mirostat_mu for s in seqs], S_pad
+                    )
+                    toks, lp, mu, self.k_cache, self.v_cache = fn(
+                        self.params, self.k_cache, self.v_cache,
+                        packed, tables, state, key, hist=hist, groups=groups,
+                        m=m,
+                    )
+                else:
+                    toks, lp, self.k_cache, self.v_cache = fn(
+                        self.params, self.k_cache, self.v_cache,
+                        packed, tables, state, key, hist=hist, groups=groups,
+                    )
             # Dispatch the likely next step before fetching this one's
             # tokens, so the D2H overlaps its compute. Penalty histories
             # grow with the (still unfetched) sampled token, so speculation
             # is disabled when penalties are active; logprob requests skip
             # it too (the speculative step has no logprob outputs).
-            if not with_penalties and lp_k is None:
+            if not with_penalties and lp_k is None and not with_mirostat:
                 self._maybe_speculate(
                     seqs, toks, with_filters, typical, S_pad, W, groups
                 )
+        if mu is not None:
+            mu_host = np.asarray(mu)
+            for i, s in enumerate(seqs):
+                if s.sampling_params.mirostat > 0:
+                    s.mirostat_mu = float(mu_host[i])
         if lp is not None:
             chosen, top_ids, top_lps = (np.asarray(x) for x in lp)
             self.last_logprobs = [
@@ -1159,6 +1225,7 @@ class ModelRunner:
         S = len(seqs)
         params_list = [seq.sampling_params for seq in seqs]
         typical = any(sp.typical_p < 1.0 for sp in params_list)
+        seeded = any(sp.seed is not None for sp in params_list)
         with_filters = typical or any(
             sp.top_k > 0 or sp.top_p < 1.0 or sp.min_p > 0.0
             or sp.avoid_top_k > 0
@@ -1167,7 +1234,9 @@ class ModelRunner:
         self._spec = None
         self.last_logprobs = None
         packed, tables, S_pad, groups = self._prepare_decode(seqs)
-        fn = self._get_step_fn("decode", with_filters, num_steps, typical)
+        fn = self._get_step_fn(
+            "decode", with_filters, num_steps, typical, seeded=seeded
+        )
         state = self._get_state(params_list, S_pad)
         key = jax.random.fold_in(self._base_key, self._step_counter)
         self._step_counter += 1

@@ -37,10 +37,18 @@ class Scheduler:
         )
         self.waiting: deque[Sequence] = deque()
         self.running: deque[Sequence] = deque()
+        # Live requests by id for O(1) abort lookup (the server's
+        # disconnect poll aborts per dead client).
+        self._by_id: dict[int, Sequence] = {}
         self.num_preemptions = 0
 
     def add(self, seq: Sequence) -> None:
         self.waiting.append(seq)
+        self._by_id[seq.seq_id] = seq
+
+    def get(self, seq_id: int) -> Sequence | None:
+        """The live (unfinished) sequence with this id, or None."""
+        return self._by_id.get(seq_id)
 
     def is_finished(self) -> bool:
         return not self.waiting and not self.running
@@ -143,6 +151,7 @@ class Scheduler:
         if seq.block_table:
             self.block_manager.deallocate(seq)
         seq.status = SequenceStatus.FINISHED
+        self._by_id.pop(seq.seq_id, None)
         if seq in self.running:
             self.running.remove(seq)
         if seq in self.waiting:
@@ -203,5 +212,6 @@ class Scheduler:
             )
             if finished:
                 seq.status = SequenceStatus.FINISHED
+                self._by_id.pop(seq.seq_id, None)
                 self.block_manager.deallocate(seq)
                 self.running.remove(seq)

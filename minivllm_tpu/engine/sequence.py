@@ -65,6 +65,9 @@ class Sequence:
         self.prompt_logprobs: list[dict] = []
         # Set by the engine at add_request time; used for TTFT metrics.
         self.arrival_time: float | None = None
+        # Mirostat running surprise bound (sampling_params.mirostat > 0);
+        # None until the first sampled token initializes it to 2 * tau.
+        self.mirostat_mu: float | None = None
 
     # -- token/block math ----------------------------------------------------
 

@@ -110,14 +110,31 @@ def moe_mlp(
     xs = jnp.take(x, src_tok, axis=0)  # (T*k, D)
     group_sizes = jnp.bincount(flat_e, length=E).astype(jnp.int32)
 
-    # One kernel work list serves gate/up/down (same rows and groups).
+    # One kernel work list serves gate/up/down (same rows and groups) —
+    # built only when the kernel actually engages for all three shapes,
+    # otherwise the traced cumsum/compare list would be dead computation
+    # in every MoE layer.
     items = None
     if impl != "xla":
         from minivllm_tpu.ops.pallas import moe_gmm
 
-        items = moe_gmm.build_items(
-            group_sizes, xs.shape[0], moe_gmm._pick_tm(xs.shape[0]), E
-        )
+        def _data(w):
+            return w["w"] if is_quantized(w) else w
+
+        def _rows_in(data):  # contraction dim of a (E,K,N)/(E,NB,K,TN) w
+            return data.shape[2] if data.ndim == 4 else data.shape[1]
+
+        gd, ud, dd = _data(w_gate), _data(w_up), _data(w_down)
+        rows = xs.shape[0]
+        h_shape = jax.ShapeDtypeStruct((rows, _rows_in(dd)), xs.dtype)
+        if (
+            moe_gmm.is_supported(xs, gd)
+            and moe_gmm.is_supported(xs, ud)
+            and moe_gmm.is_supported(h_shape, dd)
+        ):
+            items = moe_gmm.build_items(
+                group_sizes, rows, moe_gmm._pick_tm(rows), E
+            )
     h = silu_and_mul(
         qragged_dot(xs, w_gate, group_sizes, impl, items),
         qragged_dot(xs, w_up, group_sizes, impl, items),

@@ -82,22 +82,49 @@ def _pick_tm(T: int) -> int:
     return 128 if T <= 1024 else 512
 
 
-def _pick_tn(N: int, K: int) -> int:
+def _pick_tn(N: int, K: int, wbytes: int) -> int:
     # Largest lane tile that divides N with the (K, TN) block under ~2MB
     # (double-buffered by the pipeline).
     for tn in (512, 256, 128):
-        if N % tn == 0 and K * tn * 2 <= 2 * 1024 * 1024:
+        if N % tn == 0 and K * tn * wbytes <= 2 * 1024 * 1024:
             return tn
     return 128
 
 
+_VMEM_LIMIT = 64 * 1024 * 1024
+
+
 def is_supported(x, w) -> bool:
+    """True when the kernel's per-grid-step tile footprint fits VMEM.
+
+    x may be a real array or a ShapeDtypeStruct — only shape/dtype are
+    read. The bound is the actual double-buffered footprint (x tile,
+    weight tile, scale row, out tile, fp32 accumulator), not a flat K
+    cap: at T > 1024 the 512-row x tile alone is TM*K*itemsize, so a
+    flat K <= 16384 would admit shapes that fail to compile on TPU.
+    """
     if x.ndim != 2 or w.ndim not in (3, 4):
         return False
     T, K = x.shape
-    Kw = w.shape[2] if w.ndim == 4 else w.shape[1]
-    N = w.shape[1] * w.shape[3] if w.ndim == 4 else w.shape[2]
-    return K == Kw and K % 128 == 0 and N % 128 == 0 and K <= 16384
+    wbytes = w.dtype.itemsize
+    if w.ndim == 4:
+        Kw, TN = w.shape[2], w.shape[3]
+        N = w.shape[1] * TN
+    else:
+        Kw, N = w.shape[1], w.shape[2]
+        TN = _pick_tn(N, K, wbytes)
+    if K != Kw or K % 128 != 0 or N % 128 != 0:
+        return False
+    TM = _pick_tm(T)
+    xbytes = x.dtype.itemsize
+    foot = (
+        2 * TM * K * xbytes  # x tile (double-buffered across tiles)
+        + 2 * K * TN * wbytes  # weight tile
+        + 2 * TN * 4  # scale row
+        + 2 * TM * TN * xbytes  # out tile
+        + TM * TN * 4  # fp32 accumulator
+    )
+    return foot <= _VMEM_LIMIT - 8 * 1024 * 1024  # headroom for Mosaic
 
 
 def build_items(group_sizes: jnp.ndarray, T: int, TM: int, E: int):
@@ -215,7 +242,7 @@ def gmm(
         N = NB * TN
     else:
         E, _, N = w.shape
-        TN = _pick_tn(N, K)
+        TN = _pick_tn(N, K, w.dtype.itemsize)
     TM = _pick_tm(T)
     MT = -(-T // TM)
     WI = MT + E
@@ -261,6 +288,7 @@ def gmm(
         out_shape=jax.ShapeDtypeStruct((T, N), x.dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=_VMEM_LIMIT,
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * T * K * N,

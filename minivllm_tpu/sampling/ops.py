@@ -21,7 +21,15 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-__all__ = ["SamplingState", "sample_tokens", "make_state", "token_logprobs"]
+__all__ = [
+    "SamplingState",
+    "MirostatRows",
+    "sample_tokens",
+    "mirostat_tokens",
+    "make_state",
+    "make_mirostat_rows",
+    "token_logprobs",
+]
 
 NEG_INF = float(jnp.finfo(jnp.float32).min)
 
@@ -42,6 +50,39 @@ class SamplingState(NamedTuple):
     frequency_penalty: jnp.ndarray   # fp32; 0 => disabled
     presence_penalty: jnp.ndarray    # fp32; 0 => disabled
     avoid_top_k: jnp.ndarray         # int32; 0 => disabled
+    seed: jnp.ndarray                # int32; < 0 => unseeded
+
+
+class MirostatRows(NamedTuple):
+    """Per-sequence Mirostat sampler state, shape (S,) each. version 0
+    disables the row (the regular pipeline's token passes through)."""
+
+    version: jnp.ndarray  # int32: 0 off, 1 or 2
+    mu: jnp.ndarray       # fp32 running surprise bound (host-carried)
+    tau: jnp.ndarray      # fp32 target surprise
+    eta: jnp.ndarray      # fp32 learning rate
+
+
+def make_mirostat_rows(sampling_params_list, mus, pad_to: int) -> "MirostatRows":
+    """Padded MirostatRows; `mus` carries each sequence's running mu
+    (None => fresh request, initialized to 2 * tau)."""
+    import numpy as np
+
+    version = np.zeros(pad_to, "int32")
+    mu = np.zeros(pad_to, "float32")
+    tau = np.full(pad_to, 5.0, "float32")
+    eta = np.full(pad_to, 0.1, "float32")
+    for i, (sp, m) in enumerate(zip(sampling_params_list, mus)):
+        version[i] = sp.mirostat
+        tau[i] = sp.mirostat_tau
+        eta[i] = sp.mirostat_eta
+        mu[i] = 2.0 * sp.mirostat_tau if m is None else m
+    return MirostatRows(
+        version=jnp.asarray(version),
+        mu=jnp.asarray(mu),
+        tau=jnp.asarray(tau),
+        eta=jnp.asarray(eta),
+    )
 
 
 def make_state(sampling_params_list, pad_to: int) -> "SamplingState":
@@ -66,6 +107,31 @@ def make_state(sampling_params_list, pad_to: int) -> "SamplingState":
         frequency_penalty=arr(lambda s: s.frequency_penalty, 0.0, "float32"),
         presence_penalty=arr(lambda s: s.presence_penalty, 0.0, "float32"),
         avoid_top_k=arr(lambda s: s.avoid_top_k, 0, "int32"),
+        seed=arr(lambda s: -1 if s.seed is None else s.seed, -1, "int32"),
+    )
+
+
+def _row_keys(
+    key: jax.Array, state: SamplingState, positions: jnp.ndarray
+) -> jnp.ndarray:
+    """Per-row PRNG keys for batches containing seeded requests. A seeded
+    row's key derives from (seed, token position) ONLY — so two identical
+    seeded requests reproduce each other across engine restarts and batch
+    compositions (beats the reference, whose SamplingConfig.seed is dead,
+    /root/reference/minivllm/sampling/config.py:23). Unseeded rows derive
+    theirs from the engine step key + row index."""
+    S = state.seed.shape[0]
+
+    def mk(seed, pos, i):
+        seeded = jax.random.fold_in(
+            jax.random.PRNGKey(jnp.maximum(seed, 0)), pos
+        )
+        base = jax.random.fold_in(key, i)
+        return jnp.where(seed >= 0, seeded, base)
+
+    return jax.vmap(mk)(
+        state.seed, positions.astype(jnp.int32),
+        jnp.arange(S, dtype=jnp.int32),
     )
 
 
@@ -124,15 +190,30 @@ def sample_tokens(
     out_tokens: jnp.ndarray | None = None,
     with_filters: bool = True,
     typical_active: bool = False,
+    positions: jnp.ndarray | None = None,
+    seeded: bool = False,
 ) -> jnp.ndarray:
     """Sample one token per row. logits (S, V) fp32 -> (S,) int32.
 
     `with_filters=False` compiles the fast path (greedy/temperature only)
     used when no sequence in the batch has filters active — the runner
-    decides statically per step.
+    decides statically per step. `seeded=True` (static, runner-decided)
+    switches to per-row keys so rows with SamplingParams.seed draw
+    reproducibly from (seed, position); it requires `positions` (the
+    sampled token's position = context length per row).
     """
     logits = logits.astype(jnp.float32)
     S, V = logits.shape
+
+    if seeded and positions is not None:
+        keys = _row_keys(key, state, positions)
+
+        def draw(rows: jnp.ndarray) -> jnp.ndarray:
+            return jax.vmap(jax.random.categorical)(keys, rows)
+    else:
+
+        def draw(rows: jnp.ndarray) -> jnp.ndarray:
+            return jax.random.categorical(key, rows, axis=-1)
     # Penalties come first (reference order: sampler.py:27-110), so they
     # affect the greedy argmax too.
     if with_filters and all_tokens is not None:
@@ -142,7 +223,7 @@ def sample_tokens(
     scaled = logits / temp
 
     if not with_filters:
-        sampled = jax.random.categorical(key, scaled, axis=-1).astype(jnp.int32)
+        sampled = draw(scaled).astype(jnp.int32)
         return jnp.where(state.temperature > 0, sampled, greedy_tok)
 
     if typical_active:
@@ -172,7 +253,7 @@ def sample_tokens(
         keep &= sorted_probs >= state.min_p[:, None] * sorted_probs[:, :1]
         keep = keep.at[:, 0].set(True)  # never filter everything
         masked = jnp.where(keep, sorted_logits, NEG_INF)
-        rank_sample = jax.random.categorical(key, masked, axis=-1)
+        rank_sample = draw(masked)
         sampled = jnp.take_along_axis(order, rank_sample[:, None], axis=-1)[:, 0]
         # Greedy respects the filters like the reference (argmax runs after
         # the whole pipeline, sampler.py:108-110): rank 0 of the filtered
@@ -210,13 +291,80 @@ def sample_tokens(
     keep &= probs >= state.min_p[:, None] * top_prob
     keep |= ranks == avoid  # never filter everything
     masked = jnp.where(keep, cand, NEG_INF)
-    r = jax.random.categorical(key, masked, axis=-1)
+    r = draw(masked)
     sampled = jnp.take_along_axis(idx, r[:, None], axis=-1)[:, 0]
     # Greedy respects avoid-top-k (reference applies argmax after the
     # filter pipeline): the best surviving token sits at rank `avoid`.
     greedy_tok = jnp.take_along_axis(idx, avoid, axis=-1)[:, 0].astype(jnp.int32)
     return jnp.where(
         state.temperature > 0, sampled.astype(jnp.int32), greedy_tok
+    )
+
+
+def mirostat_tokens(
+    logits: jnp.ndarray,
+    base_toks: jnp.ndarray,
+    m: MirostatRows,
+    key: jax.Array,
+    state: SamplingState | None = None,
+    positions: jnp.ndarray | None = None,
+    seeded: bool = False,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Batched Mirostat v1/v2 overlay (reference library analog:
+    /root/reference/minivllm/sampling/mirostat.py:17-185 — there unreachable
+    from the engine; here routed through the single-step decode path).
+
+    Rows with m.version > 0 replace `base_toks` (the regular pipeline's
+    token) with a Mirostat draw and update mu toward the target surprise;
+    other rows pass through untouched with mu unchanged. Returns
+    (tokens (S,) int32, new_mu (S,) fp32). Compiled only into the
+    mirostat step variants (full-vocab sorts are fine off the hot path).
+    """
+    logits = logits.astype(jnp.float32)
+    S, V = logits.shape
+    mkey = jax.random.fold_in(key, 0x5A5A)
+    if seeded and state is not None and positions is not None:
+        keys = _row_keys(mkey, state, positions)
+    else:
+        keys = jax.vmap(jax.random.fold_in, (None, 0))(
+            mkey, jnp.arange(S, dtype=jnp.int32)
+        )
+    probs = jax.nn.softmax(logits, axis=-1)
+
+    # v2: drop tokens whose surprise exceeds mu (always keep the argmax).
+    surprises = -jnp.log2(jnp.maximum(probs, 1e-30))
+    keep2 = surprises <= m.mu[:, None]
+    top = jnp.argmax(probs, axis=-1)
+    keep2 = keep2.at[jnp.arange(S), top].set(True)
+    masked2 = jnp.where(keep2, logits, NEG_INF)
+    tok2 = jax.vmap(jax.random.categorical)(keys, masked2)
+
+    # v1: Zipf-exponent estimate from the top of the distribution -> k.
+    sorted_probs = -jnp.sort(-probs, axis=-1)  # descending
+    n = min(100, V - 1)
+    idx = jnp.arange(1, n + 1, dtype=jnp.float32)
+    ratios = jnp.log(
+        sorted_probs[:, :n] / jnp.maximum(sorted_probs[:, 1 : n + 1], 1e-30)
+    )
+    ts = jnp.log((idx + 1.0) / idx)
+    s_hat = jnp.sum(ratios * ts, axis=-1) / jnp.maximum(jnp.sum(ts * ts), 1e-30)
+    eps = s_hat - 1.0
+    k = ((eps * jnp.exp2(m.mu)) / (1.0 - jnp.float32(V) ** (-eps))) ** (
+        1.0 / jnp.maximum(s_hat, 1e-3)
+    )
+    k = jnp.clip(jnp.round(k), 1, V).astype(jnp.int32)
+    rank_of = jnp.argsort(jnp.argsort(-logits, axis=-1), axis=-1)
+    masked1 = jnp.where(rank_of < k[:, None], logits, NEG_INF)
+    tok1 = jax.vmap(jax.random.categorical)(keys, masked1)
+
+    mtok = jnp.where(m.version == 2, tok2, tok1).astype(jnp.int32)
+    chosen_p = jnp.take_along_axis(probs, mtok[:, None], axis=1)[:, 0]
+    surprise = -jnp.log2(jnp.maximum(chosen_p, 1e-30))
+    new_mu = m.mu - m.eta * (surprise - m.tau)
+    active = m.version > 0
+    return (
+        jnp.where(active, mtok, base_toks.astype(jnp.int32)),
+        jnp.where(active, new_mu, m.mu),
     )
 
 

@@ -35,7 +35,16 @@ class SamplingParams:
     frequency_penalty: float = 0.0
     presence_penalty: float = 0.0
     avoid_top_k: int = 0
+    # Per-request reproducibility: draws for a seeded request derive from
+    # (seed, token position) only, so identical seeded requests reproduce
+    # across engine restarts and batch compositions.
     seed: int | None = None
+    # Mirostat perplexity-controlled sampling: 0 off, 1 or 2 selects the
+    # algorithm version. Routed through the single-step decode path (the
+    # running surprise bound mu is inherently sequential per sequence).
+    mirostat: int = 0
+    mirostat_tau: float = 5.0
+    mirostat_eta: float = 0.1
     # Return per-completion-token logprobs (of the unfiltered
     # distribution, OpenAI semantics): None = off, N >= 0 additionally
     # returns the top-N alternative tokens' logprobs. Beyond the
@@ -68,6 +77,16 @@ class SamplingParams:
         if self.avoid_top_k < 0:
             raise ValueError(
                 f"avoid_top_k must be non-negative, got {self.avoid_top_k}"
+            )
+        if self.seed is not None and not 0 <= self.seed < 2**31:
+            raise ValueError(f"seed must be in [0, 2**31), got {self.seed}")
+        if self.mirostat not in (0, 1, 2):
+            raise ValueError(f"mirostat must be 0, 1 or 2, got {self.mirostat}")
+        if self.mirostat_tau <= 0:
+            raise ValueError(f"mirostat_tau must be > 0, got {self.mirostat_tau}")
+        if not 0.0 < self.mirostat_eta <= 1.0:
+            raise ValueError(
+                f"mirostat_eta must be in (0, 1], got {self.mirostat_eta}"
             )
         if self.logprobs is not None and not 0 <= self.logprobs <= 20:
             raise ValueError(

@@ -271,6 +271,9 @@ def _sampling_params(
         frequency_penalty=float(body.get("frequency_penalty", 0.0)),
         repetition_penalty=float(body.get("repetition_penalty", 1.0)),
         seed=body.get("seed"),
+        mirostat=int(body.get("mirostat", 0)),
+        mirostat_tau=float(body.get("mirostat_tau", 5.0)),
+        mirostat_eta=float(body.get("mirostat_eta", 0.1)),
         ignore_eos=bool(body.get("ignore_eos", False)),
         logprobs=lp,
         prompt_logprobs=lp if (echo and lp is not None) else None,

@@ -272,3 +272,58 @@ def test_cached_prefill_fuses_into_decode_window(tiny_qwen3):
     assert runner.total_prefill_tokens == prefill_before
     # one fused window of 8 covers the prompt token + all 6 completions
     assert runner.inference_count == count_before + 1
+
+
+def test_seeded_request_reproduces_across_runs(llm):
+    """SamplingParams.seed: identical seeded requests reproduce across
+    separate generate() calls (different engine step counters) and
+    across batch compositions."""
+    prompt = [4, 9, 2, 77, 31]
+    sp = SamplingParams(
+        temperature=1.0, top_p=0.95, seed=1234, max_tokens=10,
+        ignore_eos=True,
+    )
+    a = llm.generate([prompt], sp, use_tqdm=False)[0]["token_ids"]
+    # Same request inside a larger batch of unseeded traffic.
+    outs = llm.generate(
+        [[5, 5, 5], prompt, [8, 1, 99, 3]],
+        [
+            SamplingParams(temperature=1.0, max_tokens=10, ignore_eos=True),
+            sp,
+            SamplingParams(temperature=0.7, max_tokens=10, ignore_eos=True),
+        ],
+        use_tqdm=False,
+    )
+    assert outs[1]["token_ids"] == a
+
+
+def test_two_identical_seeded_requests_match_in_one_batch(llm):
+    prompt = [12, 3, 44, 9]
+    sp = SamplingParams(
+        temperature=0.9, seed=7, max_tokens=8, ignore_eos=True
+    )
+    outs = llm.generate([prompt, prompt], [sp, sp], use_tqdm=False)
+    # Both requests share (seed, position) -> identical streams. (They
+    # also share the prefix cache, so positions align exactly.)
+    assert outs[0]["token_ids"] == outs[1]["token_ids"]
+
+
+def test_mirostat_through_engine(llm):
+    """Mirostat requests route through the single-step decode path,
+    produce full-length completions, and are seed-reproducible."""
+    prompt = [3, 18, 100, 42, 7]
+    sp = SamplingParams(
+        mirostat=2, mirostat_tau=3.0, temperature=1.0, seed=55,
+        max_tokens=12, ignore_eos=True,
+    )
+    a = llm.generate([prompt], sp, use_tqdm=False)[0]["token_ids"]
+    b = llm.generate([prompt], sp, use_tqdm=False)[0]["token_ids"]
+    assert len(a) == 12
+    assert a == b
+    # Mixed batch: a mirostat row next to a greedy row; greedy is
+    # unaffected by the overlay.
+    greedy = SamplingParams(temperature=0.0, max_tokens=12, ignore_eos=True)
+    outs = llm.generate([prompt, prompt], [sp, greedy], use_tqdm=False)
+    assert outs[0]["token_ids"] == a
+    ref = llm.generate([prompt], greedy, use_tqdm=False)[0]["token_ids"]
+    assert outs[1]["token_ids"] == ref
