@@ -343,6 +343,11 @@ class QwenForCausalLM:
         backend = self.attn_backend
         eps = self.rms_eps
         cos, sin = aux
+        # Trace-time phase marker for hooks below the layer body that
+        # need it (e.g. the MoE spmd row axis: decode rows shard over
+        # "dp", packed prefill tokens over "sp"). Static per compiled
+        # step function.
+        self._is_prefill = is_prefill
         n_local = jax.tree.leaves(layer_params)[0].shape[0]
         stride = cache_len(k_cache) // n_local
 

@@ -92,19 +92,55 @@ class QwenMoeForCausalLM(QwenForCausalLM):
         """Grouped-matmul backend for the expert dispatch.
 
         The Pallas kernel (ops/pallas/moe_gmm.py) engages with the Pallas
-        attention backend on a mesh-less run — under an ep/tp mesh the
-        expert weights are GSPMD-sharded and a pallas_call has no
-        partitioning rule, so sharded runs stay on lax.ragged_dot.
+        attention backend, both mesh-less and — via the shard_map wrapper
+        ops/moe.moe_mlp_spmd — under dp/sp/ep/tp meshes (a pallas_call
+        has no GSPMD partitioning rule, so the mesh path must make the
+        partitioning explicit). pp meshes stay on lax.ragged_dot: the
+        pipeline already drives the layer stack inside its own shard_map.
         MINIVLLM_MOE_IMPL=xla forces the XLA path (A/B benchmarking).
         """
         if os.environ.get("MINIVLLM_MOE_IMPL") == "xla":
             return "xla"
         b = self.attn_backend
-        if b is None or b.name != "pallas" or getattr(b, "mesh", None) is not None:
+        if b is None or b.name != "pallas":
             return "xla"
         return "pallas_interpret" if getattr(b, "interpret", False) else "pallas"
 
     def _mlp(self, lp: dict, h: jnp.ndarray) -> jnp.ndarray:
+        from minivllm_tpu.ops.moe import moe_mlp_spmd, moe_supported
+
+        impl = self._moe_impl()
+        mesh = getattr(self.attn_backend, "mesh", None) if impl != "xla" else None
+        if mesh is not None:
+            ep = mesh.shape.get("ep", 1)
+            tp = mesh.shape.get("tp", 1)
+            dp = mesh.shape.get("dp", 1)
+            sp = mesh.shape.get("sp", 1)
+            row_axis = "sp" if getattr(self, "_is_prefill", False) else "dp"
+            rows_div = mesh.shape.get(row_axis, 1)
+            rows_local = h.shape[0] // rows_div * self.top_k
+            # Static gate: expert/tp divisibility, row-shard divisibility,
+            # and kernel support at the LOCAL shard shapes. Fall through
+            # to GSPMD ragged_dot otherwise (correct, slower).
+            if (
+                self.num_experts % ep == 0
+                and self.moe_intermediate_size % tp == 0
+                and h.shape[0] % rows_div == 0
+                and moe_supported(
+                    rows_local, h.dtype,
+                    *self._local_expert_shapes(lp, ep, tp),
+                )
+            ):
+                # Trace-time counter: tests assert the spmd kernel path
+                # actually engaged rather than silently falling back.
+                self._moe_spmd_traces = getattr(self, "_moe_spmd_traces", 0) + 1
+                return moe_mlp_spmd(
+                    mesh, h, lp["router"],
+                    lp["moe_gate"], lp["moe_up"], lp["moe_down"],
+                    self.top_k, self.norm_topk_prob, impl,
+                    row_axis=row_axis,
+                )
+            impl = "xla"
         return moe_mlp(
             h,
             lp["router"],
@@ -113,5 +149,25 @@ class QwenMoeForCausalLM(QwenForCausalLM):
             lp["moe_down"],
             self.top_k,
             self.norm_topk_prob,
-            impl=self._moe_impl(),
+            impl=impl,
+        )
+
+    @staticmethod
+    def _local_expert_shapes(lp: dict, ep: int, tp: int):
+        """ShapeDtypeStructs of the per-(ep,tp)-shard expert weights."""
+        import jax
+
+        from minivllm_tpu.ops.quant import is_quantized
+
+        def shard(w, i_axis):
+            data = w["w"] if is_quantized(w) else w
+            shape = list(data.shape)
+            shape[0] //= ep
+            shape[i_axis] //= tp
+            return jax.ShapeDtypeStruct(tuple(shape), data.dtype)
+
+        return (
+            shard(lp["moe_gate"], 2),
+            shard(lp["moe_up"], 2),
+            shard(lp["moe_down"], 1),
         )

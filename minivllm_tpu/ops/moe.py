@@ -28,7 +28,7 @@ from jax import lax
 from minivllm_tpu.ops.activation import silu_and_mul
 from minivllm_tpu.ops.quant import is_quantized
 
-__all__ = ["moe_mlp", "qragged_dot"]
+__all__ = ["moe_mlp", "moe_mlp_spmd", "qragged_dot"]
 
 
 def qragged_dot(
@@ -84,17 +84,28 @@ def moe_mlp(
     top_k: int,
     norm_topk_prob: bool,
     impl: str = "xla",
+    expert_window=None,
 ) -> jnp.ndarray:
     """Sparse SwiGLU MoE layer.
 
     x: (T, D) normed hidden states.
     router_w: (D, E) router projection (kept full precision).
-    w_gate/w_up: (E, D, I); w_down: (E, I, D) — possibly quantized.
-    impl selects the grouped-matmul backend (see qragged_dot).
+    w_gate/w_up: (E_local, D, I); w_down: (E_local, I, D) — possibly
+    quantized. impl selects the grouped-matmul backend (see qragged_dot).
     Returns (T, D) in x.dtype.
+
+    `expert_window=(e_lo, e_count, E_total)` runs the expert-parallel
+    shard body (moe_mlp_spmd): routing/sort run over ALL E_total experts
+    (replicated, deterministic), but only the window's rows are computed
+    against the LOCAL weights; non-window rows come out as exact zeros,
+    so the caller's psum over the "ep" axis reconstructs the full
+    result. e_lo may be traced; e_count/E_total are static.
     """
     T, D = x.shape
-    E = router_w.shape[-1]
+    if expert_window is None:
+        e_lo, e_count, E = 0, router_w.shape[-1], router_w.shape[-1]
+    else:
+        e_lo, e_count, E = expert_window
     # Routing in fp32 (HF: Qwen3MoeSparseMoeBlock.forward).
     logits = jnp.dot(x, router_w, preferred_element_type=jnp.float32)
     probs = jax.nn.softmax(logits, axis=-1)
@@ -113,28 +124,23 @@ def moe_mlp(
     # One kernel work list serves gate/up/down (same rows and groups) —
     # built only when the kernel actually engages for all three shapes,
     # otherwise the traced cumsum/compare list would be dead computation
-    # in every MoE layer.
+    # in every MoE layer. The expert-parallel path (expert_window set)
+    # requires the kernel: its caller gates on is_supported up front.
     items = None
     if impl != "xla":
         from minivllm_tpu.ops.pallas import moe_gmm
 
-        def _data(w):
-            return w["w"] if is_quantized(w) else w
-
-        def _rows_in(data):  # contraction dim of a (E,K,N)/(E,NB,K,TN) w
-            return data.shape[2] if data.ndim == 4 else data.shape[1]
-
-        gd, ud, dd = _data(w_gate), _data(w_up), _data(w_down)
         rows = xs.shape[0]
-        h_shape = jax.ShapeDtypeStruct((rows, _rows_in(dd)), xs.dtype)
-        if (
-            moe_gmm.is_supported(xs, gd)
-            and moe_gmm.is_supported(xs, ud)
-            and moe_gmm.is_supported(h_shape, dd)
-        ):
+        if moe_supported(xs.shape[0], xs.dtype, w_gate, w_up, w_down):
             items = moe_gmm.build_items(
-                group_sizes, rows, moe_gmm._pick_tm(rows), E
+                group_sizes, rows, moe_gmm._pick_tm(rows), E,
+                e_lo=e_lo, e_count=e_count,
             )
+    if expert_window is not None and items is None:
+        raise ValueError(
+            "expert_window requires the Pallas grouped-matmul kernel "
+            "(gate on ops.moe.moe_supported before calling)"
+        )
     h = silu_and_mul(
         qragged_dot(xs, w_gate, group_sizes, impl, items),
         qragged_dot(xs, w_up, group_sizes, impl, items),
@@ -143,3 +149,98 @@ def moe_mlp(
     out = out * jnp.take(top_p.reshape(-1), order).astype(out.dtype)[:, None]
     # Combine: scatter-add each weighted expert output back to its token.
     return jnp.zeros((T, D), out.dtype).at[src_tok].add(out).astype(x.dtype)
+
+
+def moe_supported(rows: int, dtype, w_gate, w_up, w_down) -> bool:
+    """True when the Pallas grouped-matmul kernel supports all three
+    expert matmuls of a MoE layer at `rows` sorted rows (= T * top_k).
+    Shapes may be the ep/tp-LOCAL shards."""
+    from minivllm_tpu.ops.pallas import moe_gmm
+
+    def _data(w):
+        return w["w"] if is_quantized(w) else w
+
+    def _rows_in(data):  # contraction dim of a (E,K,N)/(E,NB,K,TN) w
+        return data.shape[2] if data.ndim == 4 else data.shape[1]
+
+    gd, ud, dd = _data(w_gate), _data(w_up), _data(w_down)
+    x_shape = jax.ShapeDtypeStruct((rows, _rows_in(gd)), dtype)
+    h_shape = jax.ShapeDtypeStruct((rows, _rows_in(dd)), dtype)
+    return (
+        moe_gmm.is_supported(x_shape, gd)
+        and moe_gmm.is_supported(x_shape, ud)
+        and moe_gmm.is_supported(h_shape, dd)
+    )
+
+
+def moe_mlp_spmd(
+    mesh,
+    x: jnp.ndarray,
+    router_w: jnp.ndarray,
+    w_gate,
+    w_up,
+    w_down,
+    top_k: int,
+    norm_topk_prob: bool,
+    impl: str,
+    row_axis: str = "dp",
+) -> jnp.ndarray:
+    """Expert/tensor-parallel MoE layer under a ("pp","dp","sp","ep","tp")
+    mesh, with the Pallas grouped-matmul kernel engaged per shard.
+
+    A pallas_call has no GSPMD partitioning rule, so under a mesh the
+    layer runs inside shard_map: token rows shard over `row_axis` ("dp"
+    for decode batches, "sp" for packed prefill — matching the attention
+    kernels' row layout so no resharding is inserted), the expert axis
+    of the weights over "ep", and the expert hidden dim over "tp"
+    (Megatron column/row pattern inside each expert). Each shard routes
+    its local tokens over ALL experts, builds an expert-window work list
+    (ops/pallas/moe_gmm.build_items e_lo/e_count), computes only its
+    local experts' rows (compute proportional to actually-routed work —
+    dropless, no capacity factor), and one psum over ("ep","tp")
+    combines: ep shards contribute disjoint row sets, tp shards partial
+    sums of the down-projection contraction.
+
+    Caller must gate on ops.moe.moe_supported with the LOCAL shapes.
+    """
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    E = router_w.shape[-1]
+    ep = mesh.shape.get("ep", 1)
+    e_count = E // ep
+
+    def _wspec(w, spec):
+        if is_quantized(w):
+            sspec = P(*[
+                None if w["s"].shape[i] == 1 else spec[i]
+                for i in range(len(w["s"].shape))
+            ])
+            return {"w": spec, "s": sspec}
+        return spec
+
+    col = P("ep", None, "tp")  # (E, D, I): shard experts + expert hidden
+    row = P("ep", "tp", None)  # (E, I, D)
+
+    def body(x, rw, wg, wu, wd):
+        e_lo = lax.axis_index("ep") * e_count
+        out = moe_mlp(
+            x, rw, wg, wu, wd, top_k, norm_topk_prob, impl,
+            expert_window=(e_lo, e_count, E),
+        )
+        return lax.psum(out, ("ep", "tp"))
+
+    fn = shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(
+            P(row_axis, None),
+            P(None, None),
+            _wspec(w_gate, col),
+            _wspec(w_up, col),
+            _wspec(w_down, row),
+        ),
+        out_specs=P(row_axis, None),
+        check_vma=False,
+    )
+    return fn(x, router_w, w_gate, w_up, w_down)

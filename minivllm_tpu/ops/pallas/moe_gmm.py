@@ -127,13 +127,29 @@ def is_supported(x, w) -> bool:
     return foot <= _VMEM_LIMIT - 8 * 1024 * 1024  # headroom for Mosaic
 
 
-def build_items(group_sizes: jnp.ndarray, T: int, TM: int, E: int):
+def build_items(
+    group_sizes: jnp.ndarray,
+    T: int,
+    TM: int,
+    E: int,
+    e_lo: jnp.ndarray | int = 0,
+    e_count: int | None = None,
+):
     """Work list (5, WI) int32: [m_tile, expert, row_start, row_end,
     flags(bit0 first-of-tile, bit1 last-of-tile, bit2 valid)].
 
     Items of a tile are consecutive; every tile has >= 1 item (group
     sizes sum to T, the static row count). Padding items carry an empty
     row range and no flags — their contribution is exactly zero.
+
+    `e_lo`/`e_count` select an expert window [e_lo, e_lo + e_count) for
+    expert parallelism (ops/moe.moe_mlp_spmd): each ep shard builds its
+    work list over only its LOCAL experts, with item expert ids remapped
+    to local weight indices (e - e_lo). Tiles with no local expert get
+    one dummy item (first|last flags, no valid bit) so the kernel still
+    zeroes and writes their output block — non-local rows come out as
+    exact zeros and the ep-psum of the shards reconstructs the full
+    result. `e_lo` may be traced (lax.axis_index); `e_count` is static.
 
     Built from broadcast comparisons, NOT jnp.searchsorted: the work
     list is rebuilt every call (routing is traced), and a searchsorted
@@ -142,16 +158,23 @@ def build_items(group_sizes: jnp.ndarray, T: int, TM: int, E: int):
     compares keep it to a handful of fused vector ops. The three expert
     matmuls of one MoE layer share one list (same T, TM, group_sizes).
     """
+    if e_count is None:
+        e_count = E
     MT = -(-T // TM)
-    WI = MT + E
+    WI = MT + e_count
+    e_lo = jnp.asarray(e_lo, jnp.int32)
     gs = group_sizes.astype(jnp.int32)
     offs = jnp.cumsum(gs)  # (E,) exclusive-end row of each expert
     starts = offs - gs
     tlo = jnp.arange(MT, dtype=jnp.int32)[:, None] * TM  # (MT, 1)
-    # experts intersecting tile t: offs[e] > t*TM and starts[e] < (t+1)*TM
+    # experts intersecting tile t: offs[e] > t*TM and starts[e] < (t+1)*TM;
+    # rows are expert-sorted, so the intersection is the contiguous range
+    # [lo_t, hi_t), clipped to the local expert window.
     lo = jnp.sum(offs[None, :] <= tlo, 1, dtype=jnp.int32)  # (MT,)
     hi = jnp.sum(starts[None, :] < tlo + TM, 1, dtype=jnp.int32)
-    cnt = jnp.maximum(hi - lo, 1)
+    lo = jnp.maximum(lo, e_lo)
+    hi = jnp.minimum(hi, e_lo + e_count)
+    cnt = jnp.maximum(hi - lo, 1)  # windowless tiles keep 1 dummy item
     toffs = jnp.cumsum(cnt)  # (MT,) exclusive-end item of each tile
     total = toffs[-1]
     i = jnp.arange(WI, dtype=jnp.int32)
@@ -159,25 +182,35 @@ def build_items(group_sizes: jnp.ndarray, T: int, TM: int, E: int):
     tcl = jnp.minimum(t, MT - 1)
     prev = toffs[tcl] - cnt[tcl]  # first item index of the tile
     e = lo[tcl] + (i - prev)
-    valid = (i < total) & (e < E)
+    in_window = hi[tcl] > lo[tcl]  # tile intersects the expert window
+    valid = (i < total) & (e < hi[tcl]) & in_window
     ecl = jnp.clip(e, 0, E - 1)
     gstart = jnp.where(valid, starts[ecl], 0)
     gend = jnp.where(valid, offs[ecl], 0)
     flags = (
-        jnp.where(valid & (i == prev), 1, 0)
-        | jnp.where(valid & (i == toffs[tcl] - 1), 2, 0)
+        jnp.where(i == prev, 1, 0)
+        | jnp.where(i == toffs[tcl] - 1, 2, 0)
         | jnp.where(valid, 4, 0)
     )
-    # Padding items (i >= total) repeat the last real item's tile/expert
-    # indices: the kernel's block index maps then resolve to the SAME
-    # blocks, so Mosaic skips their DMAs entirely — otherwise every
-    # pad item refetches a full (K, TN) weight tile, and with skewed
-    # routing (few occupied experts) the pads dominate the traffic.
-    # Their flags stay 0, which also predicates off the compute.
+    # first/last flags without the valid bit form the dummy item of a
+    # windowless tile: acc zeroed, matmul skipped, zeros written out.
+    flags = jnp.where((i < total) & (in_window | (i == prev)), flags, 0)
+    # Remap expert ids to local weight indices. Items without the valid
+    # bit (window-dummy tiles and i >= total padding) repeat the most
+    # recent VALID item's weight index: the kernel's weight block index
+    # map then resolves to an already-resident block, so Mosaic skips
+    # their DMAs entirely — otherwise every dummy/pad item refetches a
+    # full (K, TN) weight tile, and under ep sharding (most tiles not
+    # owned) or skewed routing the dummies would dominate the traffic.
+    eloc = jnp.clip(ecl - e_lo, 0, e_count - 1)
+    last_valid = jax.lax.cummax(jnp.where(valid, i, -1))
+    eloc = jnp.take(eloc, jnp.clip(last_valid, 0, WI - 1))
+    # Padding items (i >= total) also repeat the last real item's TILE
+    # index (same output block => no out-block DMA either). Dummy items
+    # keep their own tile (they must write that tile's zeros).
     src = jnp.minimum(i, jnp.maximum(total - 1, 0))
     tcl = jnp.take(tcl, src)
-    ecl = jnp.take(ecl, src)
-    return jnp.stack([tcl, ecl, gstart, gend, flags]).astype(jnp.int32)
+    return jnp.stack([tcl, eloc, gstart, gend, flags]).astype(jnp.int32)
 
 
 def _gmm_kernel(

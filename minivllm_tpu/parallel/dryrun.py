@@ -61,10 +61,15 @@ def run_dryrun(n_devices: int) -> None:
         half = n_devices // 2
         passes += [
             (
-                "moe ep x tp",
+                # moe_intermediate_size chosen so I/tp = 128 (the grouped-
+                # matmul kernel's lane multiple at the LOCAL shard shapes):
+                # the shard_map MoE path (ops/moe.moe_mlp_spmd) engages in
+                # interpret mode, asserted below via the trace counter.
+                "moe ep x tp (pallas gmm)",
                 {**base, "architectures": ["Qwen3MoeForCausalLM"],
                  "model_type": "qwen3_moe", "num_experts": 8,
-                 "num_experts_per_tok": 2, "moe_intermediate_size": 64,
+                 "num_experts_per_tok": 2,
+                 "moe_intermediate_size": 128 * half,
                  "norm_topk_prob": True, "decoder_sparse_step": 1,
                  "mlp_only_layers": []},
                 {"tp_size": half, "ep_size": 2},
@@ -98,7 +103,9 @@ def run_dryrun(n_devices: int) -> None:
             pipeline_parallel_size=mesh_kw.get("pp_size", 1),
             dtype="float32",
             attention_impl=(
-                "pallas_interpret" if name.startswith("pallas") else "xla"
+                "pallas_interpret"
+                if name.startswith("pallas") or "pallas" in name
+                else "xla"
             ),
         )
         mesh = make_mesh(**mesh_kw)
@@ -120,7 +127,12 @@ def run_dryrun(n_devices: int) -> None:
             seq.append_token(int(t))
         toks = runner.run(seqs, is_prefill=False)
         assert len(toks) == 2, toks
+        extra = ""
+        if "moe" in name:
+            engaged = getattr(runner.model, "_moe_spmd_traces", 0)
+            assert engaged > 0, "spmd MoE kernel path did not engage"
+            extra = f", moe_spmd_traces={engaged}"
         print(
             f"dryrun_multichip [{name}] OK: "
-            f"mesh={dict(mesh.shape)}, prefill+decode tokens={toks}"
+            f"mesh={dict(mesh.shape)}, prefill+decode tokens={toks}{extra}"
         )

@@ -165,6 +165,67 @@ def test_gmm_kernel_skewed_groups(gs):
     )
 
 
+def test_gmm_expert_window_shards_sum_to_full():
+    """build_items(e_lo, e_count) work lists: each expert-window shard
+    computes exactly its window's rows (zeros elsewhere, incl. dummy
+    items for un-owned tiles), so the shards SUM to the full grouped
+    matmul — the invariant the ep-psum in moe_mlp_spmd relies on."""
+    from minivllm_tpu.ops.pallas import moe_gmm
+
+    rng = np.random.default_rng(3)
+    T, K, N, E = 384, 128, 128, 8
+    gs = jnp.asarray([100, 0, 30, 90, 0, 64, 50, 50], jnp.int32)
+    x = jnp.asarray(rng.normal(0, 1, (T, K)).astype(np.float32))
+    w = jnp.asarray(rng.normal(0, 0.2, (E, K, N)).astype(np.float32))
+    full = np.asarray(moe_gmm.gmm(x, w, gs, interpret=True))
+    for ep in (2, 4, 8):
+        ec = E // ep
+        acc = np.zeros_like(full)
+        for s in range(ep):
+            items = moe_gmm.build_items(
+                gs, T, moe_gmm._pick_tm(T), E, e_lo=s * ec, e_count=ec
+            )
+            part = np.asarray(
+                moe_gmm.gmm(x, w[s * ec:(s + 1) * ec], gs,
+                            interpret=True, items=items)
+            )
+            acc += part
+        np.testing.assert_allclose(acc, full, rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+@pytest.mark.parametrize("quant", [False, True])
+@pytest.mark.parametrize("ep,tp,dp", [(2, 4, 1), (4, 2, 1), (2, 2, 2)])
+def test_moe_mlp_spmd_matches_xla(ep, tp, dp, quant):
+    """The shard_map MoE wrapper (Pallas grouped matmul per shard,
+    expert-window work lists, one ep+tp psum) vs the mesh-less XLA
+    path, plain and weight-quantized."""
+    from minivllm_tpu.ops.moe import moe_mlp_spmd
+    from minivllm_tpu.ops.quant import quantize_weight
+
+    rng = np.random.default_rng(4)
+    T, D, I, E, K = 64, 256, 512, 8, 2
+    x = jnp.asarray(rng.normal(0, 1, (T, D)).astype(np.float32))
+    rw = jnp.asarray(rng.normal(0, 0.5, (D, E)).astype(np.float32))
+    wg = rng.normal(0, 0.1, (E, D, I)).astype(np.float32)
+    wu = rng.normal(0, 0.1, (E, D, I)).astype(np.float32)
+    wd = rng.normal(0, 0.1, (E, I, D)).astype(np.float32)
+    if quant:
+        wg = quantize_weight(wg, (1,))
+        wu = quantize_weight(wu, (1,))
+        wd = quantize_weight(wd, (1,))
+    else:
+        wg, wu, wd = jnp.asarray(wg), jnp.asarray(wu), jnp.asarray(wd)
+    ref = np.asarray(moe_mlp(x, rw, wg, wu, wd, K, True, impl="xla"))
+    mesh = make_mesh(tp, ep_size=ep, dp_size=dp)
+    out = np.asarray(jax.jit(
+        lambda *a: moe_mlp_spmd(
+            mesh, *a, K, True, "pallas_interpret", row_axis="dp"
+        )
+    )(x, rw, wg, wu, wd))
+    np.testing.assert_allclose(out, ref, rtol=2e-4, atol=2e-5)
+
+
 @pytest.fixture(scope="module")
 def moe_ckpt(tmp_path_factory):
     # 8 kv heads / 8 experts so tp,ep in {1,2,4} divide evenly.
@@ -240,6 +301,51 @@ def test_moe_pallas_gmm_engine_parity(tmp_path):
         return [o["token_ids"] for o in outs]
 
     assert toks("pallas_interpret") == toks("xla")
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+@pytest.mark.parametrize("ep,tp,dp", [(2, 2, 1), (4, 1, 1), (2, 1, 2)])
+def test_moe_spmd_engine_matches_single_device(tmp_path, ep, tp, dp):
+    """Greedy tokens through the engine under an ep/tp/dp mesh with the
+    shard_map MoE kernel path ENGAGED (asserted via the model's
+    trace counter) must match the mesh-less XLA run."""
+    ckpt = make_tiny_checkpoint(
+        "qwen3_moe", tmp_path / "m",
+        num_attention_heads=4, num_key_value_heads=4, head_dim=16,
+        hidden_size=128, moe_intermediate_size=256,
+    )
+
+    def toks(mesh, impl):
+        cfg = Config(
+            model=str(ckpt), max_num_seqs=4, max_model_len=128,
+            max_num_batched_tokens=128, kvcache_block_size=16,
+            num_kvcache_blocks=32, dtype="float32", attention_impl=impl,
+        )
+        runner = ModelRunner(cfg, mesh=mesh)
+        seqs = [
+            Sequence(list(range(1, 1 + n)), SamplingParams(temperature=0.0),
+                     block_size=16)
+            for n in (7, 12, 5)
+        ]
+        nb = 0
+        for s in seqs:
+            need = (len(s) + 15) // 16
+            s.block_table = list(range(nb, nb + need))
+            nb += need
+        out = [runner.run(seqs, is_prefill=True)]
+        for t, s in zip(out[-1], seqs):
+            s.append_token(int(t))
+        for _ in range(3):
+            out.append(runner.run(seqs, is_prefill=False))
+            for t, s in zip(out[-1], seqs):
+                s.append_token(int(t))
+        return out, getattr(runner.model, "_moe_spmd_traces", 0)
+
+    ref, _ = toks(None, "xla")
+    got, engaged = toks(make_mesh(tp, ep_size=ep, dp_size=dp),
+                        "pallas_interpret")
+    assert engaged > 0, "spmd MoE kernel path did not engage"
+    assert got == ref
 
 
 def test_moe_engine_generate(moe_ckpt):
