@@ -133,20 +133,12 @@ class ModelRunner:
             )
         self.mesh = mesh
 
-        def axis(name: str, cfg_size: int) -> int:
-            return mesh.shape.get(name, 1) if mesh is not None else cfg_size
-
         backend_name = "pallas" if config.use_pallas_attention else "xla"
-        if backend_name == "pallas" and (
-            axis("pp", config.pipeline_parallel_size) > 1
-        ):
-            # pp stages already run the layer stack inside their own
-            # shard_map (parallel/pipeline.py) — nesting the attention
-            # shard_map there is unsupported; keep the portable XLA
-            # attention path on pp meshes. dp/sp/tp/ep compose via the
-            # explicit shard_map wrappers in ops/pallas/spmd.py.
-            logger.info("pp mesh axis active: using XLA attention")
-            backend_name = "xla"
+        # pp meshes compose: the pipeline's shard_map is manual over
+        # "pp" only, and the attention SPMD wrappers rebuild their
+        # nested shard_map on the abstract context mesh inside it
+        # (ops/pallas/spmd._resolve_mesh); pure-pp meshes (tp=1) call
+        # the kernels directly on pp-local data.
         self.attn_backend = make_backend(
             backend_name, self.block_size, mesh,
             interpret=config.attention_interpret,
@@ -944,24 +936,37 @@ class ModelRunner:
         (the online-softmax continuation needs at least one phase-2
         item). Returns None, or a dict of padded jnp arrays for
         DecodeBatch(seq_start/group_member/group_tables/group_ctx).
-        Gated off under meshes (the SPMD wrappers do not thread carry
-        state yet) and for sliding-window models (the window bound and
-        the shared/tail split do not compose)."""
+
+        Composes with dp/sp/ep/tp meshes: batch rows shard over "dp" in
+        contiguous chunks of S_pad/dp, so groups form only WITHIN a
+        chunk, member indices are chunk-LOCAL, and the group rows are
+        laid out per chunk (padded to a common per-chunk count) so the
+        group arrays shard over "dp" alongside their rows — the
+        two-phase composition then runs on purely shard-local data
+        inside the SPMD wrapper (ops/pallas/spmd.py). Gated off for
+        sliding-window models (the window bound and the shared/tail
+        split do not compose)."""
         if (
-            self.mesh is not None
-            or not self.config.shared_prefix_decode
+            not self.config.shared_prefix_decode
             or self.attn_backend.name != "pallas"
             or getattr(self.config.hf_config, "sliding_window", None)
+            # The pipeline microbatches the row axis; group arrays do not
+            # split along microbatches, so pp meshes never group.
+            or self._pp > 1
         ):
             return None
+        dp = self.mesh.shape.get("dp", 1) if self.mesh is not None else 1
+        chunk_rows = S_pad // dp
         bs = self.block_size
-        byfirst: dict[int, list[int]] = {}
+        byfirst: dict[tuple[int, int], list[int]] = {}
         for i, s in enumerate(seqs):
             if s.block_table:
-                byfirst.setdefault(s.block_table[0], []).append(i)
-        found = []
+                byfirst.setdefault(
+                    (i // chunk_rows, s.block_table[0]), []
+                ).append(i)
+        found: list[list] = [[] for _ in range(dp)]
         saved = 0
-        for idxs in byfirst.values():
+        for (ci, _), idxs in byfirst.items():
             if len(idxs) < 2:
                 continue
             tables = [seqs[i].block_table for i in idxs]
@@ -979,29 +984,35 @@ class ModelRunner:
                 continue
             cap = self.SHARED_PREFIX_MAX_GROUP
             for lo in range(0, len(idxs), cap):
-                chunk = idxs[lo : lo + cap]
-                if len(chunk) < 2:
+                members = idxs[lo : lo + cap]
+                if len(members) < 2:
                     continue
-                found.append((chunk, t0[:depth]))
-                saved += (len(chunk) - 1) * depth
+                found[ci].append((members, t0[:depth]))
+                saved += (len(members) - 1) * depth
         if (
-            not found
+            not any(found)
             or saved * self.block_size < self.SHARED_PREFIX_MIN_SAVED_TOKENS
         ):
             return None
-        G = _next_pow2(len(found), 1)
-        Gmax = _next_pow2(max(len(f[0]) for f in found), 2)
-        Wg = _next_pow2(max(len(f[1]) for f in found), 1)
+        all_groups = [f for fc in found for f in fc]
+        G_local = _next_pow2(max(len(fc) for fc in found), 1)
+        G = G_local * dp
+        Gmax = _next_pow2(max(len(f[0]) for f in all_groups), 2)
+        Wg = _next_pow2(max(len(f[1]) for f in all_groups), 1)
         member = np.full((G, Gmax), -1, np.int32)
         gtab = np.full((G, Wg), self.trash_block, np.int32)
         gctx = np.zeros((G,), np.int32)
         seq_start = np.zeros((S_pad,), np.int32)
-        for gi, (idxs, blocks) in enumerate(found):
-            member[gi, : len(idxs)] = idxs
-            gtab[gi, : len(blocks)] = blocks
-            gctx[gi] = len(blocks) * bs
-            for i in idxs:
-                seq_start[i] = len(blocks) * bs
+        for ci, fc in enumerate(found):
+            for gi, (idxs, blocks) in enumerate(fc):
+                row = ci * G_local + gi
+                member[row, : len(idxs)] = [
+                    i - ci * chunk_rows for i in idxs
+                ]
+                gtab[row, : len(blocks)] = blocks
+                gctx[row] = len(blocks) * bs
+                for i in idxs:
+                    seq_start[i] = len(blocks) * bs
         return {
             "seq_start": jnp.asarray(seq_start),
             "group_member": jnp.asarray(member),

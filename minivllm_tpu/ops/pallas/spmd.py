@@ -17,15 +17,21 @@ with `shard_map`, so every shard runs the kernel on purely local data:
   different shards), heads over "tp"; per-sequence arrays replicate.
 
 The "pp" and "ep" axes are never mentioned: attention operands are
-replicated across them (pp>1 keeps the XLA attention path — the
-pipeline drives layers inside its own shard_map).
+replicated across them. Under pipeline parallelism (pp > 1) these
+wrappers are invoked INSIDE the pipeline's shard_map, which is manual
+over "pp" only (parallel/pipeline.py): the nested shard_map here must
+then be built on the abstract CONTEXT mesh (whose "pp" axis is already
+Manual) rather than the concrete mesh — `_resolve_mesh` does that — and
+all operands it sees are already pp-local, so the specs below partition
+exactly the remaining auto axes.
 
 This is the roadmap's "SPMD partitioning for the Pallas kernels" item:
-dp/sp meshes previously had to fall back to the XLA gather oracle.
+dp/sp/pp meshes previously had to fall back to the XLA gather oracle.
 """
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 from jax import shard_map
 from jax.sharding import PartitionSpec as P
@@ -33,6 +39,16 @@ from jax.sharding import PartitionSpec as P
 from minivllm_tpu.ops.attention import DecodeBatch, QuantizedCache
 
 __all__ = ["decode_attention_spmd", "prefill_attention_spmd"]
+
+
+def _resolve_mesh(mesh):
+    """The mesh to build the shard_map on: inside a manual region (the
+    pp pipeline body) the context AbstractMesh — whose manual axes are
+    marked — is required; outside one, the concrete mesh."""
+    ctx = jax.sharding.get_abstract_mesh()
+    if not ctx.empty and ctx._any_axis_manual:
+        return ctx
+    return mesh
 
 
 def _cache_spec(cache):
@@ -52,10 +68,25 @@ def decode_attention_spmd(
     mesh, q, k_cache, v_cache, meta, scale, block_size,
     base=0, window=None, softcap=None, interpret=False,
 ):
-    """Paged flash-decode under a ("pp","dp","sp","ep","tp") mesh."""
+    """Paged flash-decode under a ("pp","dp","sp","ep","tp") mesh.
+
+    Shared-prefix decode groups compose: the runner detects groups per
+    dp row-chunk with chunk-LOCAL member indices and pads the group
+    count to a dp multiple (engine/model_runner._detect_groups), so the
+    group arrays shard over "dp" alongside their rows and the two-phase
+    composition (ops/pallas/shared_prefix.py) runs on purely local data
+    inside each shard."""
     from minivllm_tpu.ops.pallas.decode_attention import decode_attention
+    from minivllm_tpu.ops.pallas.shared_prefix import decode_shared_prefix
+
+    grouped = meta.group_member is not None
 
     def body(q, kc, vc, m, base, win):
+        if grouped:
+            return decode_shared_prefix(
+                q, kc, vc, m, scale, block_size, base[0],
+                softcap=softcap, interpret=interpret,
+            )
         return decode_attention(
             q, kc, vc, m, scale, block_size, base[0], win[0],
             softcap=softcap, interpret=interpret,
@@ -67,10 +98,14 @@ def decode_attention_spmd(
         slot_mapping=P("dp"),
         block_tables=P("dp", None),
         ctx_lens=P("dp"),
+        seq_start=P("dp") if grouped else None,
+        group_member=P("dp", None) if grouped else None,
+        group_tables=P("dp", None) if grouped else None,
+        group_ctx=P("dp") if grouped else None,
     )
     fn = shard_map(
         body,
-        mesh=mesh,
+        mesh=_resolve_mesh(mesh),
         in_specs=(
             P("dp", "tp", None),
             _cache_spec(k_cache),
@@ -117,7 +152,7 @@ def prefill_attention_spmd(
 
     fn = shard_map(
         body,
-        mesh=mesh,
+        mesh=_resolve_mesh(mesh),
         in_specs=(
             P("sp", "tp", None),
             _cache_spec(k_cache),

@@ -84,6 +84,14 @@ def run_dryrun(n_devices: int) -> None:
                  "num_key_value_heads": 2},
                 {"tp_size": min(half, 2), "dp_size": 2},
             ),
+            (
+                # Attention kernels inside the pipeline's manual-pp
+                # region (nested shard_map on the context mesh).
+                "pallas pp x tp",
+                {**dense, "head_dim": 128, "num_attention_heads": 4,
+                 "num_key_value_heads": 2},
+                {"tp_size": min(half, 2), "pp_size": 2},
+            ),
         ]
 
     for name, cfg_dict, mesh_kw in passes:
@@ -132,6 +140,10 @@ def run_dryrun(n_devices: int) -> None:
             engaged = getattr(runner.model, "_moe_spmd_traces", 0)
             assert engaged > 0, "spmd MoE kernel path did not engage"
             extra = f", moe_spmd_traces={engaged}"
+        if name.startswith("pallas"):
+            kt = getattr(runner.attn_backend, "kernel_traces", {})
+            assert kt.get("decode", 0) > 0, f"[{name}] decode kernel not engaged"
+            extra = f", kernel_traces={kt}"
         print(
             f"dryrun_multichip [{name}] OK: "
             f"mesh={dict(mesh.shape)}, prefill+decode tokens={toks}{extra}"

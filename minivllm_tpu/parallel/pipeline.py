@@ -53,7 +53,8 @@ def _split_meta(meta, M: int):
     """-> (split pytree with leading M axis per split leaf, replicated meta)."""
     if isinstance(meta, DecodeBatch):
         # Optional (None) fields — shared-prefix groups — are never set
-        # on pp meshes (the runner gates grouping to mesh-less runs).
+        # on pp meshes (group arrays do not split along microbatches;
+        # the runner's _detect_groups gates on pp == 1).
         split = {
             f: getattr(meta, f).reshape(M, -1, *getattr(meta, f).shape[1:])
             for f in meta._fields
@@ -63,6 +64,27 @@ def _split_meta(meta, M: int):
     split = {
         f: getattr(meta, f).reshape(M, -1) for f in _PREFILL_TOKEN_FIELDS
     }
+    # The Pallas prefill kernel's tile metadata derives from the
+    # per-sequence packing arrays (q_start / q_lens, with the first q
+    # position = ctx_lens - q_lens); those are expressed in GLOBAL
+    # packed rows, so each microbatch needs its slice's view: the
+    # intersection of [q_start, q_start + q_lens) with the microbatch's
+    # row range, re-based to microbatch-local rows, and ctx_lens shrunk
+    # to the slice's last position + 1 (also tightening the KV stream
+    # bound — later keys are causally masked anyway and not yet
+    # written). The XLA oracle ignores all three (it masks per token
+    # via q_seg/k_seg/k_pos).
+    rows = meta.input_ids.shape[0] // M
+    mb0 = jnp.arange(M, dtype=jnp.int32)[:, None] * rows          # (M, 1)
+    qs, ql = meta.q_start[None, :], meta.q_lens[None, :]          # (1, S)
+    start = jnp.clip(qs - mb0, 0, rows)
+    end = jnp.clip(qs + ql - mb0, 0, rows)
+    len_mb = jnp.maximum(end - start, 0)
+    before = jnp.clip(mb0 - qs, 0, ql)   # q rows consumed by earlier mbs
+    qpos0 = (meta.ctx_lens[None, :] - ql) + before
+    split["q_start"] = start
+    split["q_lens"] = len_mb
+    split["ctx_lens"] = jnp.where(len_mb > 0, qpos0 + len_mb, 0)
     return split, meta
 
 
@@ -96,13 +118,20 @@ def pipeline_forward(
         # (P-1)/(M+P-1), so more microbatches help — but each one must
         # still keep the MXU fed (>= min_rows rows) and too many just
         # multiply per-tick overhead; cap the schedule at 4 ticks of
-        # work per stage. N and ppn are powers of two, so doubling
-        # preserves divisibility.
+        # work per stage. Prefill microbatches must additionally stay
+        # Q_TILE(=64)-multiples — the Pallas prefill kernel's tile unit
+        # (the runner packs N as a Q_TILE multiple) — so the split is
+        # chosen in tile units; a short prefill may pipeline as a
+        # single microbatch (full bubble, but tiny anyway).
+        unit = 64 if is_prefill else 1
         min_rows = 64 if is_prefill else 8
+        NU = N // unit
         M = ppn
+        while M > 1 and NU % M:
+            M //= 2
         while (
             M * 2 <= 4 * ppn
-            and N % (M * 2) == 0
+            and NU % (M * 2) == 0
             and N // (M * 2) >= min_rows
         ):
             M *= 2
@@ -155,6 +184,10 @@ def pipeline_forward(
         in_specs=(P("pp"), P("pp"), P("pp"), P(), P(), P()),
         out_specs=(P(), P("pp"), P("pp")),
         axis_names={"pp"},
+        # pallas_call (the attention kernels run inside the stage body)
+        # has no vma annotations; functional checking stays off exactly
+        # like the kernels' own SPMD wrappers (ops/pallas/spmd.py).
+        check_vma=False,
     )(params["layers"], k_cache, v_cache, xs, aux_mb, split)
 
     hidden = hidden.reshape(N, *hidden.shape[2:]).astype(x.dtype)

@@ -103,12 +103,24 @@ def shard_batch(meta, mesh: Mesh | None):
         return lax.with_sharding_constraint(x, NamedSharding(mesh, spec))
 
     if isinstance(meta, DecodeBatch) and _axis_size(mesh, DP_AXIS) > 1:
+        grouped = meta.group_member is not None
         return DecodeBatch(
             input_ids=cons(meta.input_ids, P(DP_AXIS)),
             positions=cons(meta.positions, P(DP_AXIS)),
             slot_mapping=cons(meta.slot_mapping, P(DP_AXIS)),
             block_tables=cons(meta.block_tables, P(DP_AXIS, None)),
             ctx_lens=cons(meta.ctx_lens, P(DP_AXIS)),
+            # Shared-prefix group arrays ride their dp row-chunks: the
+            # runner emits chunk-local member indices and a group count
+            # padded to a dp multiple (model_runner._detect_groups).
+            seq_start=cons(meta.seq_start, P(DP_AXIS)) if grouped else None,
+            group_member=(
+                cons(meta.group_member, P(DP_AXIS, None)) if grouped else None
+            ),
+            group_tables=(
+                cons(meta.group_tables, P(DP_AXIS, None)) if grouped else None
+            ),
+            group_ctx=cons(meta.group_ctx, P(DP_AXIS)) if grouped else None,
         )
     if isinstance(meta, PrefillBatch) and _axis_size(mesh, SP_AXIS) > 1:
         return meta._replace(

@@ -32,11 +32,11 @@ def ckpt(tmp_path_factory):
     )
 
 
-def run_tokens(ckpt, *, tp=1, pp=1):
+def run_tokens(ckpt, *, tp=1, pp=1, impl="xla", kernel_traces=None):
     cfg = Config(
         model=str(ckpt), max_num_seqs=4, max_model_len=128,
         max_num_batched_tokens=128, kvcache_block_size=16,
-        num_kvcache_blocks=32, dtype="float32", attention_impl="xla",
+        num_kvcache_blocks=32, dtype="float32", attention_impl=impl,
         tensor_parallel_size=tp, pipeline_parallel_size=pp,
     )
     mesh = make_mesh(tp, pp_size=pp) if tp * pp > 1 else None
@@ -58,6 +58,8 @@ def run_tokens(ckpt, *, tp=1, pp=1):
         out.append(runner.run(seqs, is_prefill=False))
         for t, s in zip(out[-1], seqs):
             s.append_token(int(t))
+    if kernel_traces is not None:
+        kernel_traces.update(getattr(runner.attn_backend, "kernel_traces", {}))
     return out
 
 
@@ -73,6 +75,87 @@ def test_pp_matches_single_device(ckpt, ref):
 
 def test_pp_tp_composed(ckpt, ref):
     assert run_tokens(ckpt, tp=2, pp=2) == ref
+
+
+@pytest.fixture(scope="module")
+def ckpt128(tmp_path_factory):
+    # head_dim=128: the Pallas kernels' lane requirement, so the
+    # attention kernels engage (in interpret mode) inside the pipeline.
+    return make_tiny_checkpoint(
+        "qwen3",
+        tmp_path_factory.mktemp("pp128") / "m",
+        num_hidden_layers=4,
+        num_attention_heads=4,
+        num_key_value_heads=2,
+        head_dim=128,
+        hidden_size=64,
+    )
+
+
+def test_pp_pallas_kernels_engage(ckpt128):
+    """Pallas attention inside the pipeline's manual-pp region: the SPMD
+    wrappers rebuild their nested shard_map on the abstract context mesh
+    (ops/pallas/spmd._resolve_mesh). Tokens must match the mesh-less XLA
+    run and the kernel paths must actually trace in (no oracle-only
+    fallback)."""
+    ref = run_tokens(ckpt128)
+    traces = {}
+    got = run_tokens(
+        ckpt128, tp=2, pp=2, impl="pallas_interpret", kernel_traces=traces
+    )
+    assert got == ref
+    assert traces.get("decode", 0) > 0, "decode kernel never engaged under pp"
+    assert traces.get("prefill", 0) > 0, "prefill kernel never engaged under pp"
+
+
+def test_pp_pallas_engine_long_prompts(ckpt128):
+    """Engine-level pp x tp with prompts long enough that prefill splits
+    into several microbatches: catches microbatch-local tile metadata
+    bugs (q_start/q_lens/ctx_lens are global packed-row values and must
+    be re-based per microbatch in pipeline._split_meta)."""
+    import numpy as np
+
+    from minivllm_tpu.llm import LLM
+
+    rng = np.random.default_rng(3)
+    prompts = [
+        [1, 5, 9, 2],
+        [int(t) for t in rng.integers(1, 190, 70)],
+        [4, 4, 8],
+        [int(t) for t in rng.integers(1, 190, 40)],
+    ]
+    sp = SamplingParams(temperature=0.0, max_tokens=8, ignore_eos=True)
+
+    def run(impl, tp, pp):
+        llm = LLM(Config(
+            model=str(ckpt128), max_num_seqs=4, max_model_len=256,
+            dtype="float32", attention_impl=impl,
+            tensor_parallel_size=tp, pipeline_parallel_size=pp,
+        ))
+        outs = llm.generate(prompts, sp, use_tqdm=False)
+        return (
+            [o["token_ids"] for o in outs],
+            llm.model_runner.attn_backend.kernel_traces
+            if impl != "xla" else None,
+        )
+
+    ref, _ = run("xla", 1, 1)
+    got, traces = run("pallas_interpret", 2, 2)
+    assert traces["prefill"] > 0 and traces["decode"] > 0, traces
+    assert got == ref
+
+
+def test_pp_pure_pallas_direct(ckpt128):
+    """Pure-pp mesh (tp=1): the backend has no dp/sp/ep/tp axis to
+    partition, so kernels are called directly on pp-local data inside
+    the pipeline body."""
+    ref = run_tokens(ckpt128)
+    traces = {}
+    got = run_tokens(
+        ckpt128, pp=2, impl="pallas_interpret", kernel_traces=traces
+    )
+    assert got == ref
+    assert traces.get("decode", 0) > 0
 
 
 def test_pp_requires_divisible_layers(ckpt):
