@@ -130,6 +130,19 @@ class Config:
     # compute is discarded. 1 = classic single-step with speculative
     # pipelining.
     decode_multi_step: int = 4
+    # Multi-host (pod-slice) serving: one process per host, SAME config
+    # and request feed on every host (the replicated-scheduler contract,
+    # parallel/multihost.py). When True the runner initializes
+    # jax.distributed and builds the ("dcn","pp","dp","sp","ep","tp")
+    # pod mesh (tensor_parallel_size defaults to the per-host device
+    # count so tp all-reduces stay on ICI). coordinator_address /
+    # num_processes / process_id are auto-detected on Cloud TPU; set
+    # them explicitly elsewhere. Beats the reference's hardcoded
+    # single-node 127.0.0.1 (llm_engine.py:83-90).
+    multihost: bool = False
+    coordinator_address: str | None = None
+    num_processes: int | None = None
+    process_id: int | None = None
     # N-gram (prompt-lookup) speculative decoding: propose up to this
     # many draft tokens per decode step by matching the sequence's
     # trailing n-gram earlier in its own tokens, verify them all in ONE

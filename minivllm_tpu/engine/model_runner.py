@@ -92,11 +92,22 @@ class ModelRunner:
         init_random: bool = False,
         mesh=None,
     ) -> None:
+        import os
+
+        if config.multihost:
+            # MUST run before anything initializes the XLA backend
+            # (jax.default_backend() below does) — jax.distributed wires
+            # the processes only pre-initialization. Idempotent.
+            from minivllm_tpu.parallel.multihost import initialize_multihost
+
+            initialize_multihost(
+                config.coordinator_address,
+                config.num_processes,
+                config.process_id,
+            )
         # Persistent compile cache: bucket programs survive process
         # restarts (the TPU-side analog of reusing captured device graphs;
         # first-compile latency is the dominant cold-start cost).
-        import os
-
         cache_dir = os.environ.get(
             "MINIVLLM_TPU_COMPILE_CACHE",
             os.path.expanduser("~/.cache/minivllm_tpu/xla"),
@@ -117,7 +128,25 @@ class ModelRunner:
             else _DTYPES.get(config.kv_dtype, jnp.bfloat16)
         )
         self.block_size = config.kvcache_block_size
-        if mesh is None and (
+        if mesh is None and config.multihost:
+            from minivllm_tpu.parallel.multihost import make_pod_mesh
+
+            mesh = make_pod_mesh(
+                # None -> per-host device count (tp all-reduces on ICI).
+                tp_size=(
+                    config.tensor_parallel_size
+                    if config.tensor_parallel_size > 1
+                    else None
+                ),
+                pp_size=config.pipeline_parallel_size,
+                dp_size=config.data_parallel_size,
+                sp_size=config.sequence_parallel_size,
+            )
+            logger.info(
+                "multihost: process %d/%d, pod mesh %s",
+                jax.process_index(), jax.process_count(), dict(mesh.shape),
+            )
+        elif mesh is None and (
             config.tensor_parallel_size > 1
             or config.data_parallel_size > 1
             or config.sequence_parallel_size > 1
@@ -318,7 +347,9 @@ class ModelRunner:
     def _resolve_num_blocks(self) -> int:
         if self.config.num_kvcache_blocks > 0:
             return self.config.num_kvcache_blocks
-        stats = jax.devices()[0].memory_stats() or {}
+        # local_devices: under multi-host, jax.devices()[0] may belong to
+        # another process (MemoryStats needs an addressable device).
+        stats = jax.local_devices()[0].memory_stats() or {}
         limit = stats.get("bytes_limit") or stats.get("bytes_reservable_limit")
         if not limit:
             # CPU or unknown backend: enough blocks for the configured load.

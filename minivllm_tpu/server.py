@@ -582,6 +582,22 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--kv-dtype", default="auto")
     p.add_argument("--dtype", default="bfloat16")
     p.add_argument("--tensor-parallel-size", type=int, default=1)
+    p.add_argument("--pipeline-parallel-size", type=int, default=1)
+    p.add_argument("--data-parallel-size", type=int, default=1)
+    p.add_argument(
+        "--multihost", action="store_true",
+        help="multi-host pod-slice serving: run this same command (and "
+        "feed identical requests) on every host; initializes "
+        "jax.distributed and builds the dcn pod mesh "
+        "(parallel/multihost.py)",
+    )
+    p.add_argument(
+        "--coordinator-address", default=None,
+        help="jax.distributed coordinator HOST:PORT (auto-detected on "
+        "Cloud TPU; implies --multihost)",
+    )
+    p.add_argument("--num-processes", type=int, default=None)
+    p.add_argument("--process-id", type=int, default=None)
     p.add_argument(
         "--warmup", action="store_true",
         help="precompile the serving bucket working set before accepting "
@@ -599,6 +615,12 @@ def main(argv: list[str] | None = None) -> None:
         kvcache_dtype=args.kv_dtype,
         dtype=args.dtype,
         tensor_parallel_size=args.tensor_parallel_size,
+        pipeline_parallel_size=args.pipeline_parallel_size,
+        data_parallel_size=args.data_parallel_size,
+        multihost=args.multihost or args.coordinator_address is not None,
+        coordinator_address=args.coordinator_address,
+        num_processes=args.num_processes,
+        process_id=args.process_id,
     )
     if args.warmup:
         logger.info("warming compile buckets...")
