@@ -430,20 +430,28 @@ class LLMEngine:
         batch_sizes: list[int] | None = None,
         max_tokens: list[int] | None = None,
         sampled: bool = True,
+        prefill_buckets: bool = True,
+        logprob_variants: bool = False,
     ) -> int:
         """Precompile the serving working set at boot (roadmap "bucket
         precompile"): drives dummy generations through every decode
         batch-size bucket at the dominant fused-decode window and the
-        single-step path, in greedy and (optionally) filtered-sampling
-        variants — so first-request latency does not include bucket
+        single-step path, then (prefill_buckets=True) through every
+        prefill TOKEN bucket at both block-table-width classes — one
+        single-prompt run at each bucket's shortest and longest length,
+        plus one max_model_len prompt for the chunked-prefill chain — in
+        greedy and (optionally) filtered-sampling variants, so
+        first-request latency at ANY prompt length excludes bucket
         compiles (~10-60s each through a compile relay; the persistent
         compile cache then makes this a once-per-binary cost).
+        `logprob_variants` additionally warms the logprob step variants
+        (off by default: logprob traffic is rare and compiles lazily).
 
         Prefix caching is suspended for the dummy prompts, so warmup
         neither pollutes the block hash table nor short-circuits its own
-        prefill shapes. Buckets not covered (unusual block-table widths,
-        logprob/penalty variants) still compile lazily on first hit.
-        Returns the number of warmup generations run."""
+        prefill shapes. Buckets not covered (unusual decode-batch x
+        block-table-width combinations, penalty variants) still compile
+        lazily on first hit. Returns the number of warmup generations."""
         import dataclasses
 
         import numpy as np
@@ -456,9 +464,17 @@ class LLMEngine:
                 b for b in cfg.decode_seq_buckets if b <= cfg.max_num_seqs
             ]
         if max_tokens is None:
-            # mt = K+1: after the prefill's first token, K remain -> the
-            # pow2 window is exactly K. mt=2 warms single-step decode.
-            max_tokens = sorted({cfg.decode_multi_step + 1, 2})
+            # mt = w+1: after the prefill's first token, w remain -> the
+            # fused window is exactly w; cover every power-of-two window
+            # up to decode_multi_step (a request's window follows its
+            # REMAINING tokens, so any of them can occur). mt=2 warms
+            # single-step decode.
+            max_tokens = {2}
+            w = 2
+            while w <= cfg.decode_multi_step:
+                max_tokens.add(w + 1)
+                w *= 2
+            max_tokens = sorted(max_tokens)
         if prompt_len is None:
             prompt_len = max(16, min(cfg.max_model_len // 4, 256))
         prompt_len = min(prompt_len, cfg.max_model_len - max(max_tokens) - 1)
@@ -466,6 +482,10 @@ class LLMEngine:
         if sampled:
             variants.append(
                 SamplingParams(temperature=0.8, top_p=0.95, ignore_eos=True)
+            )
+        if logprob_variants:
+            variants.append(
+                SamplingParams(temperature=0.0, ignore_eos=True, logprobs=1)
             )
         vocab = int(getattr(cfg.hf_config, "vocab_size", 1000))
         rng = np.random.default_rng(0)
@@ -484,6 +504,22 @@ class LLMEngine:
                         params = dataclasses.replace(sp, max_tokens=mt)
                         self.generate(prompts, params, use_tqdm=False)
                         runs += 1
+            if prefill_buckets:
+                # The decode programs key on (fused window, block-table
+                # width W) — both follow the REQUEST (its remaining
+                # tokens / its context length) — so the length sweep
+                # crosses with every window-selecting max_tokens value.
+                for L in self._warmup_prefill_lens():
+                    for mt in max_tokens:
+                        for sp in variants:
+                            prompt = [
+                                int(t) for t in rng.integers(1, vocab, L)
+                            ]
+                            if L + mt + 1 > cfg.max_model_len:
+                                continue
+                            params = dataclasses.replace(sp, max_tokens=mt)
+                            self.generate([prompt], params, use_tqdm=False)
+                            runs += 1
         finally:
             bm.enable_prefix_caching = saved
         logger.info(
@@ -491,6 +527,53 @@ class LLMEngine:
             len(batch_sizes),
         )
         return runs
+
+    def _warmup_prefill_lens(self) -> list[int]:
+        """Prompt lengths whose programs cover every (prefill token
+        bucket, block-table-width class) a fresh request can hit: each
+        bucket's shortest and longest prompt, a length on each side of
+        every power-of-two BLOCK count (the decode step pads the block
+        table to W = next_pow2(blocks), so W classes — not buckets —
+        set the decode shapes), plus one max-length prompt to warm the
+        chunked-prefill chain for prompts beyond the batch budget."""
+        cfg = self.config
+        bs = cfg.kvcache_block_size
+        limit = cfg.max_model_len - 3
+        # 1 also warms the fused-cached prefill shortcut (single-token
+        # prompts take it, skipping the plain decode path); 2 is the
+        # shortest prompt that exercises plain prefill + decode.
+        lens: set[int] = {1, 2, limit}
+        prev = 0
+        for T in cfg.prefill_token_buckets:
+            if prev + 1 > limit:
+                break
+            lens.add(prev + 1)
+            lens.add(min(T, limit))
+            prev = T
+        c = 1
+        while (c - 1) * bs + 1 <= limit:
+            lens.add((c - 1) * bs + 1)   # last length of the W=c class
+            if c * bs + 1 <= limit:
+                lens.add(c * bs + 1)     # first length of the next class
+            c *= 2
+        # Prompts beyond the batch budget prefill in budget-sized chunks
+        # plus a tail chunk: the tail's token bucket and the (larger)
+        # packed-context bucket form shapes no single-chunk length hits,
+        # so repeat the tail representatives at every chunk base (for a
+        # power-of-two budget each base spans one context class).
+        budget = cfg.max_num_batched_tokens
+        tails = {1, 2}
+        prev = 0
+        for T in cfg.prefill_token_buckets:
+            if T > budget:
+                break
+            tails.update((prev + 1, T))
+            prev = T
+        base = budget
+        while base < limit:
+            lens.update(base + t for t in tails if base + t <= limit)
+            base += budget
+        return sorted(L for L in lens if L >= 1)
 
     def get_stats(self) -> dict:
         """Serving statistics: timing percentiles, throughput, prefix-cache

@@ -227,7 +227,8 @@ def test_warmup_precompiles_buckets(llm):
     runner = llm.model_runner
     bm = llm.scheduler.block_manager
     hashes_before = dict(bm.hash_to_block_id)
-    runs = llm.warmup(prompt_len=24, batch_sizes=[2], max_tokens=[3, 2])
+    runs = llm.warmup(prompt_len=24, batch_sizes=[2], max_tokens=[3, 2],
+                      prefill_buckets=False)
     assert runs == 4  # 2 windows x (greedy + sampled)
     assert bm.enable_prefix_caching  # restored
     # dummy prompts left no new cache entries
@@ -247,6 +248,41 @@ def test_warmup_precompiles_buckets(llm):
     )
     after = cache_sizes()
     assert after == before, "post-warmup generate triggered a new compile"
+
+
+def test_warmup_covers_all_prompt_lengths(tiny_qwen3):
+    """Full warmup (prefill-bucket sweep on): a first request at ANY
+    prompt length — bucket boundaries, width-class straddles, and a
+    chunked long prompt — triggers zero new compiles."""
+    import numpy as np
+
+    llm = LLM(Config(
+        model=str(tiny_qwen3), max_num_seqs=4, max_model_len=256,
+        max_num_batched_tokens=128, kvcache_block_size=16,
+        num_kvcache_blocks=128, dtype="float32", attention_impl="xla",
+    ))
+    llm.warmup(batch_sizes=[2], max_tokens=[2])
+    runner = llm.model_runner
+
+    def cache_sizes():
+        return {k: fn._cache_size() for k, fn in runner._compiled.items()}
+
+    before = cache_sizes()
+    rng = np.random.default_rng(11)
+    # Adversarial lengths: inside each bucket, at straddles, and beyond
+    # the batch budget (chunked prefill), both greedy and sampled.
+    for L in (1, 5, 33, 65, 100, 128, 129, 200, 250):
+        for sp in (
+            SamplingParams(temperature=0.0, max_tokens=2, ignore_eos=True),
+            SamplingParams(temperature=0.8, top_p=0.95, max_tokens=2,
+                           ignore_eos=True),
+        ):
+            prompt = [int(t) for t in rng.integers(1, 150, L)]
+            llm.generate([prompt], sp, use_tqdm=False)
+    assert cache_sizes() == before, (
+        "a prompt length triggered a post-warmup compile"
+    )
+    llm.exit()
 
 
 def test_cached_prefill_fuses_into_decode_window(tiny_qwen3):
