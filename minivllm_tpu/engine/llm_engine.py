@@ -489,9 +489,8 @@ class LLMEngine:
             )
         vocab = int(getattr(cfg.hf_config, "vocab_size", 1000))
         rng = np.random.default_rng(0)
-        bm = self.scheduler.block_manager
-        saved = bm.enable_prefix_caching
-        bm.enable_prefix_caching = False
+        saved = self.scheduler.block_manager.enable_prefix_caching
+        self.scheduler.block_manager.enable_prefix_caching = False
         runs = 0
         try:
             for S in batch_sizes:
@@ -502,7 +501,7 @@ class LLMEngine:
                             for _ in range(S)
                         ]
                         params = dataclasses.replace(sp, max_tokens=mt)
-                        self.generate(prompts, params, use_tqdm=False)
+                        self._warmup_generate(prompts, params)
                         runs += 1
             if prefill_buckets:
                 # The decode programs key on (fused window, block-table
@@ -518,15 +517,46 @@ class LLMEngine:
                             if L + mt + 1 > cfg.max_model_len:
                                 continue
                             params = dataclasses.replace(sp, max_tokens=mt)
-                            self.generate([prompt], params, use_tqdm=False)
+                            self._warmup_generate([prompt], params)
                             runs += 1
         finally:
-            bm.enable_prefix_caching = saved
+            self.scheduler.block_manager.enable_prefix_caching = saved
         logger.info(
             "warmup: %d generations over %d batch buckets", runs,
             len(batch_sizes),
         )
         return runs
+
+    def _warmup_generate(self, prompts, params) -> None:
+        """One warmup generation with device-OOM resilience (reference
+        analog: the OOM catch-and-retry in attention_backend.py:596-614).
+        The KV-cache budget holds back a workspace margin that is an
+        ESTIMATE; if a bucket program's compile workspace exceeds it on
+        a new model/chip, shrink the cache 12.5% and retry — warmup is
+        the safe point (every program compiles here, and the dummy
+        sequences can be aborted so no live block table survives the
+        reallocation)."""
+        from minivllm_tpu.engine.scheduler import Scheduler
+
+        for attempt in range(4):
+            try:
+                self.generate(prompts, params, use_tqdm=False)
+                return
+            except Exception as e:  # jaxlib XlaRuntimeError
+                if "RESOURCE_EXHAUSTED" not in str(e) or attempt == 3:
+                    raise
+                for s in list(self.scheduler.unfinished()):
+                    self.scheduler.abort(s)
+                nb = self.model_runner.shrink_kv_cache()
+                # Fresh scheduler/block manager over the new block count
+                # (block ids shifted meaning; prefix cache drops — the
+                # engine is idle at warmup, nothing references blocks).
+                self.scheduler = Scheduler(self.config)
+                self.scheduler.block_manager.enable_prefix_caching = False
+                logger.warning(
+                    "warmup OOM (attempt %d); KV cache shrunk to %d blocks",
+                    attempt + 1, nb,
+                )
 
     def _warmup_prefill_lens(self) -> list[int]:
         """Prompt lengths whose programs cover every (prefill token

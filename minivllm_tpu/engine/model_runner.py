@@ -206,53 +206,24 @@ class ModelRunner:
         jax.block_until_ready(jax.tree.leaves(self.params)[0])
         logger.info("weights ready in %.1fs", time.perf_counter() - t0)
 
-        self.num_blocks = self._resolve_num_blocks()
-        config.num_kvcache_blocks = self.num_blocks
-        self.trash_slot = self.num_blocks * self.block_size
-        self.trash_block = self.num_blocks
-        L = self.model.num_layers
-        kvh = self.model.num_kv_heads
-        hd = self.model.head_dim
-        num_slots = (self.num_blocks + 1) * self.block_size
-        # Flat multi-layer cache: slot for (layer, block, offset) =
-        # layer * num_slots + block * block_size + offset. No per-layer
-        # slicing ever materializes a layer copy.
-        cache_shape = (L * num_slots, kvh, hd)
-        from minivllm_tpu.ops.attention import QuantizedCache, make_quantized_cache
-
-        def make_zeros():
-            if self.kv_quantized:
-                return make_quantized_cache(
-                    L * num_slots, kvh, hd, self.block_size
+        num_blocks = self._resolve_num_blocks()
+        # Allocation-time OOM fallback (reference analog: the OOM
+        # catch-and-retry in attention_backend.py:596-614): a
+        # mis-estimated workspace margin on a new model/chip shrinks the
+        # cache 12.5% per attempt instead of failing boot. Compile-time
+        # workspace OOMs are handled one level up (engine.warmup).
+        for attempt in range(4):
+            try:
+                self._alloc_cache(num_blocks)
+                break
+            except Exception as e:  # jaxlib XlaRuntimeError
+                if "RESOURCE_EXHAUSTED" not in str(e) or num_blocks <= 16:
+                    raise
+                num_blocks = max(16, num_blocks - num_blocks // 8)
+                logger.warning(
+                    "KV cache allocation OOM; retrying with %d blocks",
+                    num_blocks,
                 )
-            return jnp.zeros(cache_shape, self.kv_dtype)
-
-        if self.mesh is not None:
-            from jax.sharding import NamedSharding, PartitionSpec as P
-
-            from minivllm_tpu.parallel.sharding import cache_pspec
-
-            spec = NamedSharding(self.mesh, cache_pspec())
-            if self.kv_quantized:
-                # Scale slabs are layer-major on axis 0 like the data, so
-                # they shard identically (pp stages own their layers' slabs).
-                out_sh = QuantizedCache(data=spec, scale=spec)
-            else:
-                out_sh = spec
-            zeros = jax.jit(make_zeros, out_shardings=out_sh)
-            self.k_cache = zeros()
-            self.v_cache = zeros()
-        else:
-            self.k_cache = make_zeros()
-            self.v_cache = make_zeros()
-        cache_bytes = sum(x.nbytes for x in jax.tree.leaves(self.k_cache))
-        logger.info(
-            "KV cache: %d blocks x %d tokens (%.2f GiB%s)",
-            self.num_blocks,
-            self.block_size,
-            2 * cache_bytes / 2**30,
-            ", int8" if self.kv_quantized else "",
-        )
 
         self._pp = self.mesh.shape.get("pp", 1) if self.mesh is not None else 1
         self._base_key = jax.random.PRNGKey(config.seed if config.seed is not None else 0)
@@ -280,6 +251,80 @@ class ModelRunner:
         # Per-seq (chosen_lp, top_ids, top_lps) of the last run() batch
         # when any sequence requested logprobs, else None.
         self.last_logprobs = None
+
+    def _alloc_cache(self, num_blocks: int) -> None:
+        """(Re)allocate the flat donated KV cache at `num_blocks` and
+        update the derived trash slot/block and config mirror."""
+        self.num_blocks = num_blocks
+        self.config.num_kvcache_blocks = num_blocks
+        self.trash_slot = num_blocks * self.block_size
+        self.trash_block = num_blocks
+        L = self.model.num_layers
+        kvh = self.model.num_kv_heads
+        hd = self.model.head_dim
+        num_slots = (num_blocks + 1) * self.block_size
+        # Flat multi-layer cache: slot for (layer, block, offset) =
+        # layer * num_slots + block * block_size + offset. No per-layer
+        # slicing ever materializes a layer copy.
+        cache_shape = (L * num_slots, kvh, hd)
+        from minivllm_tpu.ops.attention import (
+            QuantizedCache,
+            make_quantized_cache,
+        )
+
+        def make_zeros():
+            if self.kv_quantized:
+                return make_quantized_cache(
+                    L * num_slots, kvh, hd, self.block_size
+                )
+            return jnp.zeros(cache_shape, self.kv_dtype)
+
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding
+
+            from minivllm_tpu.parallel.sharding import cache_pspec
+
+            spec = NamedSharding(self.mesh, cache_pspec())
+            if self.kv_quantized:
+                # Scale slabs are layer-major on axis 0 like the data, so
+                # they shard identically (pp stages own their layers' slabs).
+                out_sh = QuantizedCache(data=spec, scale=spec)
+            else:
+                out_sh = spec
+            zeros = jax.jit(make_zeros, out_shardings=out_sh)
+            self.k_cache = zeros()
+            self.v_cache = zeros()
+        else:
+            self.k_cache = make_zeros()
+            self.v_cache = make_zeros()
+        jax.block_until_ready(jax.tree.leaves(self.k_cache)[0])
+        cache_bytes = sum(x.nbytes for x in jax.tree.leaves(self.k_cache))
+        logger.info(
+            "KV cache: %d blocks x %d tokens (%.2f GiB%s)",
+            self.num_blocks,
+            self.block_size,
+            2 * cache_bytes / 2**30,
+            ", int8" if self.kv_quantized else "",
+        )
+
+    def shrink_kv_cache(self, keep_fraction: float = 0.875) -> int:
+        """Free and reallocate the KV cache with fewer blocks — the
+        runtime OOM fallback for compile-workspace exhaustion (the cache
+        budget's _WORKSPACE_BYTES margin is an estimate; a hungry bucket
+        program on a new model/chip can exceed it). Caller must hold NO
+        live sequences (block ids shift meaning); engine.warmup drives
+        this at boot where that is guaranteed. Returns the new block
+        count."""
+        new_blocks = int(self.num_blocks * keep_fraction)
+        new_blocks = max(min(16, self.num_blocks - 1), new_blocks)
+        if not 1 <= new_blocks < self.num_blocks:
+            raise RuntimeError(
+                f"cannot shrink KV cache below {self.num_blocks} blocks"
+            )
+        # Drop the old buffers before allocating replacements.
+        self.k_cache = self.v_cache = None
+        self._alloc_cache(new_blocks)
+        return new_blocks
 
     def _init_random_quantized(self, fmt: str = "int8") -> dict:
         """Random parameters with quant-plan kernels generated as int8/fp8 +

@@ -285,6 +285,52 @@ def test_warmup_covers_all_prompt_lengths(tiny_qwen3):
     llm.exit()
 
 
+def test_warmup_oom_shrinks_kv_cache(tiny_qwen3):
+    """A device RESOURCE_EXHAUSTED during warmup (mis-estimated compile
+    workspace) shrinks the KV cache and retries instead of failing boot;
+    the engine then serves correctly on the smaller cache."""
+    llm = LLM(Config(
+        model=str(tiny_qwen3), max_num_seqs=4, max_model_len=128,
+        max_num_batched_tokens=128, kvcache_block_size=16,
+        num_kvcache_blocks=64, dtype="float32", attention_impl="xla",
+    ))
+    runner = llm.model_runner
+    blocks_before = runner.num_blocks
+    real_run = runner.run
+    state = {"raised": 0}
+
+    def oom_once(*a, **kw):
+        if state["raised"] < 2:
+            state["raised"] += 1
+            raise RuntimeError(
+                "RESOURCE_EXHAUSTED: Out of memory allocating 123 bytes"
+            )
+        return real_run(*a, **kw)
+
+    runner.run = oom_once
+    llm.warmup(batch_sizes=[2], max_tokens=[2], sampled=False,
+               prefill_buckets=False)
+    runner.run = real_run
+    assert state["raised"] == 2
+    assert runner.num_blocks < blocks_before
+    assert llm.config.num_kvcache_blocks == runner.num_blocks
+    assert llm.scheduler.block_manager.enable_prefix_caching  # restored
+    # serving still works and matches a fresh engine on the small cache
+    prompts = [[1, 5, 9, 2], [3, 7, 11]]
+    sp = SamplingParams(temperature=0.0, max_tokens=6, ignore_eos=True)
+    got = [o["token_ids"] for o in llm.generate(prompts, sp, use_tqdm=False)]
+    llm.exit()
+    ref_llm = LLM(Config(
+        model=str(tiny_qwen3), max_num_seqs=4, max_model_len=128,
+        max_num_batched_tokens=128, kvcache_block_size=16,
+        num_kvcache_blocks=16, dtype="float32", attention_impl="xla",
+    ))
+    ref = [o["token_ids"] for o in ref_llm.generate(prompts, sp,
+                                                    use_tqdm=False)]
+    ref_llm.exit()
+    assert got == ref
+
+
 def test_cached_prefill_fuses_into_decode_window(tiny_qwen3):
     """A fully-prefix-cached prompt runs its last prompt token AND the
     whole completion in ONE fused dispatch (no separate cached-prefill
