@@ -86,7 +86,10 @@ def bench_decode(S, ctx, kvh, h, d, bs, dtype_name, iters=200):
     itemsize = 1 if quantized else 2
     kv_bytes = 2 * S * ctx * kvh * d * itemsize
     if quantized:
-        kv_bytes += 2 * S * W * kvh * 128 * 4  # scale slabs
+        from minivllm_tpu.ops.attention import scale_lanes
+
+        # ONE K+V-packed scale slab per block (not one per cache)
+        kv_bytes += S * W * kvh * scale_lanes(bs) * 4
     gbs = kv_bytes / dt / 1e9
     return {
         "kernel": "decode",

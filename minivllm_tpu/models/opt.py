@@ -18,7 +18,7 @@ import numpy as np
 from jax import lax
 
 from minivllm_tpu.models.common import WeightCollector, mask_pad_logits
-from minivllm_tpu.ops.attention import cache_len, cache_write
+from minivllm_tpu.ops.attention import cache_len, store_kv
 from minivllm_tpu.ops.norm import layer_norm
 from minivllm_tpu.ops.quant import qdot, qlookup, qtranspose, quantize_tree
 
@@ -219,8 +219,7 @@ class OPTForCausalLM:
             k = (qdot(h_in, lp["k_proj"]) + lp["k_bias"]).reshape(T, H, hd)
             v = (qdot(h_in, lp["v_proj"]) + lp["v_bias"]).reshape(T, H, hd)
             slots = base + batch.slot_mapping
-            k_cache = cache_write(k_cache, slots, k)
-            v_cache = cache_write(v_cache, slots, v)
+            k_cache, v_cache = store_kv(k_cache, v_cache, k, v, slots)
             if is_prefill:
                 attn = backend.prefill(q, k_cache, v_cache, batch, self.scale, base)
             else:

@@ -30,7 +30,7 @@ from minivllm_tpu.ops.attention import (
     DecodeBatch,
     PrefillBatch,
     cache_len,
-    cache_write,
+    store_kv,
 )
 from minivllm_tpu.ops.norm import rms_norm
 from minivllm_tpu.ops.activation import silu_and_mul
@@ -373,8 +373,7 @@ class QwenForCausalLM:
             q = apply_rope(q, cos, sin)
             k = apply_rope(k, cos, sin)
             slots = base + batch.slot_mapping
-            k_cache = cache_write(k_cache, slots, k)
-            v_cache = cache_write(v_cache, slots, v)
+            k_cache, v_cache = store_kv(k_cache, v_cache, k, v, slots)
             extras = self._attn_extras(layer_offset + lidx)
             if is_prefill:
                 attn = backend.prefill(

@@ -94,20 +94,26 @@ class QuantizedCache(NamedTuple):
     """INT8 KV cache: per-slot-per-head symmetric scales (north-star
     feature — halves KV HBM traffic and doubles cache capacity).
 
-    The scale layout is block-slabbed and lane-padded for the Pallas
-    kernels: one (kv_heads, lanes>=128) f32 slab per KV block, where lane
-    l of head h is the scale of slot block*block_size + l. Lane padding
-    (block_size -> multiple of 128) keeps every DMA slice Mosaic-aligned;
-    the overhead is < 2% of the int8 data. block_size is recoverable as
-    data.shape[0] // scale.shape[0]."""
+    The scale layout is block-slabbed, K+V-PACKED, and lane-padded for
+    the Pallas kernels: one (kv_heads, lanes>=128) f32 slab per KV
+    block where, for head h, lane l in [0, block_size) is the K scale
+    of slot block*block_size + l and lane block_size + l is the V scale
+    of the same slot. `store_kv` writes the IDENTICAL packed slab into
+    both caches of a (k, v) pair, so the flash kernels fetch ONE scale
+    DMA per sub-block (not one per cache) — the fix for the issue-bound
+    int8 decode path (docs/roadmap.md: 16 -> 12 DMAs per work item) —
+    while each cache also stays self-contained for the XLA oracle's
+    role-offset gathers. At the default block_size 64 the packing fits
+    the existing 128-lane padding, so it costs no extra HBM. block_size
+    is recoverable as data.shape[0] // scale.shape[0]."""
 
     data: jnp.ndarray   # (num_slots, kv_heads, head_dim) int8
     scale: jnp.ndarray  # (num_blocks_total, kv_heads, scale_lanes) float32
 
 
 def scale_lanes(block_size: int) -> int:
-    """Lane-padded scale-slab width for a KV block."""
-    return ((block_size + 127) // 128) * 128
+    """Lane-padded K+V-packed scale-slab width for a KV block."""
+    return ((2 * block_size + 127) // 128) * 128
 
 
 def make_quantized_cache(num_slots: int, kvh: int, hd: int, block_size: int):
@@ -125,22 +131,32 @@ def _cache_block_size(cache: QuantizedCache) -> int:
     return cache.data.shape[0] // cache.scale.shape[0]
 
 
-def cache_write(cache, slots: jnp.ndarray, values: jnp.ndarray):
+def _quantize_rows(values: jnp.ndarray):
+    """(T, kvh, hd) float -> (int8 rows, per-(row, head) f32 scales)."""
+    v32 = values.astype(jnp.float32)
+    absmax = jnp.max(jnp.abs(v32), axis=-1)              # (T, kvh)
+    scale = jnp.maximum(absmax, 1e-8) / 127.0
+    q = jnp.clip(jnp.round(v32 / scale[..., None]), -127, 127).astype(
+        jnp.int8
+    )
+    return q, scale
+
+
+def cache_write(cache, slots: jnp.ndarray, values: jnp.ndarray,
+                role: int = 0):
     """Scatter new K/V rows (T, kvh, hd) into the flat slot cache at
     `slots` (T,). Under buffer donation XLA lowers this to an in-place
     scatter (the reference needed a Triton kernel for the same operation,
-    attention_backend.py:52-78). Quantized caches quantize per row/head."""
+    attention_backend.py:52-78). Quantized caches quantize per row/head
+    and write the scales at the cache's `role` lanes (0 = K half, 1 = V
+    half of the packed slab); a (k, v) PAIR must be written via
+    `store_kv`, which keeps both caches' packed slabs complete."""
     if isinstance(cache, QuantizedCache):
-        v32 = values.astype(jnp.float32)
-        absmax = jnp.max(jnp.abs(v32), axis=-1)              # (T, kvh)
-        scale = jnp.maximum(absmax, 1e-8) / 127.0
-        q = jnp.clip(jnp.round(v32 / scale[..., None]), -127, 127).astype(
-            jnp.int8
-        )
+        q, scale = _quantize_rows(values)
         bs = _cache_block_size(cache)
         kvh = cache.data.shape[1]
         blocks = (slots // bs)[:, None]                       # (T, 1)
-        lanes = (slots % bs)[:, None]
+        lanes = (role * bs + slots % bs)[:, None]
         heads = jnp.arange(kvh, dtype=slots.dtype)[None, :]   # (1, kvh)
         return QuantizedCache(
             data=cache.data.at[slots].set(q),
@@ -149,12 +165,13 @@ def cache_write(cache, slots: jnp.ndarray, values: jnp.ndarray):
     return cache.at[slots].set(values.astype(cache.dtype))
 
 
-def cache_gather(cache, idx):
-    """Gather rows by flat slot index, dequantizing if needed. Returns
+def cache_gather(cache, idx, role: int = 0):
+    """Gather rows by flat slot index, dequantizing if needed (`role`
+    selects the K (0) or V (1) half of the packed scale slab). Returns
     float arrays shaped idx.shape + (kvh, hd)."""
     if isinstance(cache, QuantizedCache):
         bs = _cache_block_size(cache)
-        s = cache.scale[idx // bs, :, idx % bs]  # idx.shape + (kvh,)
+        s = cache.scale[idx // bs, :, role * bs + idx % bs]
         return cache.data[idx].astype(jnp.float32) * s[..., None]
     return cache[idx]
 
@@ -175,7 +192,37 @@ def store_kv(
     v: jnp.ndarray,
     slot_mapping: jnp.ndarray,
 ):
-    """Scatter new K/V rows into both flat caches (plain or quantized)."""
+    """Scatter new K/V rows into both flat caches (plain or quantized).
+
+    This is the canonical write path for quantized PAIRS: both caches
+    receive the IDENTICAL packed scale slab (K scales at lanes
+    [0, block_size), V at [block_size, 2*block_size)), so the flash
+    kernels need only ONE scale DMA per sub-block while each cache also
+    remains self-contained for role-offset oracle gathers."""
+    if isinstance(k_cache, QuantizedCache):
+        qk, sk = _quantize_rows(k)
+        qv, sv = _quantize_rows(v)
+        bs = _cache_block_size(k_cache)
+        kvh = k_cache.data.shape[1]
+        blocks = (slot_mapping // bs)[:, None]                # (T, 1)
+        lane_k = (slot_mapping % bs)[:, None]
+        lane_v = lane_k + bs
+        heads = jnp.arange(kvh, dtype=slot_mapping.dtype)[None, :]
+
+        def packed(scale_arr):
+            scale_arr = scale_arr.at[blocks, heads, lane_k].set(sk)
+            return scale_arr.at[blocks, heads, lane_v].set(sv)
+
+        return (
+            QuantizedCache(
+                data=k_cache.data.at[slot_mapping].set(qk),
+                scale=packed(k_cache.scale),
+            ),
+            QuantizedCache(
+                data=v_cache.data.at[slot_mapping].set(qv),
+                scale=packed(v_cache.scale),
+            ),
+        )
     return (
         cache_write(k_cache, slot_mapping, k),
         cache_write(v_cache, slot_mapping, v),
@@ -245,7 +292,7 @@ def prefill_attention_xla(
     slice is ever materialized.
     """
     k = cache_gather(k_cache, base + meta.ctx_slot_mapping)   # (C, kvh, d)
-    v = cache_gather(v_cache, base + meta.ctx_slot_mapping)
+    v = cache_gather(v_cache, base + meta.ctx_slot_mapping, role=1)
     scores = _grouped_scores(q, k, scale)        # (kvh, g, T, C)
     if softcap is not None:
         scores = _softcap(scores, softcap)
@@ -287,7 +334,7 @@ def decode_attention_xla(
         meta.block_tables[:, :, None] * bs + offs[None, None, :]
     ).reshape(S, W * bs)
     k = cache_gather(k_cache, slots)             # (S, C, kvh, d)
-    v = cache_gather(v_cache, slots)
+    v = cache_gather(v_cache, slots, role=1)
     kvh = k.shape[2]
     g = h // kvh
     qg = q.reshape(S, kvh, g, d).astype(jnp.float32)

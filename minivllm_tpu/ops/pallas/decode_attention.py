@@ -107,17 +107,19 @@ def _decode_kernel(
       normally), base (3,) [flat-cache layer offset, window, n_work],
       work (3, WI) [seq, super-block js, flags] per item.
     inputs: q (S, h, d) VMEM; k/v (num_slots, kvh, d) ANY/HBM;
-      ks/vs (total_blocks, kvh, lanes) fp32 scale slabs (dummy if
-      !quantized); [if carry] acc0 (S, h, d) f32 + ml0 (S, 2, h, 128)
-      f32 — softmax state to continue from (shared-prefix phase 1).
+      kvs (total_blocks, kvh, lanes) fp32 K+V-PACKED scale slabs — per
+      block, lanes [0, bs) hold K scales and [bs, 2bs) V scales, so ONE
+      DMA per sub-block covers both (dummy if !quantized); [if carry]
+      acc0 (S, h, d) f32 + ml0 (S, 2, h, 128) f32 — softmax state to
+      continue from (shared-prefix phase 1).
     outputs: o (S, h, d); [if return_state] acc_out (S, h, d) f32 +
       ml_out (S, 2, h, 128) f32 — UNNORMALIZED accumulator and (m, l)
       written at each sequence's last item.
-    scratch: kbuf/vbuf, ksbuf/vsbuf, acc, m_i, l_i, sems.
+    scratch: kbuf/vbuf, ksbuf, acc, m_i, l_i, sems.
     """
     (
         block_tables_ref, ctx_lens_ref, start_ref, base_ref, work_ref,
-        q_ref, k_hbm, v_hbm, ks_hbm, vs_hbm, *rest
+        q_ref, k_hbm, v_hbm, kvs_hbm, *rest
     ) = refs
     if carry:
         acc0_ref, ml0_ref = rest[:2]
@@ -127,7 +129,7 @@ def _decode_kernel(
     if return_state:
         accout_ref, mlout_ref = rest[:2]
         rest = rest[2:]
-    kbuf, vbuf, ksbuf, vsbuf, acc, m_i, l_i, sems = rest
+    kbuf, vbuf, ksbuf, acc, m_i, l_i, sems = rest
     total = base_ref[2]
     h = q_ref.shape[1]
     d = q_ref.shape[2]
@@ -166,14 +168,9 @@ def _decode_kernel(
                 if quantized:
                     row = off // block_size
                     pltpu.make_async_copy(
-                        ks_hbm.at[pl.ds(row, 1)],
+                        kvs_hbm.at[pl.ds(row, 1)],
                         ksbuf.at[slot, pl.ds(m, 1)],
                         sems.at[slot, m, 2],
-                    ).start()
-                    pltpu.make_async_copy(
-                        vs_hbm.at[pl.ds(row, 1)],
-                        vsbuf.at[slot, pl.ds(m, 1)],
-                        sems.at[slot, m, 3],
                     ).start()
 
     def wait_fetch(i, slot):
@@ -193,12 +190,8 @@ def _decode_kernel(
                 ).wait()
                 if quantized:
                     pltpu.make_async_copy(
-                        ks_hbm.at[pl.ds(0, 1)], ksbuf.at[slot, pl.ds(m, 1)],
+                        kvs_hbm.at[pl.ds(0, 1)], ksbuf.at[slot, pl.ds(m, 1)],
                         sems.at[slot, m, 2],
-                    ).wait()
-                    pltpu.make_async_copy(
-                        vs_hbm.at[pl.ds(0, 1)], vsbuf.at[slot, pl.ds(m, 1)],
-                        sems.at[slot, m, 3],
                     ).wait()
 
     # The V-buffer fill keeps never-fetched (predicated-off) regions
@@ -208,10 +201,9 @@ def _decode_kernel(
     # precede the prologue fetch — a DMA lands in this buffer.
     vbuf[...] = jnp.zeros_like(vbuf)
     if quantized:
-        # Same for the V-scale slabs, whose garbage lanes would multiply
-        # the zeroed weights of masked keys (and K-scale for hygiene).
+        # Same for the packed scale slabs, whose garbage V lanes would
+        # multiply the zeroed weights of masked keys.
         ksbuf[...] = jnp.zeros_like(ksbuf)
-        vsbuf[...] = jnp.zeros_like(vsbuf)
 
     @pl.when(total > 0)
     def _():
@@ -257,19 +249,23 @@ def _decode_kernel(
         k = kbuf[slot].astype(jnp.float32)  # (span, kvh, d)
         v = vbuf[slot].astype(jnp.float32)
         if quantized:
-            # Scale slabs: ksbuf[slot] is (MBLK, kvh, lanes); lane l of
-            # sub-block m, head kv holds the dequant scale of slot
-            # offset l. Assemble a per-head (1, span) scale row by
-            # lane-concatenating the MBLK sub-slabs (Mosaic supports
+            # Packed scale slabs: ksbuf[slot] is (MBLK, kvh, lanes);
+            # per sub-block m and head kv, lane l holds the K scale of
+            # slot offset l and lane block_size + l the V scale (one
+            # DMA covers both). Assemble a per-head (1, span) scale row
+            # by lane-concatenating the MBLK sub-slabs (Mosaic supports
             # lane concat; a (MBLK,kvh,bs)->(kvh,span) shape cast
             # doesn't lower). Mathematically identical to dequantizing
             # k/v.
             ksb = ksbuf[slot]
-            vsb = vsbuf[slot]
 
-            def scale_row(slab, kv):
+            def scale_row(role, kv):
+                lo = role * block_size
                 return jnp.concatenate(
-                    [slab[m, kv : kv + 1, :block_size] for m in range(mblk)],
+                    [
+                        ksb[m, kv : kv + 1, lo : lo + block_size]
+                        for m in range(mblk)
+                    ],
                     axis=1,
                 )  # (1, span)
 
@@ -285,7 +281,7 @@ def _decode_kernel(
                 preferred_element_type=jnp.float32,
             )  # (g, span)
             if quantized:
-                sc = sc * scale_row(ksb, kv)       # (1, span) broadcast
+                sc = sc * scale_row(0, kv)         # (1, span) broadcast
             score_rows.append(sc)
         scores = jnp.concatenate(score_rows, axis=0)  # (h, span)
         if softcap is not None:
@@ -307,7 +303,7 @@ def _decode_kernel(
         for kv in range(num_kv_heads):
             ph = p[kv * g : (kv + 1) * g, :]       # (g, span)
             if quantized:
-                ph = ph * scale_row(vsb, kv)
+                ph = ph * scale_row(1, kv)
             vh = v[:, kv, :]                        # (span, d)
             pv_rows.append(
                 jnp.dot(ph, vh, preferred_element_type=jnp.float32)
@@ -409,16 +405,19 @@ def decode_attention(
     over [0, L) (return_state) with a pass over [L, ctx) (start +
     init_state) is bit-equivalent to one full pass."""
     S, h, d = q.shape
-    k_data, k_scale, quantized = _cache_parts(k_cache)
-    v_data, v_scale, _ = _cache_parts(v_cache)
+    k_data, kv_scale, quantized = _cache_parts(k_cache)
+    v_data, _, _ = _cache_parts(v_cache)
     kvh = k_data.shape[1]
-    lanes = k_scale.shape[-1] if quantized else 128
+    lanes = kv_scale.shape[-1] if quantized else 128
     if not quantized:
-        # dummies keep one kernel signature; never DMA'd when !quantized
-        k_scale = jnp.ones((1, kvh, lanes), jnp.float32)
-        v_scale = k_scale
+        # dummy keeps one kernel signature; never DMA'd when !quantized
+        kv_scale = jnp.ones((1, kvh, lanes), jnp.float32)
     W = meta.block_tables.shape[1]
     mblk = _pick_mblk(W, block_size)
+    import os
+
+    if os.environ.get("MINIVLLM_DECODE_MBLK"):  # A/B experiments only
+        mblk = max(1, min(int(os.environ["MINIVLLM_DECODE_MBLK"]), W))
     win = jnp.asarray(window if window is not None else 1 << 30, jnp.int32)
     start_arr = (
         jnp.zeros((S,), jnp.int32) if start is None
@@ -446,9 +445,8 @@ def decode_attention(
         pl.BlockSpec(memory_space=pl.ANY),
         pl.BlockSpec(memory_space=pl.ANY),
         pl.BlockSpec(memory_space=pl.ANY),
-        pl.BlockSpec(memory_space=pl.ANY),
     ]
-    inputs = [q, k_data, v_data, k_scale, v_scale]
+    inputs = [q, k_data, v_data, kv_scale]
     if carry:
         acc0, ml0 = init_state
         in_specs += [vmem((S, h, d)), vmem((S, 2, h, 128))]
@@ -473,11 +471,10 @@ def decode_attention(
             pltpu.VMEM((NBUF, mblk * block_size, kvh, d), k_data.dtype),
             pltpu.VMEM((NBUF, mblk * block_size, kvh, d), v_data.dtype),
             pltpu.VMEM((NBUF, mblk, kvh, lanes), jnp.float32),
-            pltpu.VMEM((NBUF, mblk, kvh, lanes), jnp.float32),
             pltpu.VMEM((h, d), jnp.float32),
             pltpu.VMEM((h, 128), jnp.float32),
             pltpu.VMEM((h, 128), jnp.float32),
-            pltpu.SemaphoreType.DMA((NBUF, mblk, 4)),
+            pltpu.SemaphoreType.DMA((NBUF, mblk, 3)),
         ],
     )
     out = pl.pallas_call(

@@ -38,20 +38,25 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = float(jnp.finfo(jnp.float32).min)
 
 Q_TILE = 64
-# KV streaming super-block: MBLK gather-DMAs per pipeline slot, one
-# compute pass over MBLK*block_size keys. Single-block passes left the
-# kernel issue/VPU-bound at ~4 TFLOP/s issued; wide passes amortize the
-# per-pass mask/softmax lanes and matmul issue.
-MBLK = 4
+# KV streaming super-blocks: _pick_mblk gather-DMAs per pipeline slot,
+# one compute pass over (mblk * block_size) keys. Single-block passes
+# left the kernel issue/VPU-bound at ~4 TFLOP/s issued; wide passes
+# amortize the per-pass mask/softmax lanes and matmul issue.
 
 
 def _pick_mblk(block_size: int) -> int:
-    """Sub-blocks per super-block, capped so the span (mblk *
-    block_size keys per pipeline slot) stays <= 512: block_size 256
-    with a 4-block span measured 25.2 MB of scoped VMEM (16 MB limit).
-    512-key spans already amortize the per-pass issue overhead (the
-    jump from 256 to 512 measured +63% at block_size 128)."""
-    return max(1, min(MBLK, 512 // block_size))
+    """Sub-blocks per super-block, targeting 512-KEY spans (mblk *
+    block_size keys per pipeline slot): the 256->512 jump measured +63%
+    at block_size 128, and lifting the old 4-sub-block cap so the
+    DEFAULT block_size 64 also reaches 512 keys measured 2.05 -> 1.57
+    ms at 8x512, 5.04 -> 3.04 at 2x2048, 7.61 -> 4.08 ms (13.8 -> 25.8
+    TFLOP/s) at 2x1024/ctx4096 on v5e — confirmed end-to-end by an
+    adjacent-run serving A/B (16x1024-token prompts: prefill 33.8k ->
+    35.5k tok/s, TTFT p50 -4.5%, decode unchanged). Sub-block count is
+    capped at 8 (small block sizes would otherwise multiply per-span
+    gather-DMA issues). Larger spans stay out: wider passes waste
+    masked-lane work on ragged tails (see the block-size study)."""
+    return max(1, min(8, 512 // block_size))
 
 
 def _cache_parts(cache):
@@ -80,14 +85,15 @@ def _prefill_kernel(
     # inputs
     q_ref,            # (Q_TILE, h, d) VMEM
     k_hbm, v_hbm,     # (num_slots, kvh, d) ANY
-    ks_hbm, vs_hbm,   # (total_blocks, kvh, lanes) fp32 ANY — per-block
-                      #   scale slabs (lane l = slot offset l); dummy if
-                      #   !quantized
+    kvs_hbm,          # (total_blocks, kvh, lanes) fp32 ANY — per-block
+                      #   K+V-PACKED scale slabs (lane l = K scale of
+                      #   slot offset l, lane block_size + l = V scale;
+                      #   one DMA covers both); dummy if !quantized
     # outputs
     o_ref,            # (Q_TILE, h, d) VMEM
     # scratch
     kbuf, vbuf,       # (2, mblk*bs, kvh, d) VMEM
-    ksbuf, vsbuf,     # (2, mblk, kvh, lanes) fp32 VMEM (int8 dequant scales)
+    ksbuf,            # (2, mblk, kvh, lanes) fp32 VMEM (packed scales)
     acc,              # (h * Q_TILE, d) fp32
     m_i, l_i,         # (h * Q_TILE, 128) fp32
     sems,
@@ -148,12 +154,8 @@ def _prefill_kernel(
                 if quantized:
                     row = off // bs  # scale row per block (lane-aligned)
                     pltpu.make_async_copy(
-                        ks_hbm.at[pl.ds(row, 1)], ksbuf.at[slot, pl.ds(m, 1)],
+                        kvs_hbm.at[pl.ds(row, 1)], ksbuf.at[slot, pl.ds(m, 1)],
                         sems.at[slot, m, 2],
-                    ).start()
-                    pltpu.make_async_copy(
-                        vs_hbm.at[pl.ds(row, 1)], vsbuf.at[slot, pl.ds(m, 1)],
-                        sems.at[slot, m, 3],
                     ).start()
 
     def wait_fetch(js, slot):
@@ -174,12 +176,8 @@ def _prefill_kernel(
                 ).wait()
                 if quantized:
                     pltpu.make_async_copy(
-                        ks_hbm.at[pl.ds(0, 1)], ksbuf.at[slot, pl.ds(m, 1)],
+                        kvs_hbm.at[pl.ds(0, 1)], ksbuf.at[slot, pl.ds(m, 1)],
                         sems.at[slot, m, 2],
-                    ).wait()
-                    pltpu.make_async_copy(
-                        vs_hbm.at[pl.ds(0, 1)], vsbuf.at[slot, pl.ds(m, 1)],
-                        sems.at[slot, m, 3],
                     ).wait()
 
     # Never-fetched (predicated-off) V regions must be finite: masked
@@ -188,7 +186,6 @@ def _prefill_kernel(
     vbuf[...] = jnp.zeros_like(vbuf)
     if quantized:
         ksbuf[...] = jnp.zeros_like(ksbuf)
-        vsbuf[...] = jnp.zeros_like(vsbuf)
 
     @pl.when(num_super > first_super)
     def _():
@@ -217,15 +214,16 @@ def _prefill_kernel(
         v = vbuf[slot].astype(jnp.float32)
         if quantized:
             # Per-head (1, span) scale rows by lane-concatenating the
-            # mblk sub-slabs (lane l of sub-block m, head kv = the scale
-            # of slot offset l); mathematically identical to
-            # dequantizing k/v but lane-aligned for Mosaic.
+            # mblk sub-slabs of the PACKED slab (lane l of sub-block m,
+            # head kv = the K scale of slot offset l; lane bs + l the V
+            # scale); mathematically identical to dequantizing k/v but
+            # lane-aligned for Mosaic.
             ksb = ksbuf[slot]
-            vsb = vsbuf[slot]
 
-            def scale_row(slab, kv):
+            def scale_row(role, kv):
+                lo = role * bs
                 return jnp.concatenate(
-                    [slab[m, kv : kv + 1, :bs] for m in range(mblk)],
+                    [ksb[m, kv : kv + 1, lo : lo + bs] for m in range(mblk)],
                     axis=1,
                 )  # (1, span)
         k_pos = js * span + jax.lax.broadcasted_iota(
@@ -248,7 +246,7 @@ def _prefill_kernel(
                 preferred_element_type=jnp.float32,
             )  # (QT*g, span)
             if quantized:
-                sc = sc * scale_row(ksb, kv)         # (1, span) broadcast
+                sc = sc * scale_row(0, kv)           # (1, span) broadcast
             score_rows.append(sc)
         scores = jnp.concatenate(score_rows, axis=0)  # (kvh*QT*g = h*QT, span)
         if softcap is not None:
@@ -274,7 +272,7 @@ def _prefill_kernel(
         for kv in range(num_kv_heads):
             ph = p[kv * Q_TILE * g : (kv + 1) * Q_TILE * g, :]
             if quantized:
-                ph = ph * scale_row(vsb, kv)
+                ph = ph * scale_row(1, kv)
             vh = v[:, kv, :]
             pv_rows.append(jnp.dot(ph, vh, preferred_element_type=jnp.float32))
         pv = jnp.concatenate(pv_rows, axis=0)         # (h*QT, d)
@@ -340,17 +338,20 @@ def prefill_attention_tiles(
     metadata — the shard_map SPMD path enters here with tiles/q sharded
     along the packed-token axis."""
     T, h, d = q.shape
-    k_data, k_scale, quantized = _cache_parts(k_cache)
-    v_data, v_scale, _ = _cache_parts(v_cache)
+    k_data, kv_scale, quantized = _cache_parts(k_cache)
+    v_data, _, _ = _cache_parts(v_cache)
     kvh = k_data.shape[1]
-    lanes = k_scale.shape[-1] if quantized else 128
+    lanes = kv_scale.shape[-1] if quantized else 128
     if not quantized:
-        # dummies keep one kernel signature; never DMA'd when !quantized
-        k_scale = jnp.ones((1, kvh, lanes), jnp.float32)
-        v_scale = k_scale
+        # dummy keeps one kernel signature; never DMA'd when !quantized
+        kv_scale = jnp.ones((1, kvh, lanes), jnp.float32)
     W = block_tables.shape[1]
     nt = T // Q_TILE
     mblk = _pick_mblk(block_size)
+    import os
+
+    if os.environ.get("MINIVLLM_PREFILL_MBLK"):  # A/B experiments only
+        mblk = max(1, min(int(os.environ["MINIVLLM_PREFILL_MBLK"]), W))
 
     kernel = functools.partial(
         _prefill_kernel,
@@ -370,18 +371,16 @@ def prefill_attention_tiles(
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec((Q_TILE, h, d), lambda t, *_: (t, 0, 0)),
         scratch_shapes=[
             pltpu.VMEM((2, mblk * block_size, kvh, d), k_data.dtype),
             pltpu.VMEM((2, mblk * block_size, kvh, d), v_data.dtype),
             pltpu.VMEM((2, mblk, kvh, lanes), jnp.float32),
-            pltpu.VMEM((2, mblk, kvh, lanes), jnp.float32),
             pltpu.VMEM((h * Q_TILE, d), jnp.float32),
             pltpu.VMEM((h * Q_TILE, 128), jnp.float32),
             pltpu.VMEM((h * Q_TILE, 128), jnp.float32),
-            pltpu.SemaphoreType.DMA((2, mblk, 4)),
+            pltpu.SemaphoreType.DMA((2, mblk, 3)),
         ],
     )
     return pl.pallas_call(
@@ -406,7 +405,7 @@ def prefill_attention_tiles(
                 jnp.asarray(window if window is not None else 1 << 30, jnp.int32),
             ]
         ),
-        q, k_data, v_data, k_scale, v_scale,
+        q, k_data, v_data, kv_scale,
     )
 
 

@@ -13,6 +13,7 @@ from minivllm_tpu.ops.attention import (
     cache_write,
     decode_attention_xla,
     make_quantized_cache,
+    store_kv,
 )
 from minivllm_tpu.utils.testing import make_tiny_checkpoint
 
@@ -30,6 +31,35 @@ def test_write_gather_roundtrip():
     assert np.abs(back - v).max() <= np.abs(v).max() / 100
 
 
+def test_store_kv_packs_scales():
+    """store_kv writes the IDENTICAL K+V-packed scale slab into both
+    caches: K scales at lanes [0, bs), V at [bs, 2bs) — the layout the
+    flash kernels rely on to fetch ONE scale DMA per sub-block."""
+    rng = np.random.default_rng(3)
+    kvh, d, L = 2, 32, 20
+    q_k = make_quantized_cache(64, kvh, d, BS)
+    q_v = make_quantized_cache(64, kvh, d, BS)
+    k = rng.normal(0, 2, (L, kvh, d)).astype(np.float32)
+    v = rng.normal(0, 5, (L, kvh, d)).astype(np.float32)
+    slots = jnp.arange(L, dtype=jnp.int32)
+    q_k, q_v = store_kv(q_k, q_v, jnp.asarray(k), jnp.asarray(v), slots)
+    np.testing.assert_array_equal(
+        np.asarray(q_k.scale), np.asarray(q_v.scale)
+    )
+    sk = np.abs(k).max(-1) / 127.0                       # (L, kvh)
+    sv = np.abs(v).max(-1) / 127.0
+    slab = np.asarray(q_k.scale)                         # (nb, kvh, lanes)
+    for t in range(L):
+        b, off = t // BS, t % BS
+        np.testing.assert_allclose(slab[b, :, off], sk[t], rtol=1e-6)
+        np.testing.assert_allclose(slab[b, :, BS + off], sv[t], rtol=1e-6)
+    # role-offset gathers dequantize each side correctly
+    kb = np.asarray(cache_gather(q_k, slots))
+    vb = np.asarray(cache_gather(q_v, slots, role=1))
+    assert np.abs(kb - k).max() <= np.abs(k).max() / 100
+    assert np.abs(vb - v).max() <= np.abs(v).max() / 100
+
+
 def test_decode_oracle_int8_close_to_fp32():
     rng = np.random.default_rng(1)
     kvh, h, d, L = 2, 4, 32, 40
@@ -40,8 +70,10 @@ def test_decode_oracle_int8_close_to_fp32():
     k = jnp.asarray(rng.normal(0, 1, (L, kvh, d)).astype(np.float32))
     v = jnp.asarray(rng.normal(0, 1, (L, kvh, d)).astype(np.float32))
     slots = jnp.arange(L, dtype=jnp.int32)
-    fp_k, fp_v = cache_write(fp_k, slots, k), cache_write(fp_v, slots, v)
-    q_k, q_v = cache_write(q_k, slots, k), cache_write(q_v, slots, v)
+    fp_k, fp_v = store_kv(fp_k, fp_v, k, v, slots)
+    # store_kv is the canonical PAIR write: both caches receive the
+    # identical K+V-packed scale slab.
+    q_k, q_v = store_kv(q_k, q_v, k, v, slots)
     q = jnp.asarray(rng.normal(0, 1, (1, h, d)).astype(np.float32))
     meta = DecodeBatch(
         input_ids=jnp.zeros(1, jnp.int32),
