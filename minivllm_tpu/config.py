@@ -154,6 +154,15 @@ class Config:
     speculative_num_tokens: int = 0
     # Trailing-token match length for the n-gram proposer.
     speculative_ngram: int = 2
+    # Fused speculation (default): proposal + verification + acceptance
+    # run INSIDE the fused multi-step scan from a device-side history
+    # buffer — dispatch count identical to the plain window, each
+    # iteration emitting up to speculative_num_tokens + 1 tokens, and
+    # temperature > 0 supported via exact rejection sampling
+    # (engine/spec.py). False selects the host-proposal + separate
+    # verify-dispatch path (greedy-only; loses behind high dispatch
+    # latency, docs/roadmap.md).
+    speculative_fused: bool = True
 
     # Backward-compat alias used by reference callers
     # (/root/reference/minivllm/config.py:80-88).

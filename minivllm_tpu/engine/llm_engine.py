@@ -229,16 +229,68 @@ class LLMEngine:
         # Takes precedence over the fused window for this dispatch (the
         # window saves dispatches; speculation saves model passes).
         spec_k = self.config.speculative_num_tokens
-        if (
+        spec_common = (
             spec_k > 0
             and not is_prefill
             and seqs
             and self._spec_gate_open()
             and all(
-                s.sampling_params.temperature == 0.0
-                and not s.sampling_params.has_penalties
+                not s.sampling_params.has_penalties
                 and s.sampling_params.mirostat == 0
                 and s.sampling_params.logprobs is None
+                for s in seqs
+            )
+        )
+        if spec_common and self.config.speculative_fused and all(
+            # Fused speculation samples outside the filter pipeline:
+            # temperature-only rows (any temperature — greedy accepts by
+            # argmax equality, sampled rows use exact rejection
+            # sampling); filtered/seeded rows take the normal paths.
+            s.sampling_params.top_k <= 0
+            and s.sampling_params.top_p >= 1.0
+            and s.sampling_params.min_p == 0.0
+            and s.sampling_params.typical_p >= 1.0
+            and s.sampling_params.avoid_top_k == 0
+            and s.sampling_params.seed is None
+            for s in seqs
+        ):
+            # Iteration count: the plain window's size, clamped so the
+            # window's worst-case positions stay inside the model length
+            # and the scheduler's (k+1)-scaled block reservation.
+            Ks = pick_window()
+            hard = min(self.config.max_model_len - len(s) for s in seqs)
+            while Ks > 1 and Ks * (spec_k + 1) > max(hard, 1):
+                Ks //= 2
+            if (spec_k + 1) * Ks <= max(hard, 1):
+                mr = self.model_runner
+                d0, a0 = mr.ngram_drafted, mr.ngram_accepted
+                for cols, cnts in mr.run_spec_multi(seqs, Ks):
+                    for j in range(max(cnts)):
+                        active, toks = [], []
+                        for s, c, n in zip(seqs, cols, cnts):
+                            if not s.is_finished and j < n:
+                                active.append(s)
+                                toks.append(c[j])
+                        if not active:
+                            break
+                        self.scheduler.postprocess(active, toks)
+                        appended += len(active)
+                self.model_runner.total_decode_tokens += appended
+                self._spec_gate_update(
+                    mr.ngram_drafted - d0, mr.ngram_accepted - a0
+                )
+                K = 0  # handled
+        elif (
+            spec_common
+            and not self.config.speculative_fused
+            and all(
+                # plain greedy only: verification compares against the
+                # UNfiltered argmax, so filtered-greedy requests
+                # (avoid_top_k etc. change the greedy token) must not
+                # speculate.
+                s.sampling_params.temperature == 0.0
+                and s.sampling_params.top_k <= 0
+                and s.sampling_params.avoid_top_k == 0
                 for s in seqs
             )
         ):

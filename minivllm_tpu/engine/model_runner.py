@@ -644,6 +644,150 @@ class ModelRunner:
         )
         return all_toks, k_cache, v_cache
 
+    def _spec_multi_step(
+        self, num_steps, k, ngram, window, params, k_cache, v_cache,
+        packed, tables, temps, key, hist, lens,
+    ):
+        """Fused speculative decode: `num_steps` iterations, each of which
+        proposes up to `k` n-gram draft tokens ON DEVICE from the carried
+        history buffer, verifies them in ONE decode-shaped pass over
+        S*(k+1) virtual rows (row i = query for position len+i, ctx
+        bound len+i+1 — all rows share the sequence's block table, and
+        the in-layer KV store writes every row's KV before attention so
+        causality holds within the row block), and emits the accepted
+        prefix + one model token (greedy bit-parity at temperature 0;
+        exact rejection sampling otherwise — engine/spec.py).
+
+        Rejected rows' KV writes land at positions the sequence has not
+        reached; they are rewritten when it does (same slot formula) —
+        the same overshoot contract as the plain fused window.
+
+        packed rows: [0]=last committed token, [1]=its position,
+        [3]=context length. hist (S, HL) trailing token history in
+        LOCAL coordinates with lengths `lens` (host-clipped to the
+        proposal window; HL covers window + num_steps*(k+1) headroom).
+        temps (S,) fp32 per-seq temperatures. Returns (tokens
+        (num_steps, S, k+1), counts (num_steps, S), drafted
+        (num_steps, S), caches)."""
+        from minivllm_tpu.engine.spec import (
+            accept_or_resample,
+            propose_ngram_device,
+        )
+        from minivllm_tpu.parallel.sharding import shard_batch
+
+        bs = self.block_size
+        S = packed.shape[1]
+        K1 = k + 1
+        rep = lambda x: jnp.repeat(x, K1, axis=0)  # noqa: E731
+        iota = jnp.arange(K1, dtype=jnp.int32)
+
+        def body(carry, i):
+            k_cache, v_cache, hist, lens, last, adv = carry
+            drafts = propose_ngram_device(hist, lens, ngram, k, window)
+            row_in = jnp.concatenate(
+                [last[:, None], jnp.where(drafts >= 0, drafts, 0)], axis=1
+            )                                              # (S, K1)
+            pos = (packed[1] + adv)[:, None] + iota        # (S, K1)
+            flat_pos = pos.reshape(-1)
+            tables_rep = rep(tables)                       # (S*K1, W)
+            blk = jnp.take_along_axis(
+                tables_rep, (flat_pos // bs)[:, None], axis=1
+            )[:, 0]
+            meta = shard_batch(
+                DecodeBatch(
+                    input_ids=row_in.reshape(-1),
+                    positions=flat_pos,
+                    slot_mapping=blk * bs + flat_pos % bs,
+                    ctx_lens=flat_pos + 1,
+                    block_tables=tables_rep,
+                ),
+                self.mesh,
+            )
+            hidden, k_cache, v_cache = self._forward(
+                params, meta, k_cache, v_cache, is_prefill=False
+            )
+            logits = self.model.compute_logits(params, hidden)
+            logits = logits.reshape(S, K1, -1)
+            toks, cnt = accept_or_resample(
+                logits, drafts, temps, jax.random.fold_in(key, i)
+            )
+            upd = lens[:, None] + iota
+            hist = hist.at[
+                jnp.arange(S, dtype=jnp.int32)[:, None], upd
+            ].set(toks)
+            lens = lens + cnt
+            adv = adv + cnt
+            last = jnp.take_along_axis(toks, (cnt - 1)[:, None], axis=1)[:, 0]
+            drafted = jnp.sum((drafts >= 0).astype(jnp.int32), axis=1)
+            return (k_cache, v_cache, hist, lens, last, adv), (
+                toks, cnt, drafted
+            )
+
+        carry0 = (
+            k_cache, v_cache, hist, lens, packed[0],
+            jnp.zeros((S,), jnp.int32),
+        )
+        (k_cache, v_cache, *_), (all_toks, all_cnt, all_drafted) = (
+            lax_scan_steps(body, carry0, num_steps)
+        )
+        return all_toks, all_cnt, all_drafted, k_cache, v_cache
+
+    def run_spec_multi(
+        self, seqs: list[Sequence], num_steps: int
+    ) -> list[tuple[list[list[int]], list[int]]]:
+        """Fused in-jit speculative decode (config.speculative_fused):
+        dispatch count identical to run_multi(num_steps), but each
+        iteration can emit up to speculative_num_tokens + 1 tokens per
+        sequence. Returns per-step (token-columns, counts): step_toks[s]
+        holds that sequence's emitted tokens (counts[s] of them valid).
+        The scheduler must have reserved num_steps * (k+1) lookahead.
+        Greedy rows are bit-identical to plain greedy decoding;
+        temperature > 0 rows follow the exact target distribution
+        (rejection sampling, engine/spec.py)."""
+        k = self.config.speculative_num_tokens
+        ngram = self.config.speculative_ngram
+        window = 1024
+        S = len(seqs)
+        self._spec = None
+        self.last_logprobs = None
+        packed, tables, S_pad, _ = self._prepare_decode(seqs)
+        # Trailing history in local coordinates; headroom for the
+        # window's appends.
+        HL = window + ngram + num_steps * (k + 1) + 1
+        hist = np.zeros((S_pad, HL), np.int32)
+        lens = np.zeros((S_pad,), np.int32)
+        for i, s in enumerate(seqs):
+            tail = s.token_ids[-(window + ngram):]
+            hist[i, : len(tail)] = tail
+            lens[i] = len(tail)
+        temps = np.zeros((S_pad,), np.float32)
+        for i, s in enumerate(seqs):
+            temps[i] = s.sampling_params.temperature
+        fn = self._compiled.get(("spec_multi", num_steps, k))
+        if fn is None:
+            fn = jax.jit(
+                partial(self._spec_multi_step, num_steps, k, ngram, window),
+                donate_argnums=(1, 2),
+            )
+            self._compiled[("spec_multi", num_steps, k)] = fn
+        key = jax.random.fold_in(self._base_key, self._step_counter)
+        self._step_counter += 1
+        all_toks, all_cnt, all_drafted, self.k_cache, self.v_cache = fn(
+            self.params, self.k_cache, self.v_cache, packed, tables,
+            jnp.asarray(temps), key, jnp.asarray(hist), jnp.asarray(lens),
+        )
+        toks_h = np.asarray(all_toks[:, :S])
+        cnt_h = np.asarray(all_cnt[:, :S])
+        drafted_h = np.asarray(all_drafted[:, :S])
+        self.inference_count += 1
+        self.ngram_steps += num_steps
+        self.ngram_drafted += int(drafted_h.sum())
+        self.ngram_accepted += int((cnt_h - 1).sum())
+        return [
+            (toks_h[t].tolist(), cnt_h[t].tolist())
+            for t in range(num_steps)
+        ]
+
     def _get_step_fn(
         self, phase: str, with_filters: bool, num_steps: int = 1,
         typical: bool = False, lp_k: int | None = None,

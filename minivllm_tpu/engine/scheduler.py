@@ -127,6 +127,12 @@ class Scheduler:
         # Decode phase. Blocks are reserved for the full multi-step window
         # so every fused decode iteration has its KV slot.
         lookahead = self.config.decode_multi_step
+        if (
+            self.config.speculative_num_tokens > 0
+            and self.config.speculative_fused
+        ):
+            # Each fused-speculative iteration writes up to k+1 positions.
+            lookahead *= self.config.speculative_num_tokens + 1
         decode: list[Sequence] = []
         temp = deque(self.running)
         while temp:

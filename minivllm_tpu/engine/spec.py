@@ -1,15 +1,28 @@
-"""N-gram (prompt-lookup) speculative decoding — the host-side proposer.
+"""N-gram (prompt-lookup) speculative decoding.
 
 Technique (public; "prompt lookup decoding", also in HF transformers'
 `prompt_lookup_num_tokens`): generated text often repeats spans of its
 own prompt/history (code, extraction, quoting). At each decode step,
 find the most recent EARLIER occurrence of the sequence's trailing
 n-gram; the tokens that followed it become draft tokens, verified in a
-single model pass (model_runner.run_verify). Greedy acceptance keeps
-the emitted tokens bit-identical to plain greedy decoding: a draft
-token is accepted only when it equals the model's argmax at its
-position, and the first mismatch position contributes the model's own
-token (the "bonus") instead.
+single model pass. Greedy acceptance keeps the emitted tokens
+bit-identical to plain greedy decoding; for temperature > 0 sampling,
+`accept_or_resample` implements exact speculative (rejection) sampling
+for the deterministic n-gram proposal, so the emitted stream follows
+the target distribution exactly.
+
+Two execution paths:
+
+- HOST path (`propose_ngram` + model_runner.run_verify): one extra
+  dispatch per step. Loses behind a high-latency relay (the fused
+  window amortizes dispatches better, docs/roadmap.md).
+- FUSED path (`propose_ngram_device` + model_runner.run_spec_multi):
+  the proposal runs ON DEVICE from a carried token-history buffer,
+  and proposal + verification + acceptance all happen INSIDE the fused
+  multi-step scan — dispatch count identical to the plain fused
+  window, but each iteration can emit up to k+1 tokens. This restores
+  dispatch parity, so speculation wins wherever drafts get accepted,
+  even behind the relay.
 
 The reference has no speculative decoding (SURVEY.md §2) — this is a
 beyond-parity serving feature. No draft model is involved, so there is
@@ -18,7 +31,10 @@ nothing to load or keep in HBM.
 
 from __future__ import annotations
 
-__all__ = ["propose_ngram"]
+import jax
+import jax.numpy as jnp
+
+__all__ = ["propose_ngram", "propose_ngram_device", "accept_or_resample"]
 
 
 def propose_ngram(
@@ -45,3 +61,143 @@ def propose_ngram(
             cont = token_ids[start + ngram:start + ngram + max_draft]
             return list(cont)
     return []
+
+
+def propose_ngram_device(
+    hist: jnp.ndarray,
+    lens: jnp.ndarray,
+    ngram: int,
+    k: int,
+    window: int = 1024,
+) -> jnp.ndarray:
+    """In-jit n-gram proposal over a device-resident history buffer.
+
+    hist: (S, HL) int32 token history, row s valid at [0, lens[s]);
+    lens: (S,) int32 current lengths. Returns drafts (S, k) int32 with
+    -1 padding past the matched continuation (all -1 when no earlier
+    occurrence of the trailing n-gram exists within `window`). Matches
+    the host `propose_ngram` semantics: the MOST RECENT earlier
+    occurrence wins, and the continuation is clipped to the tokens that
+    actually exist before the tail.
+
+    Cost: S * window * ngram int32 compares + two small gathers —
+    vector work, fully inside the fused decode scan (no host round
+    trip, no extra dispatch).
+    """
+    S, HL = hist.shape
+    # Trailing n-gram per row: positions lens - ngram + [0..ngram).
+    tail_pos = lens[:, None] - ngram + jnp.arange(ngram, dtype=jnp.int32)
+    tail = jnp.take_along_axis(
+        hist, jnp.clip(tail_pos, 0, HL - 1), axis=1
+    )  # (S, ngram)
+    # Candidate starts, most recent first: lens - ngram - 1 - j.
+    j = jnp.arange(window, dtype=jnp.int32)
+    starts = lens[:, None] - ngram - 1 - j[None, :]        # (S, W)
+    pos = starts[:, :, None] + jnp.arange(ngram, dtype=jnp.int32)
+    cand = jnp.take_along_axis(
+        hist, jnp.clip(pos, 0, HL - 1).reshape(S, window * ngram), axis=1
+    ).reshape(S, window, ngram)
+    valid = (starts >= 0) & (lens[:, None] >= ngram + 1)
+    match = valid & jnp.all(cand == tail[:, None, :], axis=-1)  # (S, W)
+    any_match = jnp.any(match, axis=1)
+    first = jnp.argmax(match, axis=1).astype(jnp.int32)        # most recent
+    mstart = jnp.take_along_axis(starts, first[:, None], axis=1)[:, 0]
+    # Continuation: tokens at mstart + ngram + [0..k), clipped to the
+    # tail start (don't propose the tail itself as its continuation).
+    cpos = mstart[:, None] + ngram + jnp.arange(k, dtype=jnp.int32)
+    cont = jnp.take_along_axis(
+        hist, jnp.clip(cpos, 0, HL - 1), axis=1
+    )  # (S, k)
+    ok = (
+        any_match[:, None]
+        & (cpos < lens[:, None])
+    )
+    return jnp.where(ok, cont, -1).astype(jnp.int32)
+
+
+def accept_or_resample(
+    logits: jnp.ndarray,
+    drafts: jnp.ndarray,
+    temperature: jnp.ndarray,
+    key: jax.Array,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Exact speculative sampling for a DETERMINISTIC draft proposal.
+
+    logits: (S, k+1, V) — row i is the model's distribution at position
+    len+i given [last token, draft_1..draft_i]. drafts: (S, k) int32
+    (-1 = no draft at that slot). temperature: (S,) fp32; rows with 0
+    use greedy acceptance (accept iff draft == argmax — bit-identical
+    to plain greedy decoding).
+
+    Returns (tokens (S, k+1) int32, count (S,) int32): `count` tokens
+    of each row are valid output, consisting of the accepted draft
+    prefix plus one model token (the bonus on full acceptance, or the
+    rejection-resampled replacement). For temperature > 0 this is the
+    standard speculative-sampling rule specialized to a point-mass
+    proposal q = delta(draft): accept draft d at row i with probability
+    min(1, p_i(d)/1) = p_i(d); on rejection sample from the residual
+    (p_i - q)+ / Z, which for a point mass is p_i with d masked out,
+    renormalized — the emitted marginal is exactly p_i.
+    """
+    S, K1, V = logits.shape
+    k = K1 - 1
+    logits = logits.astype(jnp.float32)
+    temp = jnp.maximum(temperature, 1e-6)[:, None]            # (S, 1)
+    greedy = temperature <= 0.0                               # (S,)
+    argmax = jnp.argmax(logits, axis=-1).astype(jnp.int32)    # (S, k+1)
+
+    rows = logits / temp[..., None]
+    logp = jax.nn.log_softmax(rows, axis=-1)                  # (S, k+1, V)
+    dclip = jnp.clip(drafts, 0, V - 1)
+    # p_i(draft_{i+1}) for i in [0, k)
+    p_draft = jnp.exp(
+        jnp.take_along_axis(logp[:, :k, :], dclip[:, :, None], axis=2)
+    )[:, :, 0]                                                # (S, k)
+    ks = jax.random.split(key, 3)
+    u = jax.random.uniform(ks[0], (S, k))
+    has_draft = drafts >= 0
+    accept = jnp.where(
+        greedy[:, None],
+        drafts == argmax[:, :k],
+        u < p_draft,
+    ) & has_draft                                             # (S, k)
+    # Longest accepted prefix: a = number of leading True.
+    a = jnp.sum(jnp.cumprod(accept.astype(jnp.int32), axis=1), axis=1)
+    # Sampled token per row (for the bonus / final row).
+    sampled = jax.random.categorical(ks[1], rows, axis=-1).astype(jnp.int32)
+    # Residual resample at the rejection row: p with the draft masked.
+    masked = jnp.where(
+        jax.nn.one_hot(dclip, V, dtype=bool),
+        -jnp.inf,
+        rows[:, :k, :],
+    )
+    resampled = jax.random.categorical(ks[2], masked, axis=-1).astype(
+        jnp.int32
+    )                                                         # (S, k)
+    # Token emitted at row i: accepted rows emit the draft they
+    # verified EXCEPT the stream actually emits the model's token at
+    # each position: positions 0..a-1 emit drafts (== argmax for
+    # greedy), position a emits the model token (bonus or resample).
+    idx = jnp.arange(K1, dtype=jnp.int32)[None, :]            # (1, k+1)
+    model_tok = jnp.where(greedy[:, None], argmax, sampled)   # (S, k+1)
+    # Rejection replacement only exists for rows < k.
+    reject_tok = jnp.where(
+        greedy[:, None],
+        argmax[:, :k],
+        resampled,
+    )
+    # Assemble: for i < a -> drafts[i] (verified); i == a -> if a == k
+    # the bonus model_tok[:, k], else reject_tok[:, a]; i > a invalid.
+    draft_part = jnp.where(idx[:, :k] < a[:, None], drafts, 0)
+    final = jnp.where(
+        a[:, None] == k,
+        model_tok[:, k:k + 1],
+        jnp.take_along_axis(
+            reject_tok, jnp.clip(a[:, None], 0, k - 1), axis=1
+        ) if k > 0 else model_tok[:, :1],
+    )                                                          # (S, 1)
+    tokens = jnp.zeros((S, K1), jnp.int32)
+    tokens = tokens.at[:, :k].set(draft_part)
+    tokens = jnp.where(idx == a[:, None], final, tokens)
+    count = a + 1
+    return tokens.astype(jnp.int32), count.astype(jnp.int32)

@@ -40,12 +40,13 @@ def ckpt(tmp_path_factory):
     )
 
 
-def _generate(ckpt, spec_k, prompts, max_tokens=24, impl="xla"):
+def _generate(ckpt, spec_k, prompts, max_tokens=24, impl="xla", fused=True):
     cfg = Config(
         model=str(ckpt), max_num_seqs=8, max_model_len=256,
         max_num_batched_tokens=512, kvcache_block_size=16,
         num_kvcache_blocks=64, dtype="float32", attention_impl=impl,
         decode_multi_step=8, speculative_num_tokens=spec_k,
+        speculative_fused=fused,
     )
     llm = LLM(cfg)
     outs = llm.generate(
@@ -92,12 +93,14 @@ def test_speculation_respects_max_tokens_and_eos(ckpt):
 
 
 def test_full_acceptance_and_draft_kv_correctness(ckpt, monkeypatch):
-    """Force full acceptance by monkeypatching the proposer with an
-    oracle that drafts the TRUE greedy continuation (precomputed with
-    speculation off). Every draft then matches argmax, multi-token
-    appends run every step, and — critically — later tokens attend to
-    KV that the verification pass wrote for draft rows: any error there
-    diverges the stream."""
+    """HOST path (speculative_fused=False): force full acceptance by
+    monkeypatching the proposer with an oracle that drafts the TRUE
+    greedy continuation (precomputed with speculation off). Every draft
+    then matches argmax, multi-token appends run every step, and —
+    critically — later tokens attend to KV that the verification pass
+    wrote for draft rows: any error there diverges the stream. (The
+    fused path's draft-KV correctness is covered by the greedy-parity
+    tests: accepted drafts' KV feeds every later token there too.)"""
     prompt = [11, 23, 5, 8, 19, 3]
     ref, _ = _generate(ckpt, 0, [prompt], max_tokens=16)
     truth = prompt + ref[0]
@@ -111,7 +114,7 @@ def test_full_acceptance_and_draft_kv_correctness(ckpt, monkeypatch):
         return truth[L:L + max_draft]
 
     monkeypatch.setattr(spec_mod, "propose_ngram", oracle)
-    out, stats = _generate(ckpt, 4, [prompt], max_tokens=16)
+    out, stats = _generate(ckpt, 4, [prompt], max_tokens=16, fused=False)
     assert out == ref
     assert stats["ngram_spec_steps"] > 0
     assert stats["ngram_spec_accepted"] == stats["ngram_spec_drafted"] > 0
@@ -154,21 +157,110 @@ def test_acceptance_gate_backs_off(ckpt):
         )
 
 
-def test_mixed_sampling_disables_speculation(ckpt):
-    """A sampled (temperature > 0) request in the batch turns the
-    speculative path off for that dispatch — no crash, seeded sampling
-    stays reproducible."""
-    cfg = Config(
-        model=str(ckpt), max_num_seqs=4, max_model_len=128,
-        max_num_batched_tokens=256, kvcache_block_size=16,
-        num_kvcache_blocks=64, dtype="float32", attention_impl="xla",
-        decode_multi_step=8, speculative_num_tokens=4, seed=7,
+def test_device_proposer_matches_host():
+    """propose_ngram_device (the fused path's in-jit proposer) must
+    reproduce the host propose_ngram exactly: most recent occurrence,
+    continuation clipping, window bound, degenerate sizes."""
+    import jax.numpy as jnp
+
+    from minivllm_tpu.engine.spec import propose_ngram_device
+
+    rng = np.random.default_rng(0)
+    S, HL, ngram, k = 24, 256, 2, 4
+    hist = np.full((S, HL), -1, np.int32)
+    lens = np.zeros(S, np.int32)
+    for s in range(S):
+        L = int(rng.integers(1, 220))
+        hist[s, :L] = rng.integers(0, 10, L)  # tiny vocab -> many repeats
+        lens[s] = L
+    dev = np.asarray(propose_ngram_device(
+        jnp.asarray(hist), jnp.asarray(lens), ngram, k, window=64
+    ))
+    for s in range(S):
+        host = propose_ngram(list(hist[s, :lens[s]]), ngram, k, window=64)
+        got = [int(t) for t in dev[s] if t >= 0]
+        assert got == host, (s, host, got)
+
+
+def test_accept_or_resample_greedy_and_distribution():
+    """Greedy rows accept by argmax equality (bit-identical semantics);
+    sampled rows' emitted-token marginal equals softmax(logits/T)
+    exactly (Monte Carlo over the worst-case draft = the mode)."""
+    import jax
+    import jax.numpy as jnp
+
+    from minivllm_tpu.engine.spec import accept_or_resample
+
+    rng = np.random.default_rng(1)
+    k, V = 4, 16
+    logits = jnp.asarray(rng.normal(0, 2, (3, k + 1, V)).astype(np.float32))
+    am = np.asarray(jnp.argmax(logits, -1))
+    drafts = np.stack([
+        am[0, :k],                                     # full accept
+        np.r_[am[1, 0], (am[1, 1] + 1) % V, am[1, 2:k]],  # reject row 1
+        np.full(k, -1),                                # no drafts
+    ]).astype(np.int32)
+    toks, cnt = accept_or_resample(
+        logits, jnp.asarray(drafts), jnp.zeros(3), jax.random.PRNGKey(0)
     )
-    llm = LLM(cfg)
-    outs = llm.generate(
-        [[1, 2] * 8, [5, 6] * 8],
-        SamplingParams(temperature=0.8, max_tokens=8, ignore_eos=True),
-        use_tqdm=False,
-    )
-    assert all(len(o["token_ids"]) == 8 for o in outs)
-    assert llm.get_stats()["ngram_spec_steps"] == 0
+    toks, cnt = np.asarray(toks), np.asarray(cnt)
+    assert cnt[0] == k + 1 and (toks[0] == am[0]).all()
+    assert cnt[1] == 2 and (toks[1, :2] == am[1, :2]).all()
+    assert cnt[2] == 1 and toks[2, 0] == am[2, 0]
+
+    V = 8
+    row = rng.normal(0, 1.5, (1, 2, V)).astype(np.float32)
+    T = 0.9
+    p = np.exp(row[0, 0] / T)
+    p /= p.sum()
+    draft = np.asarray([[int(np.argmax(p))]], np.int32)
+    N = 20000
+    first = np.asarray(jax.jit(lambda key: accept_or_resample(
+        jnp.asarray(np.repeat(row, N, 0)), jnp.asarray(np.repeat(draft, N, 0)),
+        jnp.full((N,), T, jnp.float32), key)[0][:, 0]
+    )(jax.random.PRNGKey(2)))
+    emp = np.bincount(first, minlength=V) / N
+    assert np.abs(emp - p).max() < 0.015, (emp, p)
+
+
+def test_fused_and_host_paths_agree_greedy(ckpt):
+    """Greedy streams through the FUSED in-jit path and the HOST
+    verify path must both equal plain decoding (hence each other)."""
+    rng = np.random.default_rng(5)
+    base = [int(t) for t in rng.integers(1, 200, 12)]
+    prompts = [base * 4, [int(t) for t in rng.integers(1, 200, 30)]]
+    ref, _ = _generate(ckpt, 0, prompts)
+    fused, fstats = _generate(ckpt, 4, prompts, fused=True)
+    host, hstats = _generate(ckpt, 4, prompts, fused=False)
+    assert fused == ref
+    assert host == ref
+    assert fstats["ngram_spec_steps"] > 0
+
+
+def test_sampled_requests_and_speculation(ckpt):
+    """temperature > 0 requests: the FUSED path speculates via exact
+    rejection sampling (engine/spec.py accept_or_resample); the HOST
+    path is greedy-only and must stay disabled. Filtered sampling
+    (top_p < 1) disables both."""
+
+    def run(fused, top_p=1.0):
+        cfg = Config(
+            model=str(ckpt), max_num_seqs=4, max_model_len=128,
+            max_num_batched_tokens=256, kvcache_block_size=16,
+            num_kvcache_blocks=64, dtype="float32", attention_impl="xla",
+            decode_multi_step=8, speculative_num_tokens=4, seed=7,
+            speculative_fused=fused,
+        )
+        llm = LLM(cfg)
+        outs = llm.generate(
+            [[1, 2] * 8, [5, 6] * 8],
+            SamplingParams(temperature=0.8, top_p=top_p, max_tokens=8,
+                           ignore_eos=True),
+            use_tqdm=False,
+        )
+        assert all(len(o["token_ids"]) == 8 for o in outs)
+        return llm.get_stats()["ngram_spec_steps"]
+
+    assert run(fused=True) > 0, "fused speculation skipped sampled rows"
+    assert run(fused=False) == 0
+    assert run(fused=True, top_p=0.9) == 0, "filters must disable it"
