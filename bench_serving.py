@@ -215,6 +215,7 @@ def main() -> None:
         },
         "shared_prefix_steps": stats.get("shared_prefix_steps", 0),
         "ngram_spec_steps": stats.get("ngram_spec_steps", 0),
+        "ngram_spec_drafted": stats.get("ngram_spec_drafted", 0),
         "ngram_spec_accepted": stats.get("ngram_spec_accepted", 0),
         "decode_tokens_per_s": round(stats.get("decode_tokens_per_s", 0), 2),
         "decode_ms_per_token_p50": round(

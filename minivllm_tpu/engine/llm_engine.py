@@ -242,28 +242,46 @@ class LLMEngine:
             )
         )
         if spec_common and self.config.speculative_fused and all(
-            # Fused speculation samples outside the filter pipeline:
-            # temperature-only rows (any temperature — greedy accepts by
-            # argmax equality, sampled rows use exact rejection
-            # sampling); filtered/seeded rows take the normal paths.
-            s.sampling_params.top_k <= 0
-            and s.sampling_params.top_p >= 1.0
-            and s.sampling_params.min_p == 0.0
-            and s.sampling_params.typical_p >= 1.0
+            # Fused speculation samples outside the filter pipeline.
+            # Greedy rows accept by argmax equality, and top-k/top-p/
+            # min-p are INERT under argmax (rank 0 always survives), so
+            # greedy requests speculate regardless of those; typical_p
+            # and avoid_top_k can exclude the argmax and never
+            # speculate. Sampled rows use exact rejection sampling on
+            # the raw softmax, so any active filter disables them.
+            s.sampling_params.typical_p >= 1.0
             and s.sampling_params.avoid_top_k == 0
             and s.sampling_params.seed is None
+            and (
+                s.sampling_params.temperature == 0.0
+                or (
+                    s.sampling_params.top_k <= 0
+                    and s.sampling_params.top_p >= 1.0
+                    and s.sampling_params.min_p == 0.0
+                )
+            )
             for s in seqs
         ):
-            # Iteration count: the plain window's size, clamped so the
-            # window's worst-case positions stay inside the model length
-            # and the scheduler's (k+1)-scaled block reservation.
-            Ks = pick_window()
+            # Iteration count: each iteration can emit up to k+1 tokens,
+            # so the window targets ceil(remaining / (k+1)) iterations
+            # (bounding tail overshoot, whose discarded rows are pure
+            # waste), clamped by the plain window's cap and so the
+            # worst-case positions stay inside the model length and the
+            # scheduler's (k+1)-scaled block reservation.
+            rem = max(
+                1,
+                min(
+                    s.sampling_params.max_tokens - s.num_completion_tokens
+                    for s in seqs
+                ),
+            )
+            Ks = min(pick_window(), -(-rem // (spec_k + 1)) or 1)
+            Ks = 1 << (max(Ks, 1).bit_length() - 1)  # floor pow2
             hard = min(self.config.max_model_len - len(s) for s in seqs)
             while Ks > 1 and Ks * (spec_k + 1) > max(hard, 1):
                 Ks //= 2
             if (spec_k + 1) * Ks <= max(hard, 1):
                 mr = self.model_runner
-                d0, a0 = mr.ngram_drafted, mr.ngram_accepted
                 for cols, cnts in mr.run_spec_multi(seqs, Ks):
                     for j in range(max(cnts)):
                         active, toks = [], []
@@ -276,8 +294,13 @@ class LLMEngine:
                         self.scheduler.postprocess(active, toks)
                         appended += len(active)
                 self.model_runner.total_decode_tokens += appended
+                # Gate on EFFECTIVE acceptance — tokens actually appended
+                # beyond the one-per-iteration floor — not the runner's
+                # raw counters, which overshoot iterations past finished
+                # sequences inflate.
                 self._spec_gate_update(
-                    mr.ngram_drafted - d0, mr.ngram_accepted - a0
+                    spec_k * Ks * len(seqs),
+                    max(0, appended - Ks * len(seqs)),
                 )
                 K = 0  # handled
         elif (
@@ -285,11 +308,11 @@ class LLMEngine:
             and not self.config.speculative_fused
             and all(
                 # plain greedy only: verification compares against the
-                # UNfiltered argmax, so filtered-greedy requests
-                # (avoid_top_k etc. change the greedy token) must not
-                # speculate.
+                # UNfiltered argmax. top-k/top-p/min-p are inert under
+                # argmax; typical_p and avoid_top_k change the greedy
+                # token and must not speculate.
                 s.sampling_params.temperature == 0.0
-                and s.sampling_params.top_k <= 0
+                and s.sampling_params.typical_p >= 1.0
                 and s.sampling_params.avoid_top_k == 0
                 for s in seqs
             )

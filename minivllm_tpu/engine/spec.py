@@ -55,12 +55,20 @@ def propose_ngram(
         return []
     tail = token_ids[L - ngram:]
     lo = max(0, L - ngram - window)
-    # Most recent occurrence wins: locality makes continuation likelier.
+    # Most recent occurrence wins (locality makes continuation
+    # likelier) — but a match too close to the tail clips the
+    # continuation (on period-p cycles the nearest match only yields p
+    # tokens), so prefer the most recent match with a FULL max_draft
+    # continuation available, falling back to the nearest partial one.
+    partial = None
     for start in range(L - ngram - 1, lo - 1, -1):
         if token_ids[start:start + ngram] == tail:
             cont = token_ids[start + ngram:start + ngram + max_draft]
-            return list(cont)
-    return []
+            if len(cont) >= max_draft:
+                return list(cont)
+            if partial is None:
+                partial = list(cont)
+    return partial if partial is not None else []
 
 
 def propose_ngram_device(
@@ -99,8 +107,14 @@ def propose_ngram_device(
     ).reshape(S, window, ngram)
     valid = (starts >= 0) & (lens[:, None] >= ngram + 1)
     match = valid & jnp.all(cand == tail[:, None, :], axis=-1)  # (S, W)
+    # Prefer the most recent match whose continuation has k full tokens
+    # before the tail (a nearer match on a period-p cycle only yields p
+    # draft tokens); fall back to the nearest partial match.
+    full = match & (starts + ngram + k <= lens[:, None])
+    use_full = jnp.any(full, axis=1)
     any_match = jnp.any(match, axis=1)
-    first = jnp.argmax(match, axis=1).astype(jnp.int32)        # most recent
+    pick = jnp.where(use_full[:, None], full, match)
+    first = jnp.argmax(pick, axis=1).astype(jnp.int32)         # most recent
     mstart = jnp.take_along_axis(starts, first[:, None], axis=1)[:, 0]
     # Continuation: tokens at mstart + ngram + [0..k), clipped to the
     # tail start (don't propose the tail itself as its continuation).

@@ -17,9 +17,14 @@ def test_propose_ngram_basic():
     assert propose_ngram(toks, 2, 2) == [7, 8]
     # no earlier occurrence
     assert propose_ngram([1, 2, 3, 4], 2, 4) == []
-    # most RECENT earlier occurrence wins
+    # the most recent occurrence with a FULL-length continuation wins
+    # (a nearer match would clip the draft); here only the first
+    # occurrence has 4 tokens after it
     toks = [1, 2, 9, 1, 2, 8, 1, 2]
-    assert propose_ngram(toks, 2, 4) == [8, 1, 2]
+    assert propose_ngram(toks, 2, 4) == [9, 1, 2, 8]
+    # shorter requests can use the nearer match (3 tokens follow it)
+    assert propose_ngram(toks, 2, 3) == [8, 1, 2]
+    assert propose_ngram(toks, 2, 2) == [8, 1]
     # degenerate sizes
     assert propose_ngram([1], 2, 4) == []
     assert propose_ngram([1, 2, 3], 2, 0) == []
@@ -243,7 +248,7 @@ def test_sampled_requests_and_speculation(ckpt):
     path is greedy-only and must stay disabled. Filtered sampling
     (top_p < 1) disables both."""
 
-    def run(fused, top_p=1.0):
+    def run(fused, top_p=1.0, temperature=0.8):
         cfg = Config(
             model=str(ckpt), max_num_seqs=4, max_model_len=128,
             max_num_batched_tokens=256, kvcache_block_size=16,
@@ -254,8 +259,8 @@ def test_sampled_requests_and_speculation(ckpt):
         llm = LLM(cfg)
         outs = llm.generate(
             [[1, 2] * 8, [5, 6] * 8],
-            SamplingParams(temperature=0.8, top_p=top_p, max_tokens=8,
-                           ignore_eos=True),
+            SamplingParams(temperature=temperature, top_p=top_p,
+                           max_tokens=8, ignore_eos=True),
             use_tqdm=False,
         )
         assert all(len(o["token_ids"]) == 8 for o in outs)
@@ -263,4 +268,6 @@ def test_sampled_requests_and_speculation(ckpt):
 
     assert run(fused=True) > 0, "fused speculation skipped sampled rows"
     assert run(fused=False) == 0
-    assert run(fused=True, top_p=0.9) == 0, "filters must disable it"
+    assert run(fused=True, top_p=0.9) == 0, "filters must disable sampled"
+    # top_p is INERT under argmax: greedy requests speculate through it
+    assert run(fused=True, top_p=0.9, temperature=0.0) > 0
