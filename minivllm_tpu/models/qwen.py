@@ -374,6 +374,10 @@ class QwenForCausalLM:
             k = apply_rope(k, cos, sin)
             slots = base + batch.slot_mapping
             k_cache, v_cache = store_kv(k_cache, v_cache, k, v, slots)
+            # Traced GLOBAL layer index for hooks below the layer body
+            # that key on it (e.g. Qwen3-MoE's mixed dense/sparse layer
+            # mask); valid only within this trace.
+            self._layer_idx = layer_offset + lidx
             extras = self._attn_extras(layer_offset + lidx)
             if is_prefill:
                 attn = backend.prefill(

@@ -7,10 +7,14 @@ the per-layer MLP is replaced by a routed sparse MoE block
 (`ops/moe.moe_mlp`: fp32 router softmax -> top-k -> dropless
 sorted grouped-matmul experts).
 
-Scope: `decoder_sparse_step == 1` and empty `mlp_only_layers` (true for
-all released Qwen3-MoE checkpoints) so every scanned layer has the same
-structure — a mixed dense/sparse stack would break the homogeneous
-`lax.scan` and needs per-layer branching instead.
+Mixed dense/sparse stacks (`mlp_only_layers`, `decoder_sparse_step`) are
+supported: the HF rule — layer i is sparse iff i not in mlp_only_layers
+and (i + 1) % decoder_sparse_step == 0 — becomes a STATIC per-layer mask;
+the scanned layer body branches with `lax.cond` on the mask entry (one
+branch executes per layer), dense layers carrying zero-filled expert
+slabs and sparse layers zero-filled dense kernels in the stacked params
+(the price of keeping one homogeneous `lax.scan`; released Qwen3-MoE
+checkpoints are fully sparse and pay nothing).
 """
 
 from __future__ import annotations
@@ -34,43 +38,70 @@ class QwenMoeForCausalLM(QwenForCausalLM):
         self.top_k = c.num_experts_per_tok
         self.moe_intermediate_size = c.moe_intermediate_size
         self.norm_topk_prob = bool(getattr(c, "norm_topk_prob", True))
-        if getattr(c, "mlp_only_layers", None):
-            raise NotImplementedError(
-                "qwen3_moe with dense mlp_only_layers is not supported "
-                "(homogeneous layer scan)"
-            )
-        if getattr(c, "decoder_sparse_step", 1) != 1:
-            raise NotImplementedError("decoder_sparse_step != 1")
+        # HF Qwen3MoeDecoderLayer rule (modeling_qwen3_moe.py): dense MLP
+        # unless the layer is sparse-eligible.
+        step = int(getattr(c, "decoder_sparse_step", 1) or 1)
+        only = set(getattr(c, "mlp_only_layers", None) or [])
+        self.dense_layer_mask = np.array(
+            [
+                (i in only)
+                or not (self.num_experts > 0 and (i + 1) % step == 0)
+                for i in range(self.num_layers)
+            ],
+            dtype=bool,
+        )
+        self.has_dense = bool(self.dense_layer_mask.any())
 
     # -- parameter structure hooks ------------------------------------------
 
     def _init_mlp_params(self, normal) -> dict:
         L, D = self.num_layers, self.hidden_size
         E, I = self.num_experts, self.moe_intermediate_size
-        return {
+        params = {
             "router": normal(L, D, E),
             "moe_gate": normal(L, E, D, I),
             "moe_up": normal(L, E, D, I),
             "moe_down": normal(L, E, I, D),
         }
+        if self.has_dense:
+            Id = self.intermediate_size
+            params["gate_proj"] = normal(L, D, Id)
+            params["up_proj"] = normal(L, D, Id)
+            params["down_proj"] = normal(L, Id, D)
+        return params
 
     def _mlp_weight_rules(self):
         T = np.transpose
-        return [
+        rules = [
             ("mlp.gate.weight", ("layers", "router"), T),
             (r"mlp.experts.{E}.gate_proj.weight", ("layers", "moe_gate"), T),
             (r"mlp.experts.{E}.up_proj.weight", ("layers", "moe_up"), T),
             (r"mlp.experts.{E}.down_proj.weight", ("layers", "moe_down"), T),
         ]
+        if self.has_dense:
+            # Dense layers' kernels; the collector zero-fills the sparse
+            # layers' rows (and vice versa) — each layer reads only its
+            # own branch.
+            rules += [
+                ("mlp.gate_proj.weight", ("layers", "gate_proj"), T),
+                ("mlp.up_proj.weight", ("layers", "up_proj"), T),
+                ("mlp.down_proj.weight", ("layers", "down_proj"), T),
+            ]
+        return rules
 
     def _mlp_quant_plan(self) -> dict:
         # (L, E, in, out): absmax over the contraction axis 2; the router
         # stays full precision (tiny, and routing is fp32 anyway).
-        return {
+        plan = {
             ("layers", "moe_gate"): (2,),
             ("layers", "moe_up"): (2,),
             ("layers", "moe_down"): (2,),
         }
+        if self.has_dense:
+            plan[("layers", "gate_proj")] = (1,)
+            plan[("layers", "up_proj")] = (1,)
+            plan[("layers", "down_proj")] = (1,)
+        return plan
 
     def _mlp_pspecs(self) -> dict:
         from jax.sharding import PartitionSpec as P
@@ -79,12 +110,17 @@ class QwenMoeForCausalLM(QwenForCausalLM):
         # over tp (gate/up: out-dim; down: in-dim -> psum). The expert axis
         # is additionally sharded over the "ep" mesh axis when present
         # (parallel/sharding.make_mesh); on a pure-tp mesh "ep" has size 1.
-        return {
+        specs = {
             "router": P("pp", None, None),
             "moe_gate": P("pp", "ep", None, "tp"),
             "moe_up": P("pp", "ep", None, "tp"),
             "moe_down": P("pp", "ep", "tp", None),
         }
+        if self.has_dense:
+            specs["gate_proj"] = P("pp", None, "tp")
+            specs["up_proj"] = P("pp", None, "tp")
+            specs["down_proj"] = P("pp", "tp", None)
+        return specs
 
     # -- forward hook --------------------------------------------------------
 
@@ -110,6 +146,28 @@ class QwenMoeForCausalLM(QwenForCausalLM):
         from minivllm_tpu.ops.moe import moe_mlp_spmd, moe_supported
 
         impl = self._moe_impl()
+        if self.has_dense:
+            # Mixed dense/sparse stack: branch on the static per-layer
+            # mask with lax.cond (self._layer_idx is the traced global
+            # layer index set by run_layers; one branch executes per
+            # layer). Under a mesh the sparse branch uses GSPMD
+            # ragged_dot — nesting the MoE shard_map wrapper inside the
+            # cond is not worth it for the rare mixed configs.
+            from jax import lax
+
+            is_dense = jnp.asarray(self.dense_layer_mask)[self._layer_idx]
+            return lax.cond(
+                is_dense,
+                lambda x: QwenForCausalLM._mlp(self, lp, x),
+                lambda x: moe_mlp(
+                    x, lp["router"], lp["moe_gate"], lp["moe_up"],
+                    lp["moe_down"], self.top_k, self.norm_topk_prob,
+                    impl=impl if self.attn_backend is None
+                    or getattr(self.attn_backend, "mesh", None) is None
+                    else "xla",
+                ),
+                h,
+            )
         mesh = getattr(self.attn_backend, "mesh", None) if impl != "xla" else None
         if mesh is not None:
             ep = mesh.shape.get("ep", 1)

@@ -109,6 +109,18 @@ def test_prefill_parity_rope_scaled(model_type, scaling, tmp_path):
     )
 
 
+def test_prefill_parity_qwen3_moe_mixed_dense(tmp_path):
+    """Qwen3-MoE with a MIXED dense/sparse stack: `mlp_only_layers` plus
+    `decoder_sparse_step` (legal HF config fields; HF rule — sparse iff
+    i not in mlp_only_layers and (i+1) % step == 0). Layers 0 (step),
+    1 (mlp_only) and 2 (step) are dense, layer 3 sparse; the scanned
+    layer body branches per layer with lax.cond on the static mask."""
+    run_parity(
+        "qwen3_moe", tmp_path,
+        num_hidden_layers=4, mlp_only_layers=[1], decoder_sparse_step=2,
+    )
+
+
 def test_prefill_parity_mistral_sliding_window(tmp_path):
     """Mistral with a binding sliding window (8 < seq len) must match HF's
     windowed attention exactly (reference treats Mistral as out of scope)."""
