@@ -44,9 +44,12 @@ def initialize_multihost(
     arguments are auto-detected from the metadata server; set them
     explicitly elsewhere (e.g. the CPU integration test)."""
     import jax
-    from jax._src import distributed
 
-    if distributed.global_state.client is not None:
+    # Public idempotency check where available (jax >= 0.4.34); else
+    # fall back to catching the already-initialized RuntimeError rather
+    # than reading jax._src.distributed internals.
+    is_init = getattr(jax.distributed, "is_initialized", None)
+    if is_init is not None and is_init():
         return  # already initialized (idempotent re-entry)
     kwargs = {}
     if coordinator_address is not None:
@@ -55,7 +58,11 @@ def initialize_multihost(
             num_processes=num_processes,
             process_id=process_id,
         )
-    jax.distributed.initialize(**kwargs)
+    try:
+        jax.distributed.initialize(**kwargs)
+    except RuntimeError as e:
+        if "already initialized" not in str(e).lower():
+            raise
 
 
 def make_pod_mesh(
