@@ -242,24 +242,18 @@ class LLMEngine:
             )
         )
         if spec_common and self.config.speculative_fused and all(
-            # Fused speculation samples outside the filter pipeline.
-            # Greedy rows accept by argmax equality, and top-k/top-p/
-            # min-p are INERT under argmax (rank 0 always survives), so
-            # greedy requests speculate regardless of those; typical_p
-            # and avoid_top_k can exclude the argmax and never
-            # speculate. Sampled rows use exact rejection sampling on
-            # the raw softmax, so any active filter disables them.
+            # Greedy rows accept by argmax equality; top-k/top-p/min-p
+            # are INERT under argmax (rank 0 always survives). Sampled
+            # rows use exact rejection sampling with those filters
+            # applied to the verify distribution (engine/spec.py
+            # accept_or_resample(filters=...)), so the standard serving
+            # point (temp 0.7, top_p 0.95) speculates too. typical_p and
+            # avoid_top_k can exclude the argmax and reorder the kept
+            # set, and per-request seeds need the positional key chain —
+            # those still disable speculation.
             s.sampling_params.typical_p >= 1.0
             and s.sampling_params.avoid_top_k == 0
             and s.sampling_params.seed is None
-            and (
-                s.sampling_params.temperature == 0.0
-                or (
-                    s.sampling_params.top_k <= 0
-                    and s.sampling_params.top_p >= 1.0
-                    and s.sampling_params.min_p == 0.0
-                )
-            )
             for s in seqs
         ):
             # Iteration count: each iteration can emit up to k+1 tokens,

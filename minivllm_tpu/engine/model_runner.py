@@ -507,6 +507,12 @@ class ModelRunner:
             typical_active=typical,
             positions=positions, seeded=seeded,
         )
+        # Mirostat overrides the token BEFORE logprobs so a request with
+        # both reports the logprob of the token actually emitted.
+        if m_on:
+            toks, mu = mirostat_tokens(
+                logits, toks, m, key, state, positions, seeded
+            )
         lp = None if lp_k is None else token_logprobs(logits, toks, lp_k)
         plp = (
             None
@@ -514,9 +520,6 @@ class ModelRunner:
             else self._prompt_logprobs(params, hidden, packed_t[4], plp_k)
         )
         if m_on:
-            toks, mu = mirostat_tokens(
-                logits, toks, m, key, state, positions, seeded
-            )
             return toks, lp, plp, mu, k_cache, v_cache
         return toks, lp, plp, k_cache, v_cache
 
@@ -590,11 +593,14 @@ class ModelRunner:
             with_filters=with_filters,
             positions=positions, seeded=seeded,
         )
-        lp = None if lp_k is None else token_logprobs(logits, toks, lp_k)
+        # Mirostat overrides the token BEFORE logprobs so a request with
+        # both reports the logprob of the token actually emitted.
         if m_on:
             toks, mu = mirostat_tokens(
                 logits, toks, m, key, state, positions, seeded
             )
+        lp = None if lp_k is None else token_logprobs(logits, toks, lp_k)
+        if m_on:
             return toks, lp, mu, k_cache, v_cache
         return toks, lp, k_cache, v_cache
 
@@ -645,8 +651,8 @@ class ModelRunner:
         return all_toks, k_cache, v_cache
 
     def _spec_multi_step(
-        self, num_steps, k, ngram, window, params, k_cache, v_cache,
-        packed, tables, temps, key, hist, lens,
+        self, num_steps, k, ngram, window, with_filters, params, k_cache,
+        v_cache, packed, tables, temps, fparams, key, hist, lens,
     ):
         """Fused speculative decode: `num_steps` iterations, each of which
         proposes up to `k` n-gram draft tokens ON DEVICE from the carried
@@ -666,7 +672,10 @@ class ModelRunner:
         [3]=context length. hist (S, HL) trailing token history in
         LOCAL coordinates with lengths `lens` (host-clipped to the
         proposal window; HL covers window + num_steps*(k+1) headroom).
-        temps (S,) fp32 per-seq temperatures. Returns (tokens
+        temps (S,) fp32 per-seq temperatures; fparams (3, S) per-seq
+        (top_k, top_p, min_p) rows, applied to the verify distribution
+        before rejection sampling when `with_filters` (static) is set —
+        engine/spec.py accept_or_resample. Returns (tokens
         (num_steps, S, k+1), counts (num_steps, S), drafted
         (num_steps, S), caches)."""
         from minivllm_tpu.engine.spec import (
@@ -686,14 +695,20 @@ class ModelRunner:
         # Group them through the shared-prefix two-phase path instead:
         # the context below the rows' block-aligned base streams ONCE
         # per sequence with all k+1 queries stacked into the head axis,
-        # and each row finishes only its own short tail. Mirrors the
-        # _detect_groups gating (Pallas, mesh-less, no sliding window).
+        # and each row finishes only its own short tail. Same gating as
+        # _detect_groups (Pallas, no pipeline, no sliding window) —
+        # composes with dp/sp/ep/tp meshes: each sequence's k+1 rows
+        # live in one dp chunk (S is a dp multiple, so chunk boundaries
+        # fall on K1 multiples) and member indices are chunk-LOCAL, so
+        # the group arrays shard over "dp" alongside their rows
+        # (ops/pallas/spmd.py decode_attention_spmd).
         grouped = (
             self.attn_backend.name == "pallas"
-            and self.mesh is None
+            and self._pp == 1
             and self.config.shared_prefix_decode
             and not getattr(self.config.hf_config, "sliding_window", None)
         )
+        dp = self.mesh.shape.get("dp", 1) if self.mesh is not None else 1
 
         def body(carry, i):
             k_cache, v_cache, hist, lens, last, adv = carry
@@ -710,11 +725,20 @@ class ModelRunner:
             groups = None
             if grouped:
                 g_ctx = (packed[1] + adv) // bs * bs       # block-aligned
+                # Member indices are dp-chunk-local (each sequence's K1
+                # rows sit in one chunk). Sequences with NO full block
+                # below their rows (g_ctx == 0 — short prompts, padding
+                # rows) are neutralized with member -1: phase 1's
+                # never-written state dumps into the trash row and
+                # phase 2 runs the full context from the identity carry
+                # (seq_start is already 0 there).
+                member = (
+                    jnp.arange(S * K1, dtype=jnp.int32) % (S // dp * K1)
+                ).reshape(S, K1)
+                member = jnp.where((g_ctx > 0)[:, None], member, -1)
                 groups = {
                     "seq_start": jnp.repeat(g_ctx, K1),
-                    "group_member": jnp.arange(
-                        S * K1, dtype=jnp.int32
-                    ).reshape(S, K1),
+                    "group_member": member,
                     "group_tables": tables,
                     "group_ctx": g_ctx,
                 }
@@ -735,7 +759,8 @@ class ModelRunner:
             logits = self.model.compute_logits(params, hidden)
             logits = logits.reshape(S, K1, -1)
             toks, cnt = accept_or_resample(
-                logits, drafts, temps, jax.random.fold_in(key, i)
+                logits, drafts, temps, jax.random.fold_in(key, i),
+                filters=fparams if with_filters else None,
             )
             upd = lens[:, None] + iota
             hist = hist.at[
@@ -787,20 +812,35 @@ class ModelRunner:
             hist[i, : len(tail)] = tail
             lens[i] = len(tail)
         temps = np.zeros((S_pad,), np.float32)
+        top_k = np.full((S_pad,), -1, np.int32)
+        top_p = np.ones((S_pad,), np.float32)
+        min_p = np.zeros((S_pad,), np.float32)
+        with_filters = False
         for i, s in enumerate(seqs):
-            temps[i] = s.sampling_params.temperature
-        fn = self._compiled.get(("spec_multi", num_steps, k))
+            sp = s.sampling_params
+            temps[i] = sp.temperature
+            top_k[i], top_p[i], min_p[i] = sp.top_k, sp.top_p, sp.min_p
+            if sp.temperature > 0 and (
+                sp.top_k > 0 or sp.top_p < 1.0 or sp.min_p > 0.0
+            ):
+                with_filters = True
+        fn = self._compiled.get(("spec_multi", num_steps, k, with_filters))
         if fn is None:
             fn = jax.jit(
-                partial(self._spec_multi_step, num_steps, k, ngram, window),
+                partial(
+                    self._spec_multi_step, num_steps, k, ngram, window,
+                    with_filters,
+                ),
                 donate_argnums=(1, 2),
             )
-            self._compiled[("spec_multi", num_steps, k)] = fn
+            self._compiled[("spec_multi", num_steps, k, with_filters)] = fn
         key = jax.random.fold_in(self._base_key, self._step_counter)
         self._step_counter += 1
         all_toks, all_cnt, all_drafted, self.k_cache, self.v_cache = fn(
             self.params, self.k_cache, self.v_cache, packed, tables,
-            jnp.asarray(temps), key, jnp.asarray(hist), jnp.asarray(lens),
+            jnp.asarray(temps),
+            (jnp.asarray(top_k), jnp.asarray(top_p), jnp.asarray(min_p)),
+            key, jnp.asarray(hist), jnp.asarray(lens),
         )
         toks_h = np.asarray(all_toks[:, :S])
         cnt_h = np.asarray(all_cnt[:, :S])

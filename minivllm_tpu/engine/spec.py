@@ -36,6 +36,50 @@ import jax.numpy as jnp
 
 __all__ = ["propose_ngram", "propose_ngram_device", "accept_or_resample"]
 
+NEG_INF = float(jnp.finfo(jnp.float32).min)
+
+
+def _filter_rows(
+    rows: jnp.ndarray,
+    top_k: jnp.ndarray,
+    top_p: jnp.ndarray,
+    min_p: jnp.ndarray,
+) -> jnp.ndarray:
+    """Apply the sampler's top-k/top-p/min-p filters to temperature-scaled
+    logits, returning logits masked to NEG_INF outside the kept set.
+
+    Mirrors sampling/ops.sample_tokens' fast path EXACTLY (candidate pool
+    of NUM_CANDIDATES, exact probabilities via a full logsumexp, rank-0
+    always kept, non-candidates excluded) so a speculated row's emitted
+    marginal equals what the non-speculative filtered sampler would
+    draw. rows (..., V); top_k/top_p/min_p broadcast over the leading
+    dims (shape rows.shape[:-1]).
+    """
+    from minivllm_tpu.sampling.ops import NUM_CANDIDATES
+
+    *lead, V = rows.shape
+    B = 1
+    for d in lead:
+        B *= d
+    flat = rows.reshape(B, V)
+    tk = jnp.broadcast_to(top_k, tuple(lead)).reshape(B)
+    tp = jnp.broadcast_to(top_p, tuple(lead)).reshape(B)
+    mp = jnp.broadcast_to(min_p, tuple(lead)).reshape(B)
+    K = min(V, NUM_CANDIDATES)
+    denom = jax.scipy.special.logsumexp(flat, axis=-1, keepdims=True)
+    cand, idx = jax.lax.top_k(flat, K)             # (B, K) descending
+    probs = jnp.exp(cand - denom)
+    ranks = jnp.arange(K, dtype=jnp.int32)[None, :]
+    k_arr = jnp.where(tk <= 0, K, jnp.minimum(tk, K))[:, None]
+    keep = ranks < k_arr
+    cum = jnp.cumsum(probs, axis=-1)
+    keep &= (cum - probs) < tp[:, None]
+    keep &= probs >= mp[:, None] * probs[:, :1]
+    keep = keep.at[:, 0].set(True)                 # never filter everything
+    mask = jnp.zeros((B, V), bool)
+    mask = mask.at[jnp.arange(B)[:, None], idx].set(keep)
+    return jnp.where(mask, flat, NEG_INF).reshape(rows.shape)
+
 
 def propose_ngram(
     token_ids: list[int],
@@ -134,6 +178,7 @@ def accept_or_resample(
     drafts: jnp.ndarray,
     temperature: jnp.ndarray,
     key: jax.Array,
+    filters: tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray] | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Exact speculative sampling for a DETERMINISTIC draft proposal.
 
@@ -143,6 +188,13 @@ def accept_or_resample(
     use greedy acceptance (accept iff draft == argmax — bit-identical
     to plain greedy decoding).
 
+    `filters=(top_k, top_p, min_p)` (each (S,)) applies the sampler's
+    rank filters to the TARGET distribution before the rejection rule —
+    p becomes the filtered softmax, matching what the non-speculative
+    filtered sampler emits — so temp>0 + top_p<1 traffic (the standard
+    serving operating point) can speculate. Greedy rows are unaffected:
+    rank 0 survives every filter, so filtered argmax == raw argmax.
+
     Returns (tokens (S, k+1) int32, count (S,) int32): `count` tokens
     of each row are valid output, consisting of the accepted draft
     prefix plus one model token (the bonus on full acceptance, or the
@@ -151,7 +203,8 @@ def accept_or_resample(
     proposal q = delta(draft): accept draft d at row i with probability
     min(1, p_i(d)/1) = p_i(d); on rejection sample from the residual
     (p_i - q)+ / Z, which for a point mass is p_i with d masked out,
-    renormalized — the emitted marginal is exactly p_i.
+    renormalized — the emitted marginal is exactly p_i. A draft outside
+    the filtered set has p_i(d) = 0 and is always rejected.
     """
     S, K1, V = logits.shape
     k = K1 - 1
@@ -161,6 +214,11 @@ def accept_or_resample(
     argmax = jnp.argmax(logits, axis=-1).astype(jnp.int32)    # (S, k+1)
 
     rows = logits / temp[..., None]
+    if filters is not None:
+        top_k, top_p, min_p = filters
+        rows = _filter_rows(
+            rows, top_k[:, None], top_p[:, None], min_p[:, None]
+        )
     logp = jax.nn.log_softmax(rows, axis=-1)                  # (S, k+1, V)
     dclip = jnp.clip(drafts, 0, V - 1)
     # p_i(draft_{i+1}) for i in [0, k)
@@ -180,8 +238,11 @@ def accept_or_resample(
     # Sampled token per row (for the bonus / final row).
     sampled = jax.random.categorical(ks[1], rows, axis=-1).astype(jnp.int32)
     # Residual resample at the rejection row: p with the draft masked.
+    # Only mask where a draft actually exists — a no-draft slot (-1,
+    # dclip 0) stops the run vacuously, and its "resample" must be a
+    # plain draw from p (masking token 0 there would skew the marginal).
     masked = jnp.where(
-        jax.nn.one_hot(dclip, V, dtype=bool),
+        jax.nn.one_hot(dclip, V, dtype=bool) & has_draft[:, :, None],
         -jnp.inf,
         rows[:, :k, :],
     )

@@ -45,13 +45,14 @@ def ckpt(tmp_path_factory):
     )
 
 
-def _generate(ckpt, spec_k, prompts, max_tokens=24, impl="xla", fused=True):
+def _generate(ckpt, spec_k, prompts, max_tokens=24, impl="xla", fused=True,
+              **cfg_kw):
     cfg = Config(
         model=str(ckpt), max_num_seqs=8, max_model_len=256,
         max_num_batched_tokens=512, kvcache_block_size=16,
         num_kvcache_blocks=64, dtype="float32", attention_impl=impl,
         decode_multi_step=8, speculative_num_tokens=spec_k,
-        speculative_fused=fused,
+        speculative_fused=fused, **cfg_kw,
     )
     llm = LLM(cfg)
     outs = llm.generate(
@@ -228,6 +229,130 @@ def test_accept_or_resample_greedy_and_distribution():
     assert np.abs(emp - p).max() < 0.015, (emp, p)
 
 
+def test_accept_or_resample_no_draft_marginal():
+    """A row with NO draft at the stopping slot (drafts == -1, the
+    common no-n-gram-match case) must emit a plain draw from p — in
+    particular token id 0 must remain reachable (a regression masked it
+    out because the -1 draft clipped to 0)."""
+    import jax
+    import jax.numpy as jnp
+
+    from minivllm_tpu.engine.spec import accept_or_resample
+
+    rng = np.random.default_rng(3)
+    V, k, T = 8, 2, 0.8
+    row = rng.normal(0, 1.0, (1, k + 1, V)).astype(np.float32)
+    # make token 0 the LIKELIEST so any masking bias is unmissable
+    row[0, 0, 0] += 2.0
+    p = np.exp(row[0, 0] / T)
+    p /= p.sum()
+    draft = np.full((1, k), -1, np.int32)
+    N = 20000
+    toks, cnt = jax.jit(lambda key: accept_or_resample(
+        jnp.asarray(np.repeat(row, N, 0)),
+        jnp.asarray(np.repeat(draft, N, 0)),
+        jnp.full((N,), T, jnp.float32), key,
+    ))(jax.random.PRNGKey(4))
+    assert int(np.asarray(cnt).max()) == 1  # nothing to accept
+    emp = np.bincount(np.asarray(toks)[:, 0], minlength=V) / N
+    assert np.abs(emp - p).max() < 0.015, (emp, p)
+
+
+def test_accept_or_resample_filtered_marginal():
+    """With filters=(top_k, top_p, min_p) the emitted marginal must equal
+    the FILTERED softmax — the same distribution the non-speculative
+    sampler pipeline draws from — both when the draft is inside the kept
+    set (accept/resample split) and when it falls outside (p(d)=0,
+    always rejected)."""
+    import jax
+    import jax.numpy as jnp
+
+    from minivllm_tpu.engine.spec import accept_or_resample
+
+    rng = np.random.default_rng(9)
+    V, k, T = 16, 1, 0.7
+    row = rng.normal(0, 1.5, (1, k + 1, V)).astype(np.float32)
+    scaled = row[0, 0] / T
+    probs = np.exp(scaled - scaled.max())
+    probs /= probs.sum()
+    order = np.argsort(-probs)
+    # expected filtered distribution: top_p = 0.9 nucleus
+    top_p = 0.9
+    keep = np.zeros(V, bool)
+    cum = 0.0
+    for i in order:
+        keep[i] = True  # kept iff cumulative mass BEFORE it < top_p
+        cum += probs[i]
+        if cum >= top_p:
+            break
+    p_f = np.where(keep, probs, 0.0)
+    p_f /= p_f.sum()
+
+    N = 40000
+    filters = (
+        jnp.full((N,), -1, jnp.int32),
+        jnp.full((N,), top_p, jnp.float32),
+        jnp.zeros((N,), jnp.float32),
+    )
+
+    def run(draft_tok, seed):
+        draft = np.full((1, k), draft_tok, np.int32)
+        toks, _ = jax.jit(lambda key: accept_or_resample(
+            jnp.asarray(np.repeat(row, N, 0)),
+            jnp.asarray(np.repeat(draft, N, 0)),
+            jnp.full((N,), T, jnp.float32), key, filters=filters,
+        ))(jax.random.PRNGKey(seed))
+        return np.bincount(np.asarray(toks)[:, 0], minlength=V) / N
+
+    # draft = the mode (worst case for resample correctness)
+    emp = run(int(order[0]), 11)
+    assert np.abs(emp - p_f).max() < 0.015, (emp, p_f)
+    # draft OUTSIDE the nucleus: always rejected, marginal still p_f
+    outside = int(order[-1])
+    assert not keep[outside]
+    emp = run(outside, 12)
+    assert np.abs(emp - p_f).max() < 0.015, (emp, p_f)
+
+
+def test_fused_spec_pallas_short_prompt_parity(ckpt):
+    """Fused speculation on the Pallas backend with prompts SHORTER than
+    one KV block: the grouped verify path has no full block below the
+    rows (g_ctx == 0) and must neutralize those groups (member -1 ->
+    identity carry, full-context phase 2) instead of continuing from
+    never-written phase-1 state. Regression for uninitialized-memory
+    logits right after short prompts."""
+    prompts = [
+        [3, 4] * 4,            # 8 tokens < block_size 16
+        [9, 8, 7] * 3,         # 9 tokens
+        [5, 6] * 20,           # 40 tokens: crosses blocks, groups engage
+    ]
+    ref, _ = _generate(ckpt, 0, prompts, impl="pallas_interpret")
+    out, stats = _generate(ckpt, 4, prompts, impl="pallas_interpret")
+    assert out == ref, "fused spec diverged on short-prompt Pallas path"
+    assert stats["ngram_spec_steps"] > 0
+
+
+@pytest.mark.skipif(
+    __import__("jax").device_count() < 4, reason="needs 4 virtual devices"
+)
+def test_fused_spec_grouped_on_dp_tp_mesh(ckpt):
+    """Fused speculation with the grouped two-phase verify ENGAGED on a
+    dp x tp mesh (interpret-mode kernels): member indices are dp-chunk
+    local and the group arrays shard over "dp" — token streams must be
+    bit-identical to the mesh-less run."""
+    rng = np.random.default_rng(2)
+    base = [int(t) for t in rng.integers(1, 200, 12)]
+    prompts = [base * 4, (base + [7]) * 3, [3, 4] * 20,
+               [int(t) for t in rng.integers(1, 200, 40)]]
+    ref, _ = _generate(ckpt, 0, prompts, impl="pallas_interpret")
+    out, stats = _generate(
+        ckpt, 4, prompts, impl="pallas_interpret",
+        data_parallel_size=2, tensor_parallel_size=2,
+    )
+    assert out == ref, "fused spec diverged on dp x tp mesh"
+    assert stats["ngram_spec_steps"] > 0
+
+
 def test_fused_and_host_paths_agree_greedy(ckpt):
     """Greedy streams through the FUSED in-jit path and the HOST
     verify path must both equal plain decoding (hence each other)."""
@@ -246,9 +371,11 @@ def test_sampled_requests_and_speculation(ckpt):
     """temperature > 0 requests: the FUSED path speculates via exact
     rejection sampling (engine/spec.py accept_or_resample); the HOST
     path is greedy-only and must stay disabled. Filtered sampling
-    (top_p < 1) disables both."""
+    (top_p < 1, the standard serving point) speculates too — the
+    filters apply to the verify distribution. typical_p reorders the
+    kept set and must stay disabled."""
 
-    def run(fused, top_p=1.0, temperature=0.8):
+    def run(fused, top_p=1.0, temperature=0.8, typical_p=1.0):
         cfg = Config(
             model=str(ckpt), max_num_seqs=4, max_model_len=128,
             max_num_batched_tokens=256, kvcache_block_size=16,
@@ -260,6 +387,7 @@ def test_sampled_requests_and_speculation(ckpt):
         outs = llm.generate(
             [[1, 2] * 8, [5, 6] * 8],
             SamplingParams(temperature=temperature, top_p=top_p,
+                           typical_p=typical_p,
                            max_tokens=8, ignore_eos=True),
             use_tqdm=False,
         )
@@ -268,6 +396,10 @@ def test_sampled_requests_and_speculation(ckpt):
 
     assert run(fused=True) > 0, "fused speculation skipped sampled rows"
     assert run(fused=False) == 0
-    assert run(fused=True, top_p=0.9) == 0, "filters must disable sampled"
+    assert run(fused=True, top_p=0.9) > 0, (
+        "filtered sampling must speculate (rejection against the "
+        "filtered distribution)"
+    )
+    assert run(fused=True, typical_p=0.8) == 0, "typical_p must disable"
     # top_p is INERT under argmax: greedy requests speculate through it
     assert run(fused=True, top_p=0.9, temperature=0.0) > 0
