@@ -40,6 +40,7 @@ class LLMEngine:
 
         self.metrics = StepTimer()
         self._exited = False
+        self.num_oom_recoveries = 0  # mid-serving OOM recoveries (step())
         # Adaptive speculative-decoding gate state (_spec_gate_open).
         self._spec_window = (0, 0)  # (drafted, accepted) in the window
         self._spec_cooldown = 0
@@ -136,7 +137,59 @@ class LLMEngine:
         finished entries are (seq_id, completion token ids, logprob entries
         or None, prompt-logprob entries or None); positive counts are
         prefill tokens, negative decode tokens (reference convention,
-        llm_engine.py:203-251)."""
+        llm_engine.py:203-251).
+
+        Device OOM (RESOURCE_EXHAUSTED) during LIVE serving — a lazily
+        compiled bucket (unusual block-table width, penalty variant)
+        exhausting compile workspace mid-traffic — recovers in place:
+        every live sequence is preempted to the recompute path, the KV
+        cache shrinks, and the scheduler's block pool is rebuilt with
+        all requests preserved (reference analog: the attention-call
+        OOM retry, attention_backend.py:596-614). Each step dispatches
+        the device at most once and fetches results before any host
+        bookkeeping, so a failed step applies nothing."""
+        try:
+            return self._step_inner()
+        except Exception as e:  # jaxlib XlaRuntimeError
+            if "RESOURCE_EXHAUSTED" not in str(e):
+                raise
+            self.num_oom_recoveries += 1
+            if self.num_oom_recoveries > 16:
+                raise
+            nb = self._recover_from_oom()
+            logger.warning(
+                "device OOM mid-serving (recovery %d); %d live requests "
+                "preempted to recompute, KV cache shrunk to %d blocks",
+                self.num_oom_recoveries,
+                self.scheduler.num_waiting,
+                nb,
+            )
+            return [], 0  # nothing finished; the caller's loop continues
+
+    def _recover_from_oom(self) -> int:
+        """Preempt-all + shrink + rebuild the block pool. The failed
+        step's donated KV cache buffers are already invalid; every live
+        block table is dropped (block ids shift meaning across the
+        reallocation) and sequences re-enter the waiting queue for
+        chunked, prefix-cache-assisted recompute — the same machinery
+        preemption uses, so generated-so-far tokens survive."""
+        from minivllm_tpu.engine.scheduler import Scheduler
+
+        live = self.scheduler.unfinished()
+        for s in live:
+            s.reset_for_recompute()
+        self.scheduler.num_preemptions += len(live)
+        # Stale cross-step state computed against the old cache/block ids.
+        self.model_runner._spec = None
+        nb = self.model_runner.shrink_kv_cache()
+        preemptions = self.scheduler.num_preemptions
+        self.scheduler = Scheduler(self.config)  # new pool at nb blocks
+        self.scheduler.num_preemptions = preemptions
+        for s in live:
+            self.scheduler.add(s)
+        return nb
+
+    def _step_inner(self) -> tuple[list[tuple[int, list[int], list | None, list | None]], int]:
         t0 = perf_counter()
         seqs, is_prefill = self.scheduler.schedule()
 
@@ -684,6 +737,7 @@ class LLMEngine:
             "prefix_cache_hits": bm.stats["prefix_cache_hits"],
             "num_free_blocks": bm.num_free_blocks,
             "num_preemptions": self.scheduler.num_preemptions,
+            "num_oom_recoveries": self.num_oom_recoveries,
             "total_prefill_tokens": self.model_runner.total_prefill_tokens,
             "total_decode_tokens": self.model_runner.total_decode_tokens,
             "spec_pipeline_hits": self.model_runner.spec_hits,

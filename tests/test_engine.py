@@ -331,6 +331,63 @@ def test_warmup_oom_shrinks_kv_cache(tiny_qwen3):
     assert got == ref
 
 
+def test_mid_serving_oom_recovers_all_requests(tiny_qwen3):
+    """A device RESOURCE_EXHAUSTED in the middle of LIVE serving (e.g. a
+    lazily-compiled bucket exhausting compile workspace): step() must
+    preempt every live request to the recompute path, shrink the KV
+    cache, rebuild the block pool, and COMPLETE every request — with
+    greedy tokens identical to an unperturbed run (reference analog:
+    attention_backend.py:596-614 retries during serving)."""
+
+    def make():
+        return LLM(Config(
+            model=str(tiny_qwen3), max_num_seqs=4, max_model_len=128,
+            max_num_batched_tokens=128, kvcache_block_size=16,
+            num_kvcache_blocks=64, dtype="float32", attention_impl="xla",
+            decode_multi_step=4,
+        ))
+
+    rng = np.random.default_rng(21)
+    prompts = [[int(t) for t in rng.integers(1, 150, L)]
+               for L in (9, 22, 35)]
+    sp = SamplingParams(temperature=0.0, max_tokens=12, ignore_eos=True)
+
+    ref_llm = make()
+    ref = [o["token_ids"] for o in ref_llm.generate(prompts, sp,
+                                                    use_tqdm=False)]
+    ref_llm.exit()
+
+    llm = make()
+    runner = llm.model_runner
+    blocks_before = runner.num_blocks
+    state = {"calls": 0, "raised": 0}
+
+    def wrap(real):
+        def inner(*a, **kw):
+            state["calls"] += 1
+            # Fail once, mid-generation (after prefill + one decode-ish
+            # dispatch) — the engine must recover, not crash.
+            if state["calls"] == 3 and state["raised"] == 0:
+                state["raised"] += 1
+                raise RuntimeError(
+                    "RESOURCE_EXHAUSTED: Out of memory allocating"
+                )
+            return real(*a, **kw)
+        return inner
+
+    runner.run = wrap(runner.run)
+    runner.run_multi = wrap(runner.run_multi)
+    got = [o["token_ids"] for o in llm.generate(prompts, sp,
+                                                use_tqdm=False)]
+    st = llm.get_stats()
+    llm.exit()
+    assert state["raised"] == 1, "injected OOM never fired"
+    assert st["num_oom_recoveries"] == 1
+    assert runner.num_blocks < blocks_before
+    assert all(len(t) == 12 for t in got)
+    assert got == ref, "OOM recovery changed greedy tokens"
+
+
 def test_cached_prefill_fuses_into_decode_window(tiny_qwen3):
     """A fully-prefix-cached prompt runs its last prompt token AND the
     whole completion in ONE fused dispatch (no separate cached-prefill
