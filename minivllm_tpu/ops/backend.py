@@ -118,6 +118,11 @@ class PallasAttentionBackend:
         from minivllm_tpu.ops.pallas import decode_attention as kernel
 
         softcap = float(softcap) if softcap is not None else None
+        # Multi-row verify items (speculative decoding): the runner sets
+        # spec_qrows = k+1 around tracing the fused-spec step function —
+        # read at trace time only, so each compiled program bakes in its
+        # own value (plain steps trace with 1).
+        qrows = getattr(self, "spec_qrows", 1)
         if kernel.is_supported(q, k_cache, self.block_size):
             # window/softcap are in-kernel (sliding-window blocks are
             # never fetched); softcap must be a static float.
@@ -132,6 +137,7 @@ class PallasAttentionBackend:
                         self.mesh, q, k_cache, v_cache, meta, scale,
                         self.block_size, base, window=window,
                         softcap=softcap, interpret=self.interpret,
+                        qrows=qrows,
                     )
                 return self._oracle.decode(
                     q, k_cache, v_cache, meta, scale, base, window, softcap
@@ -149,6 +155,7 @@ class PallasAttentionBackend:
             return kernel.decode_attention(
                 q, k_cache, v_cache, meta, scale, self.block_size, base,
                 window=window, softcap=softcap, interpret=self.interpret,
+                qrows=qrows,
             )
         return self._oracle.decode(
             q, k_cache, v_cache, meta, scale, base, window, softcap

@@ -99,8 +99,20 @@ def _decode_kernel(
     mblk: int,
     carry: bool,
     return_state: bool,
+    int8_scores: bool,
+    interior_skip: bool,
+    qrows: int,
 ):
     """Ref order (optional groups controlled by the static flags):
+
+    qrows > 1 = MULTI-ROW VERIFY items (speculative decoding): one work
+    item processes ALL qrows consecutive query rows of a sequence
+    (q rows [s*qrows, (s+1)*qrows), consecutive positions) against ONE
+    KV stream — the per-item DMA/prologue cost and the KV traffic are
+    paid once per sequence instead of once per verify row, and the MXU
+    M dimension grows qrows-fold. Row r's causal bound is
+    ctx_len - (qrows - 1) + r (ctx_lens holds the LAST row's bound).
+    Incompatible with carry/return_state/start (qrows == 1 only there).
 
     scalar prefetch: block_tables (S*W,), ctx_lens (S,), start (S,) —
       per-seq first attended token (shared-prefix tail start; zeros
@@ -245,8 +257,33 @@ def _decode_kernel(
         # per-head (g, span) matmuls have tiny, often odd M (g = h/kvh),
         # and bf16's sublane-pair layout forces relayouts that cost far
         # more than the fp32 rate penalty (6x regression at g=7 on v5e).
-        q = q_ref[s].astype(jnp.float32) * scale  # (h, d)
-        k = kbuf[slot].astype(jnp.float32)  # (span, kvh, d)
+        if int8_scores:
+            # W8A8 scores (int8-KV only): quantize q per (row, head) to
+            # int8 and feed the MXU int8 x int8 -> int32 (2x the bf16
+            # issue rate on v5e, and the K slab's int8 -> fp32 VPU
+            # conversion disappears); dequant folds into the existing
+            # score-scale multiply: sc = i32 * (q_scale * softmax_scale)
+            # * k_scale_row. q error <= 1/254 relative per element.
+            if qrows > 1:
+                q_raw = q_ref[pl.ds(s * qrows, qrows)].astype(jnp.float32)
+                qs = jnp.maximum(                   # (qrows, h, 1)
+                    jnp.max(jnp.abs(q_raw), axis=-1, keepdims=True), 1e-30
+                ) / 127.0
+            else:
+                q_raw = q_ref[s].astype(jnp.float32)   # (h, d)
+                qs = jnp.maximum(
+                    jnp.max(jnp.abs(q_raw), axis=-1, keepdims=True), 1e-30
+                ) / 127.0                               # (h, 1)
+            q8 = jnp.round(q_raw / qs).astype(jnp.int8)
+            k8 = kbuf[slot]                         # (span, kvh, d) int8
+        elif qrows > 1:
+            q = (
+                q_ref[pl.ds(s * qrows, qrows)].astype(jnp.float32) * scale
+            )                                       # (qrows, h, d)
+            k = kbuf[slot].astype(jnp.float32)      # (span, kvh, d)
+        else:
+            q = q_ref[s].astype(jnp.float32) * scale  # (h, d)
+            k = kbuf[slot].astype(jnp.float32)  # (span, kvh, d)
         v = vbuf[slot].astype(jnp.float32)
         if quantized:
             # Packed scale slabs: ksbuf[slot] is (MBLK, kvh, lanes);
@@ -271,28 +308,87 @@ def _decode_kernel(
 
         # Per-KV-head 2D matmuls (static unroll — Mosaic requires equal
         # batch-dim positions, so grouped batched dots are avoided).
+        # qrows > 1 folds the item's verify rows into M: per kv head the
+        # matmul is (qrows*g, d) x (d, span), rows ordered (r, j).
         score_rows = []
         for kv in range(num_kv_heads):
-            qh = q[kv * g : (kv + 1) * g, :]      # (g, d)
+            if int8_scores:
+                if qrows > 1:
+                    qh8 = q8[:, kv * g : (kv + 1) * g, :].reshape(
+                        qrows * g, d
+                    )
+                    qsc = qs[:, kv * g : (kv + 1) * g, 0].reshape(
+                        qrows * g, 1
+                    )
+                else:
+                    qh8 = q8[kv * g : (kv + 1) * g, :]  # (g, d) int8
+                    qsc = qs[kv * g : (kv + 1) * g]
+                kh8 = k8[:, kv, :]                   # (span, d) int8
+                sc = jax.lax.dot_general(
+                    qh8, kh8,
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.int32,
+                ).astype(jnp.float32)
+                sc = sc * (qsc * scale)
+                sc = sc * scale_row(0, kv)
+                score_rows.append(sc)
+                continue
+            if qrows > 1:
+                qh = q[:, kv * g : (kv + 1) * g, :].reshape(qrows * g, d)
+            else:
+                qh = q[kv * g : (kv + 1) * g, :]   # (g, d)
             kh = k[:, kv, :]                       # (span, d)
             sc = jax.lax.dot_general(
                 qh, kh,
                 dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
-            )  # (g, span)
+            )  # (qrows*g, span)
             if quantized:
                 sc = sc * scale_row(0, kv)         # (1, span) broadcast
             score_rows.append(sc)
-        scores = jnp.concatenate(score_rows, axis=0)  # (h, span)
+        scores = jnp.concatenate(score_rows, axis=0)  # (qrows*h, span)
         if softcap is not None:
             scores = softcap * jnp.tanh(scores / softcap)
-        # mask context tail and the sliding-window head
-        pos = js * span + jax.lax.broadcasted_iota(
-            jnp.int32, (h, span), 1
+        # Mask the context tail and the sliding-window head — but only
+        # on boundary passes; interior passes (span wholly inside every
+        # row's [win_start, bound)) skip the iota/compare/where lanes.
+        # The work list guarantees every pass has at least one valid
+        # key, so the online-softmax state stays finite either way.
+        # qrows > 1: row r's exclusive bound is ctx_len - (qrows-1) + r
+        # (ctx_len is the LAST row's), so interior requires the span
+        # below the FIRST row's bound; the per-row window floor rides
+        # the same row offset.
+        interior = (
+            ((js + 1) * span <= ctx_len - (qrows - 1))
+            & (js * span >= win_start)
         )
-        scores = jnp.where(
-            (pos < ctx_len) & (pos >= win_start), scores, NEG_INF
-        )
+
+        def apply_mask(sc):
+            pos = js * span + jax.lax.broadcasted_iota(
+                jnp.int32, (qrows * h, span), 1
+            )
+            if qrows > 1:
+                row = (
+                    jax.lax.broadcasted_iota(
+                        jnp.int32, (qrows * h, span), 0
+                    )
+                    % (qrows * g)
+                ) // g
+                bound = ctx_len - (qrows - 1) + row
+                lo = jnp.maximum(bound - base_ref[1], start_ref[s])
+                return jnp.where(
+                    (pos < bound) & (pos >= lo), sc, NEG_INF
+                )
+            return jnp.where(
+                (pos < ctx_len) & (pos >= win_start), sc, NEG_INF
+            )
+
+        if interior_skip:
+            scores = jax.lax.cond(
+                interior, lambda sc: sc, apply_mask, scores
+            )
+        else:
+            scores = apply_mask(scores)
 
         m_prev = m_i[:, 0:1]
         m_new = jnp.maximum(m_prev, jnp.max(scores, axis=-1, keepdims=True))
@@ -301,14 +397,14 @@ def _decode_kernel(
         l_new = alpha * l_i[:, 0:1] + jnp.sum(p, axis=-1, keepdims=True)
         pv_rows = []
         for kv in range(num_kv_heads):
-            ph = p[kv * g : (kv + 1) * g, :]       # (g, span)
+            ph = p[kv * qrows * g : (kv + 1) * qrows * g, :]
             if quantized:
                 ph = ph * scale_row(1, kv)
             vh = v[:, kv, :]                        # (span, d)
             pv_rows.append(
                 jnp.dot(ph, vh, preferred_element_type=jnp.float32)
-            )  # (g, d)
-        pv = jnp.concatenate(pv_rows, axis=0)       # (h, d)
+            )  # (qrows*g, d)
+        pv = jnp.concatenate(pv_rows, axis=0)       # (qrows*h, d)
         acc[...] = acc[...] * alpha + pv
         m_i[...] = jnp.broadcast_to(m_new, m_i.shape)
         l_i[...] = jnp.broadcast_to(l_new, l_i.shape)
@@ -316,7 +412,17 @@ def _decode_kernel(
         @pl.when(flags & 2 == 2)
         def _():
             denom = jnp.maximum(l_i[:, 0:1], 1e-30)
-            o_ref[s] = (acc[...] / denom).astype(o_ref.dtype)
+            out = acc[...] / denom
+            if qrows > 1:
+                # acc rows are ordered (kv, r, j); restore (r, h, d).
+                out = (
+                    out.reshape(num_kv_heads, qrows, g, d)
+                    .transpose(1, 0, 2, 3)
+                    .reshape(qrows, h, d)
+                )
+                o_ref[pl.ds(s * qrows, qrows)] = out.astype(o_ref.dtype)
+            else:
+                o_ref[s] = out.astype(o_ref.dtype)
             if return_state:
                 accout_ref[s] = acc[...]
                 mlout_ref[s, 0] = m_i[...]
@@ -367,7 +473,8 @@ def _build_work_list(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "scale", "block_size", "interpret", "softcap", "return_state"
+        "scale", "block_size", "interpret", "softcap", "return_state",
+        "qrows",
     ),
 )
 def decode_attention(
@@ -384,6 +491,7 @@ def decode_attention(
     start=None,
     init_state=None,
     return_state: bool = False,
+    qrows: int = 1,
 ):
     """Paged flash-decode. q (S, h, d) -> (S, h, d).
 
@@ -403,8 +511,20 @@ def decode_attention(
     pass; `return_state=True` additionally returns that state pair,
     UNNORMALIZED, for a later continuation. Composing a bounded pass
     over [0, L) (return_state) with a pass over [L, ctx) (start +
-    init_state) is bit-equivalent to one full pass."""
+    init_state) is bit-equivalent to one full pass.
+
+    `qrows > 1` (speculative-verify mode): q holds qrows CONSECUTIVE
+    query rows per sequence (row i of seq s at q[s*qrows + i], position
+    base+i); meta's per-row arrays are strided down to per-sequence
+    inside (every row of a sequence shares its block table; ctx_lens of
+    the LAST row bounds the work list) and ONE work item serves all of
+    a sequence's rows — per-item cost and KV streaming divided by
+    qrows. Mutually exclusive with start/init_state/return_state."""
     S, h, d = q.shape
+    if qrows > 1:
+        assert start is None and init_state is None and not return_state, (
+            "qrows > 1 is incompatible with shared-prefix state threading"
+        )
     k_data, kv_scale, quantized = _cache_parts(k_cache)
     v_data, _, _ = _cache_parts(v_cache)
     kvh = k_data.shape[1]
@@ -419,14 +539,29 @@ def decode_attention(
     if os.environ.get("MINIVLLM_DECODE_MBLK"):  # A/B experiments only
         mblk = max(1, min(int(os.environ["MINIVLLM_DECODE_MBLK"]), W))
     win = jnp.asarray(window if window is not None else 1 << 30, jnp.int32)
+    S_seq = S // qrows
+    tables_seq = (
+        meta.block_tables if qrows == 1
+        else meta.block_tables[qrows - 1 :: qrows]
+    )
+    ctx_seq = (
+        meta.ctx_lens if qrows == 1 else meta.ctx_lens[qrows - 1 :: qrows]
+    )
     start_arr = (
-        jnp.zeros((S,), jnp.int32) if start is None
+        jnp.zeros((S_seq,), jnp.int32) if start is None
         else start.astype(jnp.int32)
     )
     work, n_work = _build_work_list(
-        meta.ctx_lens, win, block_size, W, mblk, start_tok=start_arr
+        ctx_seq, win, block_size, W, mblk, start_tok=start_arr
     )
     carry = init_state is not None
+    # W8A8 int8 MXU scores (int8-KV only): opt-in via env for A/B
+    # measurement (see docs/performance.md "INT8 / FP8").
+    int8_scores = (
+        quantized
+        and k_data.dtype == jnp.int8
+        and os.environ.get("MINIVLLM_INT8_SCORES", "0") == "1"
+    )
     kernel = functools.partial(
         _decode_kernel,
         block_size=block_size,
@@ -438,6 +573,10 @@ def decode_attention(
         mblk=mblk,
         carry=carry,
         return_state=return_state,
+        int8_scores=int8_scores,
+        # A/B kill-switch for the interior-pass mask skip.
+        interior_skip=os.environ.get("MINIVLLM_MASK_SKIP", "1") != "0",
+        qrows=qrows,
     )
     vmem = lambda shp: pl.BlockSpec(shp, lambda *_: (0,) * len(shp))  # noqa: E731
     in_specs = [
@@ -471,9 +610,9 @@ def decode_attention(
             pltpu.VMEM((NBUF, mblk * block_size, kvh, d), k_data.dtype),
             pltpu.VMEM((NBUF, mblk * block_size, kvh, d), v_data.dtype),
             pltpu.VMEM((NBUF, mblk, kvh, lanes), jnp.float32),
-            pltpu.VMEM((h, d), jnp.float32),
-            pltpu.VMEM((h, 128), jnp.float32),
-            pltpu.VMEM((h, 128), jnp.float32),
+            pltpu.VMEM((qrows * h, d), jnp.float32),
+            pltpu.VMEM((qrows * h, 128), jnp.float32),
+            pltpu.VMEM((qrows * h, 128), jnp.float32),
             pltpu.SemaphoreType.DMA((NBUF, mblk, 3)),
         ],
     )
@@ -491,8 +630,8 @@ def decode_attention(
         ),
         interpret=interpret,
     )(
-        meta.block_tables.reshape(-1),
-        meta.ctx_lens,
+        tables_seq.reshape(-1),
+        ctx_seq,
         start_arr,
         jnp.stack(
             [

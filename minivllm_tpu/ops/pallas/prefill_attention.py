@@ -105,6 +105,8 @@ def _prefill_kernel(
     max_blocks: int,
     quantized: bool,
     softcap: float | None,
+    int8_scores: bool,
+    interior_skip: bool,
 ):
     t = pl.program_id(0)
     s = tile_seq_ref[t]
@@ -197,10 +199,23 @@ def _prefill_kernel(
 
     # q rows folded per KV-head group: (kvh, g*QT, d) conceptually; we
     # slice per kv head below. Scale once.
-    q = q_ref[...].astype(jnp.float32) * scale      # (QT, h, d)
+    if int8_scores:
+        # W8A8 scores (int8-KV only): per-(row, head) q quantization;
+        # q.k runs int8 x int8 -> int32 on the MXU and the K slab's
+        # int8 -> fp32 conversion disappears (see the decode kernel).
+        q_raw = q_ref[...].astype(jnp.float32)      # (QT, h, d)
+        q_qs = jnp.maximum(
+            jnp.max(jnp.abs(q_raw), axis=-1, keepdims=True), 1e-30
+        ) / 127.0                                    # (QT, h, 1)
+        q8 = jnp.round(q_raw / q_qs).astype(jnp.int8)
+    else:
+        q = q_ref[...].astype(jnp.float32) * scale  # (QT, h, d)
     q_pos = pos0 + jax.lax.broadcasted_iota(jnp.int32, (Q_TILE, 1), 0)[:, 0]
 
     span = mblk * bs
+    # Hoisted per-pass mask ingredients: the lane iota never changes and
+    # k_pos is just iota + js * span.
+    iota_span = jax.lax.broadcasted_iota(jnp.int32, (Q_TILE, span), 1)
 
     def body(js, _):
         slot = js % 2
@@ -210,7 +225,10 @@ def _prefill_kernel(
             start_fetch(js + 1, (js + 1) % 2)
 
         wait_fetch(js, slot)
-        k = kbuf[slot].astype(jnp.float32)           # (span, kvh, d)
+        if int8_scores:
+            k8 = kbuf[slot]                          # (span, kvh, d) int8
+        else:
+            k = kbuf[slot].astype(jnp.float32)       # (span, kvh, d)
         v = vbuf[slot].astype(jnp.float32)
         if quantized:
             # Per-head (1, span) scale rows by lane-concatenating the
@@ -226,17 +244,20 @@ def _prefill_kernel(
                     [ksb[m, kv : kv + 1, lo : lo + bs] for m in range(mblk)],
                     axis=1,
                 )  # (1, span)
-        k_pos = js * span + jax.lax.broadcasted_iota(
-            jnp.int32, (Q_TILE, span), 1
-        )
-        causal = (
-            (k_pos <= q_pos[:, None])
-            & (k_pos < ctx_len)
-            & (k_pos > q_pos[:, None] - window)
-        )  # (QT, bs)
-
         score_rows = []
         for kv in range(num_kv_heads):
+            if int8_scores:
+                qh8 = q8[:, kv * g : (kv + 1) * g, :].reshape(Q_TILE * g, d)
+                qs2 = q_qs[:, kv * g : (kv + 1) * g, :].reshape(Q_TILE * g, 1)
+                sc = jax.lax.dot_general(
+                    qh8, k8[:, kv, :],
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.int32,
+                ).astype(jnp.float32)
+                sc = sc * (qs2 * scale)
+                sc = sc * scale_row(0, kv)
+                score_rows.append(sc)
+                continue
             qh = q[:, kv * g : (kv + 1) * g, :]      # (QT, g, d)
             qh2 = qh.reshape(Q_TILE * g, d)
             kh = k[:, kv, :]                          # (bs, d)
@@ -251,20 +272,53 @@ def _prefill_kernel(
         scores = jnp.concatenate(score_rows, axis=0)  # (kvh*QT*g = h*QT, span)
         if softcap is not None:
             scores = softcap * jnp.tanh(scores / softcap)
-        # Row r within a kv-head block corresponds to q row (r // g): same
-        # causal mask for every head in the group.
-        mask = jnp.broadcast_to(
-            causal[:, None, :], (Q_TILE, g, span)
-        ).reshape(Q_TILE * g, span)
-        mask = jnp.concatenate([mask] * num_kv_heads, axis=0)
-        scores = jnp.where(mask, scores, NEG_INF)
+        # Interior passes — every lane valid for every row (span wholly
+        # below the tile's FIRST query position, inside the context, and
+        # inside the LAST row's window) — skip mask construction and
+        # application entirely. For a causal tile at long context all
+        # but the diagonal (and window-edge) passes are interior, so the
+        # per-pass iota/compare/where VPU lanes on (h*QT, span) vanish
+        # from the steady state.
+        interior = (
+            ((js + 1) * span - 1 <= pos0)
+            & ((js + 1) * span <= ctx_len)
+            & (js * span >= pos0 + Q_TILE - window)
+        )
+
+        def apply_mask(sc):
+            k_pos = js * span + iota_span
+            causal = (
+                (k_pos <= q_pos[:, None])
+                & (k_pos < ctx_len)
+                & (k_pos > q_pos[:, None] - window)
+            )  # (QT, span)
+            # Row r within a kv-head block corresponds to q row (r // g):
+            # same causal mask for every head in the group.
+            mask = jnp.broadcast_to(
+                causal[:, None, :], (Q_TILE, g, span)
+            ).reshape(Q_TILE * g, span)
+            mask = jnp.concatenate([mask] * num_kv_heads, axis=0)
+            return jnp.where(mask, sc, NEG_INF)
+
+        if interior_skip:
+            scores = jax.lax.cond(
+                interior, lambda sc: sc, apply_mask, scores
+            )
+        else:
+            scores = apply_mask(scores)
 
         m_prev = m_i[:, 0:1]
         m_new = jnp.maximum(m_prev, jnp.max(scores, axis=-1, keepdims=True))
         m_new = jnp.maximum(m_new, NEG_INF)
         alpha = jnp.exp(m_prev - m_new)
+        # exp(NEG_INF - m_new) underflows to exactly 0 for any finite
+        # m_new, so masked lanes need no explicit re-zeroing; a pass
+        # with EVERY lane masked for a row keeps that row's m at
+        # NEG_INF, and its garbage p-contributions are wiped by
+        # alpha = exp(NEG_INF - m) = 0 at the row's first valid pass
+        # (rows with no valid pass at all are packing padding, never
+        # read back).
         p = jnp.exp(scores - m_new)
-        p = jnp.where(mask, p, 0.0)
         l_i[...] = jnp.broadcast_to(
             alpha * l_i[:, 0:1] + jnp.sum(p, axis=-1, keepdims=True), l_i.shape
         )
@@ -353,6 +407,11 @@ def prefill_attention_tiles(
     if os.environ.get("MINIVLLM_PREFILL_MBLK"):  # A/B experiments only
         mblk = max(1, min(int(os.environ["MINIVLLM_PREFILL_MBLK"]), W))
 
+    int8_scores = (
+        quantized
+        and k_data.dtype == jnp.int8
+        and os.environ.get("MINIVLLM_INT8_SCORES", "0") == "1"
+    )
     kernel = functools.partial(
         _prefill_kernel,
         block_size=block_size,
@@ -362,6 +421,9 @@ def prefill_attention_tiles(
         max_blocks=W,
         quantized=quantized,
         softcap=softcap,
+        int8_scores=int8_scores,
+        # A/B kill-switch for the interior-pass mask skip.
+        interior_skip=os.environ.get("MINIVLLM_MASK_SKIP", "1") != "0",
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=6,

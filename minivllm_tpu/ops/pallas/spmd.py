@@ -66,7 +66,7 @@ def _win_arr(window):
 
 def decode_attention_spmd(
     mesh, q, k_cache, v_cache, meta, scale, block_size,
-    base=0, window=None, softcap=None, interpret=False,
+    base=0, window=None, softcap=None, interpret=False, qrows=1,
 ):
     """Paged flash-decode under a ("pp","dp","sp","ep","tp") mesh.
 
@@ -75,7 +75,11 @@ def decode_attention_spmd(
     count to a dp multiple (engine/model_runner._detect_groups), so the
     group arrays shard over "dp" alongside their rows and the two-phase
     composition (ops/pallas/shared_prefix.py) runs on purely local data
-    inside each shard."""
+    inside each shard. `qrows > 1` (speculative multi-row verify items)
+    composes with "dp" row sharding: a sequence's qrows rows are
+    contiguous and the per-shard row count is a qrows multiple (the
+    runner pads the SEQUENCE count to a dp multiple), so every shard
+    strides its local rows down to whole local sequences."""
     from minivllm_tpu.ops.pallas.decode_attention import decode_attention
     from minivllm_tpu.ops.pallas.shared_prefix import decode_shared_prefix
 
@@ -89,7 +93,7 @@ def decode_attention_spmd(
             )
         return decode_attention(
             q, kc, vc, m, scale, block_size, base[0], win[0],
-            softcap=softcap, interpret=interpret,
+            softcap=softcap, interpret=interpret, qrows=qrows,
         )
 
     meta_specs = DecodeBatch(

@@ -89,6 +89,93 @@ def test_large_block_size_matches_oracle(quant):
     )
 
 
+def test_int8_mxu_scores_accuracy(monkeypatch):
+    """MINIVLLM_INT8_SCORES=1 (int8-KV only): q quantizes per (row,
+    head) to int8 and q.k runs int8 x int8 -> int32 on the MXU. The
+    added error is bounded by q's 1/254 relative quantization step;
+    the output must stay within ~1% of the fp32-score quantized path
+    and direction-aligned with it (cosine > 0.999 per row)."""
+    rng = np.random.default_rng(7)
+    q, kc, vc, meta = build_case(
+        rng, [300, 70, 129, 17], 2, 8, 128, num_blocks=16, quantized=True
+    )
+    ref = np.asarray(
+        pdec.decode_attention(q, kc, vc, meta, 0.125, BS, interpret=True)
+    )
+    monkeypatch.setenv("MINIVLLM_INT8_SCORES", "1")
+    pdec.decode_attention.clear_cache()
+    out = np.asarray(
+        pdec.decode_attention(q, kc, vc, meta, 0.125, BS, interpret=True)
+    )
+    monkeypatch.delenv("MINIVLLM_INT8_SCORES")
+    pdec.decode_attention.clear_cache()
+    np.testing.assert_allclose(out, ref, rtol=0.05, atol=0.04)
+    a = out.reshape(out.shape[0], -1)
+    b = ref.reshape(ref.shape[0], -1)
+    cos = np.sum(a * b, -1) / (
+        np.linalg.norm(a, axis=-1) * np.linalg.norm(b, axis=-1) + 1e-30
+    )
+    assert cos.min() > 0.999, cos
+
+
+@pytest.mark.parametrize("quant", [False, True])
+def test_multi_row_verify_items_match_per_row(quant):
+    """qrows > 1 (speculative multi-row verify): one work item serves a
+    sequence's qrows consecutive query rows with per-row causal bounds.
+    Must be IDENTICAL to running the same rows as qrows separate
+    sequences (the per-row reference), incl. sub-block contexts and
+    quantized caches."""
+    from minivllm_tpu.ops.attention import make_quantized_cache
+
+    rng = np.random.default_rng(11)
+    kvh, h, d, K1 = 2, 4, 128, 5
+    ctx_last = [67, 33, 18, 130]  # bound of the LAST row per seq
+    S = len(ctx_last)
+    num_blocks = 64
+    slots_total = (num_blocks + 1) * BS
+    if quant:
+        kc = make_quantized_cache(slots_total, kvh, d, BS)
+        vc = make_quantized_cache(slots_total, kvh, d, BS)
+    else:
+        kc = jnp.zeros((slots_total, kvh, d), jnp.float32)
+        vc = jnp.zeros_like(kc)
+    W = max(1, -(-max(ctx_last) // BS))
+    tables = np.full((S, W), num_blocks, np.int32)
+    nxt = 0
+    for s, L in enumerate(ctx_last):
+        nb = -(-L // BS)
+        tables[s, :nb] = range(nxt, nxt + nb)
+        nxt += nb
+        slots = np.array(
+            [tables[s, i // BS] * BS + i % BS for i in range(L)], np.int32
+        )
+        k = rng.standard_normal((L, kvh, d)).astype(np.float32)
+        v = rng.standard_normal((L, kvh, d)).astype(np.float32)
+        kc, vc = store_kv(
+            kc, vc, jnp.asarray(k), jnp.asarray(v), jnp.asarray(slots)
+        )
+    q = jnp.asarray(rng.standard_normal((S * K1, h, d)).astype(np.float32))
+    ctx_rows = np.array(
+        [[L - (K1 - 1) + i for i in range(K1)] for L in ctx_last], np.int32
+    ).reshape(-1)
+    meta_rows = DecodeBatch(
+        input_ids=jnp.zeros(S * K1, jnp.int32),
+        positions=jnp.asarray(ctx_rows - 1),
+        slot_mapping=jnp.zeros(S * K1, jnp.int32),
+        block_tables=jnp.asarray(np.repeat(tables, K1, axis=0)),
+        ctx_lens=jnp.asarray(ctx_rows),
+    )
+    ref = np.asarray(
+        pdec.decode_attention(q, kc, vc, meta_rows, 0.125, BS, interpret=True)
+    )
+    out = np.asarray(
+        pdec.decode_attention(
+            q, kc, vc, meta_rows, 0.125, BS, interpret=True, qrows=K1
+        )
+    )
+    np.testing.assert_allclose(out, ref, rtol=3e-5, atol=3e-5)
+
+
 def test_bf16_cache():
     rng = np.random.default_rng(1)
     q, kc, vc, meta = build_case(rng, [29, 50], 2, 4, 128, dtype=jnp.bfloat16)

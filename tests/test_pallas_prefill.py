@@ -154,6 +154,35 @@ def test_quantized_cache_matches_oracle():
     np.testing.assert_allclose(out[valid], ref[valid], atol=3e-5, rtol=3e-5)
 
 
+def test_int8_mxu_scores_accuracy(monkeypatch):
+    """MINIVLLM_INT8_SCORES=1 (int8-KV only): per-(row, head) q
+    quantization + int8 x int8 MXU scores in the prefill kernel. Error
+    is bounded by q's quantization step; outputs stay within ~1% of the
+    fp32-score quantized path."""
+    rng = np.random.default_rng(9)
+    q, kc, vc, meta = build_aligned_case(
+        rng, [(100, 0), (70, 64), (20, 0)], 2, 8, 128, quantized=True
+    )
+    ref = np.asarray(
+        ppre.prefill_attention(q, kc, vc, meta, 0.125, BS, interpret=True)
+    )
+    monkeypatch.setenv("MINIVLLM_INT8_SCORES", "1")
+    ppre.prefill_attention.clear_cache()
+    out = np.asarray(
+        ppre.prefill_attention(q, kc, vc, meta, 0.125, BS, interpret=True)
+    )
+    monkeypatch.delenv("MINIVLLM_INT8_SCORES")
+    ppre.prefill_attention.clear_cache()
+    valid = np.asarray(meta.q_seg) >= 0
+    np.testing.assert_allclose(out[valid], ref[valid], rtol=0.05, atol=0.04)
+    a = out[valid].reshape(valid.sum(), -1)
+    b = ref[valid].reshape(valid.sum(), -1)
+    cos = np.sum(a * b, -1) / (
+        np.linalg.norm(a, axis=-1) * np.linalg.norm(b, axis=-1) + 1e-30
+    )
+    assert cos.min() > 0.999, cos
+
+
 @pytest.mark.parametrize("window", [8, 40, 1 << 30])
 def test_sliding_window_matches_oracle(window):
     """Sliding-window prefill (Gemma2/Mistral): blocks below each tile's
