@@ -56,7 +56,12 @@ class LLMEngine:
     # for a cooldown of engine steps, then probe again.
     SPEC_GATE_WINDOW = 64       # drafted tokens per decision window
     SPEC_GATE_MIN_ACCEPT = 0.2  # below this, speculation is a net loss
-    SPEC_GATE_COOLDOWN = 50     # decode steps to sit out after a miss
+    # Dispatches to sit out after a miss. One fused dispatch covers a
+    # whole K-iteration window (4-8 decode steps), so this is ~50-100
+    # generated tokens per sequence — long enough to skip a
+    # non-accepting stretch, short enough to re-probe within a typical
+    # completion (a workload can turn repetitive mid-generation).
+    SPEC_GATE_COOLDOWN = 12
 
     def _spec_gate_open(self) -> bool:
         if self._spec_cooldown > 0:
@@ -309,46 +314,52 @@ class LLMEngine:
             and s.sampling_params.seed is None
             for s in seqs
         ):
-            # Iteration count: each iteration can emit up to k+1 tokens,
-            # so the window targets ceil(remaining / (k+1)) iterations
-            # (bounding tail overshoot, whose discarded rows are pure
-            # waste), clamped by the plain window's cap and so the
-            # worst-case positions stay inside the model length and the
-            # scheduler's (k+1)-scaled block reservation.
-            rem = max(
-                1,
-                min(
-                    s.sampling_params.max_tokens - s.num_completion_tokens
-                    for s in seqs
-                ),
-            )
-            Ks = min(pick_window(), -(-rem // (spec_k + 1)) or 1)
-            Ks = 1 << (max(Ks, 1).bit_length() - 1)  # floor pow2
+            # FIXED iteration count (the plain window's pow2 cap), NOT
+            # scaled to the remaining tokens: speculation advances
+            # sequences by VARYING amounts, so a remaining-token-derived
+            # Ks changes dispatch to dispatch and each (Ks, batch
+            # bucket, table width) combination is a fresh compile of the
+            # whole fused scan — measured ~1 s each through the compile
+            # cache, which collapsed serving throughput 12x. Overshoot
+            # iterations past a sequence's max_tokens waste a few
+            # verify rows instead (their KV writes land in the
+            # scheduler's (k+1)-scaled reservation); only the model
+            # length hard-clamps.
+            Ks = 1 << (max(1, self.config.decode_multi_step).bit_length() - 1)
             hard = min(self.config.max_model_len - len(s) for s in seqs)
             while Ks > 1 and Ks * (spec_k + 1) > max(hard, 1):
                 Ks //= 2
             if (spec_k + 1) * Ks <= max(hard, 1):
                 mr = self.model_runner
-                for cols, cnts in mr.run_spec_multi(seqs, Ks):
+                drafted_eff = accepted_eff = 0
+                for cols, cnts, drafted in mr.run_spec_multi(seqs, Ks):
+                    live = [0] * len(seqs)
                     for j in range(max(cnts)):
                         active, toks = [], []
-                        for s, c, n in zip(seqs, cols, cnts):
+                        for i, (s, c, n) in enumerate(
+                            zip(seqs, cols, cnts)
+                        ):
                             if not s.is_finished and j < n:
                                 active.append(s)
                                 toks.append(c[j])
+                                live[i] += 1
                         if not active:
                             break
                         self.scheduler.postprocess(active, toks)
                         appended += len(active)
+                    # Gate accounting on ACTUAL drafts of sequences that
+                    # were live this iteration (not the k*Ks*S potential
+                    # ceiling — that slammed the cooldown shut whenever
+                    # the first dispatch drafted sparsely, e.g. prompt
+                    # drafts the model does not follow — and not the raw
+                    # runner counters, which overshoot iterations past
+                    # finished sequences inflate).
+                    for i, n_app in enumerate(live):
+                        if n_app > 0:
+                            drafted_eff += drafted[i]
+                            accepted_eff += n_app - 1
                 self.model_runner.total_decode_tokens += appended
-                # Gate on EFFECTIVE acceptance — tokens actually appended
-                # beyond the one-per-iteration floor — not the runner's
-                # raw counters, which overshoot iterations past finished
-                # sequences inflate.
-                self._spec_gate_update(
-                    spec_k * Ks * len(seqs),
-                    max(0, appended - Ks * len(seqs)),
-                )
+                self._spec_gate_update(drafted_eff, accepted_eff)
                 K = 0  # handled
         elif (
             spec_common

@@ -22,6 +22,7 @@ inference_executor.py:40-943, models/manager.py):
 from __future__ import annotations
 
 import logging
+import os
 import time
 from functools import partial
 
@@ -242,6 +243,9 @@ class ModelRunner:
         self.inference_count = 0
         # Speculative pipeline state (see _maybe_speculate).
         self._spec = None
+        # Device-resident n-gram history between fused-spec dispatches
+        # (run_spec_multi); None until the first spec dispatch.
+        self._spec_hist_cache = None
         self.spec_hits = 0
         self.shared_prefix_steps = 0
         # N-gram speculative decoding counters (engine/spec.py).
@@ -651,8 +655,9 @@ class ModelRunner:
         return all_toks, k_cache, v_cache
 
     def _spec_multi_step(
-        self, num_steps, k, ngram, window, with_filters, params, k_cache,
-        v_cache, packed, tables, temps, fparams, key, hist, lens,
+        self, num_steps, k, ngram, window, with_filters, greedy_only,
+        params, k_cache, v_cache, packed, tables, temps, fparams, key,
+        hist, lens,
     ):
         """Fused speculative decode: `num_steps` iterations, each of which
         proposes up to `k` n-gram draft tokens ON DEVICE from the carried
@@ -689,26 +694,6 @@ class ModelRunner:
         K1 = k + 1
         rep = lambda x: jnp.repeat(x, K1, axis=0)  # noqa: E731
         iota = jnp.arange(K1, dtype=jnp.int32)
-        # The k+1 verify rows of one sequence would each re-stream its
-        # ENTIRE context — (k+1)x the KV traffic and work items of a
-        # plain decode step, which measured ~3.6x dispatch cost at 0.6B.
-        # Group them through the shared-prefix two-phase path instead:
-        # the context below the rows' block-aligned base streams ONCE
-        # per sequence with all k+1 queries stacked into the head axis,
-        # and each row finishes only its own short tail. Same gating as
-        # _detect_groups (Pallas, no pipeline, no sliding window) —
-        # composes with dp/sp/ep/tp meshes: each sequence's k+1 rows
-        # live in one dp chunk (S is a dp multiple, so chunk boundaries
-        # fall on K1 multiples) and member indices are chunk-LOCAL, so
-        # the group arrays shard over "dp" alongside their rows
-        # (ops/pallas/spmd.py decode_attention_spmd).
-        grouped = (
-            self.attn_backend.name == "pallas"
-            and self._pp == 1
-            and self.config.shared_prefix_decode
-            and not getattr(self.config.hf_config, "sliding_window", None)
-        )
-        dp = self.mesh.shape.get("dp", 1) if self.mesh is not None else 1
 
         def body(carry, i):
             k_cache, v_cache, hist, lens, last, adv = carry
@@ -722,26 +707,13 @@ class ModelRunner:
             blk = jnp.take_along_axis(
                 tables_rep, (flat_pos // bs)[:, None], axis=1
             )[:, 0]
-            groups = None
-            if grouped:
-                g_ctx = (packed[1] + adv) // bs * bs       # block-aligned
-                # Member indices are dp-chunk-local (each sequence's K1
-                # rows sit in one chunk). Sequences with NO full block
-                # below their rows (g_ctx == 0 — short prompts, padding
-                # rows) are neutralized with member -1: phase 1's
-                # never-written state dumps into the trash row and
-                # phase 2 runs the full context from the identity carry
-                # (seq_start is already 0 there).
-                member = (
-                    jnp.arange(S * K1, dtype=jnp.int32) % (S // dp * K1)
-                ).reshape(S, K1)
-                member = jnp.where((g_ctx > 0)[:, None], member, -1)
-                groups = {
-                    "seq_start": jnp.repeat(g_ctx, K1),
-                    "group_member": member,
-                    "group_tables": tables,
-                    "group_ctx": g_ctx,
-                }
+            # The k+1 verify rows of one sequence share its block table
+            # and consecutive positions: the Pallas backend processes
+            # them as ONE multi-row work item (decode_attention
+            # qrows=k+1, set via backend.spec_qrows at trace time), so
+            # per-item kernel cost and KV streaming are paid once per
+            # SEQUENCE, not once per verify row. The XLA oracle runs
+            # the same rows per-row.
             meta = shard_batch(
                 DecodeBatch(
                     input_ids=row_in.reshape(-1),
@@ -749,7 +721,6 @@ class ModelRunner:
                     slot_mapping=blk * bs + flat_pos % bs,
                     ctx_lens=flat_pos + 1,
                     block_tables=tables_rep,
-                    **(groups or {}),
                 ),
                 self.mesh,
             )
@@ -761,6 +732,7 @@ class ModelRunner:
             toks, cnt = accept_or_resample(
                 logits, drafts, temps, jax.random.fold_in(key, i),
                 filters=fparams if with_filters else None,
+                greedy_only=greedy_only,
             )
             upd = lens[:, None] + iota
             hist = hist.at[
@@ -778,10 +750,10 @@ class ModelRunner:
             k_cache, v_cache, hist, lens, packed[0],
             jnp.zeros((S,), jnp.int32),
         )
-        (k_cache, v_cache, *_), (all_toks, all_cnt, all_drafted) = (
+        (k_cache, v_cache, hist, lens, *_), (all_toks, all_cnt, all_drafted) = (
             lax_scan_steps(body, carry0, num_steps)
         )
-        return all_toks, all_cnt, all_drafted, k_cache, v_cache
+        return all_toks, all_cnt, all_drafted, k_cache, v_cache, hist, lens
 
     def run_spec_multi(
         self, seqs: list[Sequence], num_steps: int
@@ -802,55 +774,108 @@ class ModelRunner:
         self._spec = None
         self.last_logprobs = None
         packed, tables, S_pad, _ = self._prepare_decode(seqs)
-        # Trailing history in local coordinates; headroom for the
-        # window's appends.
-        HL = window + ngram + num_steps * (k + 1) + 1
-        hist = np.zeros((S_pad, HL), np.int32)
-        lens = np.zeros((S_pad,), np.int32)
-        for i, s in enumerate(seqs):
-            tail = s.token_ids[-(window + ngram):]
-            hist[i, : len(tail)] = tail
-            lens[i] = len(tail)
+        # Trailing history in local coordinates. The buffer carries
+        # headroom for SEVERAL windows' appends so consecutive spec
+        # dispatches can REUSE the device-resident history the scan
+        # returns (one H2D of (S_pad, ~1KB/row) costs a full relay
+        # round trip, ~25 ms — as much as half the dispatch itself).
+        win_cap = num_steps * (k + 1)
+        HL = window + ngram + self.SPEC_HIST_REUSE * win_cap + 1
         temps = np.zeros((S_pad,), np.float32)
         top_k = np.full((S_pad,), -1, np.int32)
         top_p = np.ones((S_pad,), np.float32)
         min_p = np.zeros((S_pad,), np.float32)
         with_filters = False
+        greedy_only = True
         for i, s in enumerate(seqs):
             sp = s.sampling_params
             temps[i] = sp.temperature
             top_k[i], top_p[i], min_p[i] = sp.top_k, sp.top_p, sp.min_p
-            if sp.temperature > 0 and (
-                sp.top_k > 0 or sp.top_p < 1.0 or sp.min_p > 0.0
-            ):
-                with_filters = True
-        fn = self._compiled.get(("spec_multi", num_steps, k, with_filters))
+            if sp.temperature > 0:
+                greedy_only = False
+                if sp.top_k > 0 or sp.top_p < 1.0 or sp.min_p > 0.0:
+                    with_filters = True
+        # Device-hist reuse: valid when the same sequences (same order)
+        # are exactly where the previous spec dispatch left them and the
+        # buffer still has one window of headroom.
+        sig = (tuple(s.seq_id for s in seqs), tuple(len(s) for s in seqs))
+        cache = self._spec_hist_cache
+        if (
+            cache is not None
+            and cache["sig"] == sig
+            and cache["S_pad"] == S_pad
+            and cache["HL"] == HL
+            and cache["max_len"] + win_cap + 1 <= HL
+        ):
+            hist_dev, lens_dev = cache["hist"], cache["lens"]
+            lens_host = cache["lens_host"]
+        else:
+            hist = np.zeros((S_pad, HL), np.int32)
+            lens_host = np.zeros((S_pad,), np.int32)
+            for i, s in enumerate(seqs):
+                tail = s.token_ids[-(window + ngram):]
+                hist[i, : len(tail)] = tail
+                lens_host[i] = len(tail)
+            hist_dev, lens_dev = jnp.asarray(hist), jnp.asarray(lens_host)
+        fkey = ("spec_multi", num_steps, k, with_filters, greedy_only)
+        fn = self._compiled.get(fkey)
         if fn is None:
             fn = jax.jit(
                 partial(
                     self._spec_multi_step, num_steps, k, ngram, window,
-                    with_filters,
+                    with_filters, greedy_only,
                 ),
-                donate_argnums=(1, 2),
+                donate_argnums=(1, 2, 8, 9),  # caches, hist, lens
             )
-            self._compiled[("spec_multi", num_steps, k, with_filters)] = fn
+            self._compiled[fkey] = fn
         key = jax.random.fold_in(self._base_key, self._step_counter)
         self._step_counter += 1
-        all_toks, all_cnt, all_drafted, self.k_cache, self.v_cache = fn(
-            self.params, self.k_cache, self.v_cache, packed, tables,
-            jnp.asarray(temps),
-            (jnp.asarray(top_k), jnp.asarray(top_p), jnp.asarray(min_p)),
-            key, jnp.asarray(hist), jnp.asarray(lens),
-        )
+        # Multi-row verify items: the Pallas decode kernel folds each
+        # sequence's k+1 verify rows into ONE work item (qrows) — the
+        # attribute is read at TRACE time only, so set it around the
+        # call (any retrace for a new shape sees it) and clear after.
+        try:
+            self.attn_backend.spec_qrows = k + 1
+            (
+                all_toks, all_cnt, all_drafted,
+                self.k_cache, self.v_cache, hist_out, lens_out,
+            ) = fn(
+                self.params, self.k_cache, self.v_cache, packed, tables,
+                jnp.asarray(temps),
+                (jnp.asarray(top_k), jnp.asarray(top_p), jnp.asarray(min_p)),
+                key, hist_dev, lens_dev,
+            )
+        finally:
+            self.attn_backend.spec_qrows = 1
         toks_h = np.asarray(all_toks[:, :S])
-        cnt_h = np.asarray(all_cnt[:, :S])
+        cnt_full = np.asarray(all_cnt)           # (num_steps, S_pad)
+        cnt_h = cnt_full[:, :S]
         drafted_h = np.asarray(all_drafted[:, :S])
+        # Cache the advanced history for the NEXT spec dispatch: the
+        # expected host lengths assume the engine appends every emitted
+        # token (true for sequences that stay live; finished/preempted
+        # ones change the sig and force a rebuild).
+        new_lens_host = lens_host + cnt_full.sum(axis=0)
+        self._spec_hist_cache = {
+            "sig": (
+                sig[0],
+                tuple(
+                    sig[1][i] + int(cnt_h[:, i].sum()) for i in range(S)
+                ),
+            ),
+            "S_pad": S_pad,
+            "HL": HL,
+            "hist": hist_out,
+            "lens": lens_out,
+            "lens_host": new_lens_host,
+            "max_len": int(new_lens_host.max()) if S_pad else 0,
+        }
         self.inference_count += 1
         self.ngram_steps += num_steps
         self.ngram_drafted += int(drafted_h.sum())
         self.ngram_accepted += int((cnt_h - 1).sum())
         return [
-            (toks_h[t].tolist(), cnt_h[t].tolist())
+            (toks_h[t].tolist(), cnt_h[t].tolist(), drafted_h[t].tolist())
             for t in range(num_steps)
         ]
 
@@ -1212,6 +1237,11 @@ class ModelRunner:
     # 4 B ~ 6 MB). Oversized groups split into chunks that still divide
     # the shared streaming by the cap.
     SHARED_PREFIX_MAX_GROUP = 32
+    # Windows of append headroom in the fused-spec device history buffer
+    # (run_spec_multi): larger = more consecutive dispatches reuse the
+    # device-resident history before a rebuild H2D; cost is
+    # S_pad * num_steps * (k+1) * REUSE extra int32 columns.
+    SPEC_HIST_REUSE = 8
 
     def _detect_groups(self, seqs: list[Sequence], S_pad: int):
         """Shared-prefix decode groups (PAT-style two-phase attention).

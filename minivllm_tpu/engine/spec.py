@@ -142,24 +142,35 @@ def propose_ngram_device(
     tail = jnp.take_along_axis(
         hist, jnp.clip(tail_pos, 0, HL - 1), axis=1
     )  # (S, ngram)
-    # Candidate starts, most recent first: lens - ngram - 1 - j.
-    j = jnp.arange(window, dtype=jnp.int32)
-    starts = lens[:, None] - ngram - 1 - j[None, :]        # (S, W)
-    pos = starts[:, :, None] + jnp.arange(ngram, dtype=jnp.int32)
-    cand = jnp.take_along_axis(
-        hist, jnp.clip(pos, 0, HL - 1).reshape(S, window * ngram), axis=1
-    ).reshape(S, window, ngram)
-    valid = (starts >= 0) & (lens[:, None] >= ngram + 1)
-    match = valid & jnp.all(cand == tail[:, None, :], axis=-1)  # (S, W)
+    # Match by SHIFT-COMPARE over the whole buffer instead of gathering
+    # a (S, window, ngram) candidate tensor: candidate start position p
+    # matches iff hist[p + i] == tail[i] for all i < ngram — each i is
+    # one statically-shifted elementwise equality, so the whole match
+    # map costs ngram vector compares over (S, HL) and NO gathers
+    # (measured 2.35 ms -> VPU noise per call at the serving shapes;
+    # TPU gathers were the proposer's entire cost).
+    NP = HL - ngram + 1  # number of candidate start positions
+    match = jnp.ones((S, NP), bool)
+    for i in range(ngram):
+        match &= hist[:, i : i + NP] == tail[:, i : i + 1]
+    p = jnp.arange(NP, dtype=jnp.int32)[None, :]                # (1, NP)
+    # Valid starts: strictly before the tail (p <= lens - ngram - 1),
+    # within the backward window, and the row long enough to recur.
+    valid = (
+        (p <= lens[:, None] - ngram - 1)
+        & (p >= lens[:, None] - ngram - window)
+        & (lens[:, None] >= ngram + 1)
+    )
+    match &= valid
     # Prefer the most recent match whose continuation has k full tokens
     # before the tail (a nearer match on a period-p cycle only yields p
     # draft tokens); fall back to the nearest partial match.
-    full = match & (starts + ngram + k <= lens[:, None])
+    full = match & (p + ngram + k <= lens[:, None])
     use_full = jnp.any(full, axis=1)
     any_match = jnp.any(match, axis=1)
     pick = jnp.where(use_full[:, None], full, match)
-    first = jnp.argmax(pick, axis=1).astype(jnp.int32)         # most recent
-    mstart = jnp.take_along_axis(starts, first[:, None], axis=1)[:, 0]
+    # Most recent = LARGEST matching start position.
+    mstart = jnp.max(jnp.where(pick, p, -1), axis=1)            # (S,)
     # Continuation: tokens at mstart + ngram + [0..k), clipped to the
     # tail start (don't propose the tail itself as its continuation).
     cpos = mstart[:, None] + ngram + jnp.arange(k, dtype=jnp.int32)
@@ -179,6 +190,7 @@ def accept_or_resample(
     temperature: jnp.ndarray,
     key: jax.Array,
     filters: tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray] | None = None,
+    greedy_only: bool = False,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Exact speculative sampling for a DETERMINISTIC draft proposal.
 
@@ -212,6 +224,21 @@ def accept_or_resample(
     temp = jnp.maximum(temperature, 1e-6)[:, None]            # (S, 1)
     greedy = temperature <= 0.0                               # (S,)
     argmax = jnp.argmax(logits, axis=-1).astype(jnp.int32)    # (S, k+1)
+
+    if greedy_only:
+        # All rows greedy (static, runner-decided): acceptance is pure
+        # argmax equality and every emitted token is an argmax — skip
+        # the softmax/log_softmax, PRNG draws, and one-hot residual
+        # machinery entirely (each is a pass over (S, k+1, V)).
+        accept = (drafts == argmax[:, :k]) & (drafts >= 0)
+        a = jnp.sum(jnp.cumprod(accept.astype(jnp.int32), axis=1), axis=1)
+        idx = jnp.arange(K1, dtype=jnp.int32)[None, :]
+        draft_part = jnp.where(idx[:, :k] < a[:, None], drafts, 0)
+        final = jnp.take_along_axis(argmax, a[:, None], axis=1)
+        tokens = jnp.zeros((S, K1), jnp.int32)
+        tokens = tokens.at[:, :k].set(draft_part)
+        tokens = jnp.where(idx == a[:, None], final, tokens)
+        return tokens.astype(jnp.int32), (a + 1).astype(jnp.int32)
 
     rows = logits / temp[..., None]
     if filters is not None:

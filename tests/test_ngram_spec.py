@@ -316,11 +316,9 @@ def test_accept_or_resample_filtered_marginal():
 
 def test_fused_spec_pallas_short_prompt_parity(ckpt):
     """Fused speculation on the Pallas backend with prompts SHORTER than
-    one KV block: the grouped verify path has no full block below the
-    rows (g_ctx == 0) and must neutralize those groups (member -1 ->
-    identity carry, full-context phase 2) instead of continuing from
-    never-written phase-1 state. Regression for uninitialized-memory
-    logits right after short prompts."""
+    one KV block: the multi-row verify items (decode_attention qrows)
+    must handle rows whose context is below one block and partial-block
+    tails exactly — greedy parity against the non-speculative run."""
     prompts = [
         [3, 4] * 4,            # 8 tokens < block_size 16
         [9, 8, 7] * 3,         # 9 tokens
@@ -336,10 +334,10 @@ def test_fused_spec_pallas_short_prompt_parity(ckpt):
     __import__("jax").device_count() < 4, reason="needs 4 virtual devices"
 )
 def test_fused_spec_grouped_on_dp_tp_mesh(ckpt):
-    """Fused speculation with the grouped two-phase verify ENGAGED on a
-    dp x tp mesh (interpret-mode kernels): member indices are dp-chunk
-    local and the group arrays shard over "dp" — token streams must be
-    bit-identical to the mesh-less run."""
+    """Fused speculation on a dp x tp mesh (interpret-mode kernels):
+    the multi-row verify items compose with dp row sharding (each
+    sequence's k+1 rows are contiguous within one dp chunk) — token
+    streams must be bit-identical to the mesh-less run."""
     rng = np.random.default_rng(2)
     base = [int(t) for t in rng.integers(1, 200, 12)]
     prompts = [base * 4, (base + [7]) * 3, [3, 4] * 20,
