@@ -20,9 +20,13 @@ Two execution paths:
   the proposal runs ON DEVICE from a carried token-history buffer,
   and proposal + verification + acceptance all happen INSIDE the fused
   multi-step scan — dispatch count identical to the plain fused
-  window, but each iteration can emit up to k+1 tokens. This restores
-  dispatch parity, so speculation wins wherever drafts get accepted,
-  even behind the relay.
+  window, but each iteration can emit up to k+1 tokens. Measured
+  (docs/roadmap.md): dispatch parity holds, but the (k+1)-row verify
+  pass costs ~3x a plain decode pass at 0.6-7B scales, so speculation
+  wins only when acceptance x draft length beats that ratio — above
+  what prompt-lookup yields on the measured workloads, hence the
+  feature defaults OFF and the engine's adaptive acceptance gate
+  bounds the loss when it is enabled.
 
 The reference has no speculative decoding (SURVEY.md §2) — this is a
 beyond-parity serving feature. No draft model is involved, so there is

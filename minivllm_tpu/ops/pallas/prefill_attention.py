@@ -217,7 +217,7 @@ def _prefill_kernel(
     # k_pos is just iota + js * span.
     iota_span = jax.lax.broadcasted_iota(jnp.int32, (Q_TILE, span), 1)
 
-    def body(js, _):
+    def body(js, _, masked):
         slot = js % 2
 
         @pl.when(js + 1 < num_super)
@@ -272,20 +272,10 @@ def _prefill_kernel(
         scores = jnp.concatenate(score_rows, axis=0)  # (kvh*QT*g = h*QT, span)
         if softcap is not None:
             scores = softcap * jnp.tanh(scores / softcap)
-        # Interior passes — every lane valid for every row (span wholly
-        # below the tile's FIRST query position, inside the context, and
-        # inside the LAST row's window) — skip mask construction and
-        # application entirely. For a causal tile at long context all
-        # but the diagonal (and window-edge) passes are interior, so the
-        # per-pass iota/compare/where VPU lanes on (h*QT, span) vanish
-        # from the steady state.
-        interior = (
-            ((js + 1) * span - 1 <= pos0)
-            & ((js + 1) * span <= ctx_len)
-            & (js * span >= pos0 + Q_TILE - window)
-        )
-
-        def apply_mask(sc):
+        # `masked` is STATIC per loop range (see the three-range split
+        # below): interior passes compile with no mask construction, no
+        # application, and no per-pass branch at all.
+        if masked:
             k_pos = js * span + iota_span
             causal = (
                 (k_pos <= q_pos[:, None])
@@ -298,14 +288,7 @@ def _prefill_kernel(
                 causal[:, None, :], (Q_TILE, g, span)
             ).reshape(Q_TILE * g, span)
             mask = jnp.concatenate([mask] * num_kv_heads, axis=0)
-            return jnp.where(mask, sc, NEG_INF)
-
-        if interior_skip:
-            scores = jax.lax.cond(
-                interior, lambda sc: sc, apply_mask, scores
-            )
-        else:
-            scores = apply_mask(scores)
+            scores = jnp.where(mask, scores, NEG_INF)
 
         m_prev = m_i[:, 0:1]
         m_new = jnp.maximum(m_prev, jnp.max(scores, axis=-1, keepdims=True))
@@ -334,7 +317,40 @@ def _prefill_kernel(
         m_i[...] = jnp.broadcast_to(m_new, m_i.shape)
         return 0
 
-    jax.lax.fori_loop(first_super, num_super, body, 0)
+    # Three-range pass split: passes wholly below the tile's FIRST query
+    # position, inside the context, and inside the LAST row's window are
+    # INTERIOR — every lane is valid for every row, so the whole
+    # causal/window/context mask (iota + compares + where over
+    # (h*QT, span)) is dead weight there. Splitting the loop makes that
+    # a STATIC property per range: [first, mid_start) masked window
+    # head, [mid_start, mid_end) clean interior, [mid_end, num_super)
+    # masked diagonal + context tail. At long context the interior
+    # range dominates (measured +7-17% at 2-4k ctx on v5e); at
+    # diagonal-only shapes the interior range is empty and the kernel
+    # is exactly the always-masked one (a per-pass lax.cond instead
+    # measured -7% there). MINIVLLM_MASK_SKIP=0 forces single-loop
+    # always-masked (A/B kill-switch).
+    if interior_skip:
+        mid_start = jnp.maximum(
+            first_super,
+            pl.cdiv(jnp.maximum(pos0 + Q_TILE - window, 0), span),
+        )
+        mid_end = jnp.minimum((pos0 + 1) // span, kv_limit // span)
+        mid_start = jnp.clip(mid_start, first_super, num_super)
+        mid_end = jnp.clip(mid_end, mid_start, num_super)
+        jax.lax.fori_loop(
+            first_super, mid_start, lambda js, c: body(js, c, True), 0
+        )
+        jax.lax.fori_loop(
+            mid_start, mid_end, lambda js, c: body(js, c, False), 0
+        )
+        jax.lax.fori_loop(
+            mid_end, num_super, lambda js, c: body(js, c, True), 0
+        )
+    else:
+        jax.lax.fori_loop(
+            first_super, num_super, lambda js, c: body(js, c, True), 0
+        )
     denom = jnp.maximum(l_i[:, 0:1], 1e-30)
     out = acc[...] / denom                            # (h*QT, d) kv-major rows
     # rows are ordered (kv, q_row, g); restore (QT, h, d)
