@@ -42,26 +42,38 @@ class LLMEngine:
         self._exited = False
         self.num_oom_recoveries = 0  # mid-serving OOM recoveries (step())
         # Adaptive speculative-decoding gate state (_spec_gate_open).
-        self._spec_window = (0, 0)  # (drafted, accepted) in the window
+        self._spec_window = (0, 0)  # (opportunities, extra) in the window
         self._spec_cooldown = 0
+        self._spec_backoff = self.SPEC_GATE_COOLDOWN
         atexit.register(self.exit)
 
     # -- setup ---------------------------------------------------------------
 
-    # Adaptive gate for n-gram speculation: a verification pass only
-    # pays for itself when drafts actually get accepted, and acceptance
-    # is a property of the WORKLOAD (repetitive text accepts, fresh
-    # prose does not). Track acceptance over a sliding window of
-    # drafted tokens; when it drops below the threshold, stop proposing
-    # for a cooldown of engine steps, then probe again.
-    SPEC_GATE_WINDOW = 64       # drafted tokens per decision window
-    SPEC_GATE_MIN_ACCEPT = 0.2  # below this, speculation is a net loss
+    # Adaptive gate for n-gram speculation. A fused-spec ITERATION runs
+    # a (k+1)-row verify pass costing ~2-3x a plain decode iteration
+    # (measured, docs/roadmap.md) whether or not any draft exists — so
+    # the gate must charge every OPPORTUNITY (a live sequence in a spec
+    # iteration), not just drafted tokens: a workload that never drafts
+    # (fresh prose) would otherwise never fill a drafted-token window
+    # and speculation would burn 5x rows forever. Track EXTRA tokens
+    # (beyond the one-per-iteration floor) per opportunity; below the
+    # break-even threshold, stop for a cooldown, then probe again.
+    SPEC_GATE_WINDOW = 64      # opportunities per decision window
+    # Extra tokens per live sequence-iteration speculation must deliver.
+    # Break-even is ~1.5-2 at the measured verify/plain cost ratio; 1.0
+    # keeps the probe generous while bounding pathological loss.
+    SPEC_GATE_MIN_EXTRA = 1.0
     # Dispatches to sit out after a miss. One fused dispatch covers a
     # whole K-iteration window (4-8 decode steps), so this is ~50-100
     # generated tokens per sequence — long enough to skip a
     # non-accepting stretch, short enough to re-probe within a typical
     # completion (a workload can turn repetitive mid-generation).
+    # CONSECUTIVE misses back off exponentially up to the cap (each
+    # probe is a full (k+1)-row dispatch; a never-accepting workload
+    # measured -18.5% e2e at a fixed 12-dispatch cooldown, and backoff
+    # bounds that to the first few probes); any hit resets the backoff.
     SPEC_GATE_COOLDOWN = 12
+    SPEC_GATE_COOLDOWN_MAX = 192
 
     def _spec_gate_open(self) -> bool:
         if self._spec_cooldown > 0:
@@ -69,12 +81,34 @@ class LLMEngine:
             return False
         return True
 
-    def _spec_gate_update(self, drafted: int, accepted: int) -> None:
+    def _host_drafts_exist(self, seqs) -> bool:
+        """Cheap host-side probe qualifier: does ANY sequence's trailing
+        n-gram recur in its recent history? Called only while the gate
+        is in escalated backoff; a False answer re-arms the cooldown so
+        the O(S * window) scan itself runs at backoff cadence."""
+        from minivllm_tpu.engine.spec import propose_ngram
+
+        ngram = self.config.speculative_ngram
+        for s in seqs:
+            if propose_ngram(s.token_ids, ngram, 1, window=256):
+                return True
+        self._spec_cooldown = self._spec_backoff
+        self._spec_backoff = min(
+            self._spec_backoff * 2, self.SPEC_GATE_COOLDOWN_MAX
+        )
+        return False
+
+    def _spec_gate_update(self, opportunities: int, extra: int) -> None:
         d, a = self._spec_window
-        d, a = d + drafted, a + accepted
+        d, a = d + opportunities, a + extra
         if d >= self.SPEC_GATE_WINDOW:
-            if a < d * self.SPEC_GATE_MIN_ACCEPT:
-                self._spec_cooldown = self.SPEC_GATE_COOLDOWN
+            if a < d * self.SPEC_GATE_MIN_EXTRA:
+                self._spec_cooldown = self._spec_backoff
+                self._spec_backoff = min(
+                    self._spec_backoff * 2, self.SPEC_GATE_COOLDOWN_MAX
+                )
+            else:
+                self._spec_backoff = self.SPEC_GATE_COOLDOWN
             d, a = 0, 0
         self._spec_window = (d, a)
 
@@ -299,6 +333,12 @@ class LLMEngine:
                 for s in seqs
             )
         )
+        # While in escalated backoff (at least one gate miss), a fused
+        # probe dispatch is only paid if the HOST proposer finds any
+        # draft at all on the current tails — a workload that never
+        # drafts (fresh prose) then never pays another (k+1)-row device
+        # probe; the failed host check itself re-arms the cooldown so
+        # it reruns at backoff cadence, not per dispatch.
         if spec_common and self.config.speculative_fused and all(
             # Greedy rows accept by argmax equality; top-k/top-p/min-p
             # are INERT under argmax (rank 0 always survives). Sampled
@@ -313,6 +353,9 @@ class LLMEngine:
             and s.sampling_params.avoid_top_k == 0
             and s.sampling_params.seed is None
             for s in seqs
+        ) and (
+            self._spec_backoff <= self.SPEC_GATE_COOLDOWN
+            or self._host_drafts_exist(seqs)
         ):
             # FIXED iteration count (the plain window's pow2 cap), NOT
             # scaled to the remaining tokens: speculation advances
@@ -331,7 +374,7 @@ class LLMEngine:
                 Ks //= 2
             if (spec_k + 1) * Ks <= max(hard, 1):
                 mr = self.model_runner
-                drafted_eff = accepted_eff = 0
+                opportunities = extra_eff = 0
                 for cols, cnts, drafted in mr.run_spec_multi(seqs, Ks):
                     live = [0] * len(seqs)
                     for j in range(max(cnts)):
@@ -347,19 +390,18 @@ class LLMEngine:
                             break
                         self.scheduler.postprocess(active, toks)
                         appended += len(active)
-                    # Gate accounting on ACTUAL drafts of sequences that
-                    # were live this iteration (not the k*Ks*S potential
-                    # ceiling — that slammed the cooldown shut whenever
-                    # the first dispatch drafted sparsely, e.g. prompt
-                    # drafts the model does not follow — and not the raw
-                    # runner counters, which overshoot iterations past
-                    # finished sequences inflate).
-                    for i, n_app in enumerate(live):
+                    # Gate accounting: every live sequence in this
+                    # iteration is one OPPORTUNITY (it paid the
+                    # (k+1)-row verify cost regardless of drafting);
+                    # tokens beyond its 1-per-iteration floor are the
+                    # return. Overshoot iterations past finished
+                    # sequences count neither.
+                    for n_app in live:
                         if n_app > 0:
-                            drafted_eff += drafted[i]
-                            accepted_eff += n_app - 1
+                            opportunities += 1
+                            extra_eff += n_app - 1
                 self.model_runner.total_decode_tokens += appended
-                self._spec_gate_update(drafted_eff, accepted_eff)
+                self._spec_gate_update(opportunities, extra_eff)
                 K = 0  # handled
         elif (
             spec_common
@@ -396,8 +438,11 @@ class LLMEngine:
             ]
             if any(drafts):
                 cols = self.model_runner.run_verify(seqs, drafts)
+                # Opportunity = a sequence that was verified this pass
+                # (same semantics as the fused gate: extra tokens per
+                # sequence-verify).
                 self._spec_gate_update(
-                    sum(len(d) for d in drafts),
+                    sum(1 for d in drafts if d),
                     sum(len(c) - 1 for c in cols),
                 )
                 for j in range(max(len(c) for c in cols)):
