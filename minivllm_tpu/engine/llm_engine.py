@@ -45,6 +45,11 @@ class LLMEngine:
         self._spec_window = (0, 0)  # (opportunities, extra) in the window
         self._spec_cooldown = 0
         self._spec_backoff = self.SPEC_GATE_COOLDOWN
+        # Measured decode rates (EMA tokens/s) of fused-spec dispatches
+        # vs plain fused windows — the self-calibrating gate signal.
+        self._spec_rate = None
+        self._plain_rate = None
+        self._spec_dispatch_i = 0
         atexit.register(self.exit)
 
     # -- setup ---------------------------------------------------------------
@@ -74,12 +79,24 @@ class LLMEngine:
     # bounds that to the first few probes); any hit resets the backoff.
     SPEC_GATE_COOLDOWN = 12
     SPEC_GATE_COOLDOWN_MAX = 192
+    # Every Nth spec-eligible dispatch runs the PLAIN window instead,
+    # keeping the plain-rate EMA live for the throughput comparison.
+    SPEC_CALIBRATE_EVERY = 16
 
     def _spec_gate_open(self) -> bool:
         if self._spec_cooldown > 0:
             self._spec_cooldown -= 1
             return False
         return True
+
+    @staticmethod
+    def _ema_rate(prev, tokens: int, dt: float):
+        """EMA tokens/s over dispatches (alpha 0.3 rides out relay
+        jitter while tracking the workload)."""
+        if tokens <= 0 or dt <= 0:
+            return prev
+        rate = tokens / dt
+        return rate if prev is None else 0.7 * prev + 0.3 * rate
 
     def _host_drafts_exist(self, seqs) -> bool:
         """Cheap host-side probe qualifier: does ANY sequence's trailing
@@ -102,7 +119,20 @@ class LLMEngine:
         d, a = self._spec_window
         d, a = d + opportunities, a + extra
         if d >= self.SPEC_GATE_WINDOW:
-            if a < d * self.SPEC_GATE_MIN_EXTRA:
+            # Two independent loss signals: (1) the deterministic
+            # extra-per-opportunity floor — below it speculation cannot
+            # win at ANY cost ratio; (2) the MEASURED throughput of
+            # spec dispatches vs plain fused windows (EMA tokens/s,
+            # recorded in step()) — self-calibrating for the actual
+            # verify/plain cost ratio of this model/batch/hardware,
+            # which a fixed threshold cannot capture (break-even extra
+            # is ~1.5 at 8 seqs but ~3 at 64 on the measured v5e).
+            rate_lose = (
+                self._spec_rate is not None
+                and self._plain_rate is not None
+                and self._spec_rate < self._plain_rate
+            )
+            if a < d * self.SPEC_GATE_MIN_EXTRA or rate_lose:
                 self._spec_cooldown = self._spec_backoff
                 self._spec_backoff = min(
                     self._spec_backoff * 2, self.SPEC_GATE_COOLDOWN_MAX
@@ -372,9 +402,16 @@ class LLMEngine:
             hard = min(self.config.max_model_len - len(s) for s in seqs)
             while Ks > 1 and Ks * (spec_k + 1) > max(hard, 1):
                 Ks //= 2
-            if (spec_k + 1) * Ks <= max(hard, 1):
+            # Periodic CALIBRATION dispatch: every Nth spec-eligible
+            # window runs the plain path instead, so the plain-rate EMA
+            # the throughput gate compares against stays live even when
+            # speculation engages continuously.
+            self._spec_dispatch_i += 1
+            calibrate = self._spec_dispatch_i % self.SPEC_CALIBRATE_EVERY == 0
+            if not calibrate and (spec_k + 1) * Ks <= max(hard, 1):
                 mr = self.model_runner
                 opportunities = extra_eff = 0
+                t_spec = perf_counter()
                 for cols, cnts, drafted in mr.run_spec_multi(seqs, Ks):
                     live = [0] * len(seqs)
                     for j in range(max(cnts)):
@@ -401,6 +438,9 @@ class LLMEngine:
                             opportunities += 1
                             extra_eff += n_app - 1
                 self.model_runner.total_decode_tokens += appended
+                self._spec_rate = self._ema_rate(
+                    self._spec_rate, appended, perf_counter() - t_spec
+                )
                 self._spec_gate_update(opportunities, extra_eff)
                 K = 0  # handled
         elif (
@@ -463,6 +503,7 @@ class LLMEngine:
                 self.model_runner.total_decode_tokens += appended
                 K = 0  # handled; skip the window and single-step paths
         if K > 1:
+            t_plain = perf_counter()
             for step_toks in self.model_runner.run_multi(seqs, K):
                 active, toks = [], []
                 for s, t in zip(seqs, step_toks):
@@ -474,6 +515,10 @@ class LLMEngine:
                 self.scheduler.postprocess(active, toks)
                 appended += len(active)
             self.model_runner.total_decode_tokens += appended
+            if self.config.speculative_num_tokens > 0:
+                self._plain_rate = self._ema_rate(
+                    self._plain_rate, appended, perf_counter() - t_plain
+                )
         elif K == 1:  # K == 0: the speculative branch already appended
             token_ids = self.model_runner.run(seqs, is_prefill)
             self.scheduler.postprocess(
