@@ -103,11 +103,14 @@ class LLMEngine:
         n-gram recur in its recent history? Called only while the gate
         is in escalated backoff; a False answer re-arms the cooldown so
         the O(S * window) scan itself runs at backoff cadence."""
-        from minivllm_tpu.engine.spec import propose_ngram
+        from minivllm_tpu.engine.spec import PROPOSE_WINDOW, propose_ngram
 
         ngram = self.config.speculative_ngram
         for s in seqs:
-            if propose_ngram(s.token_ids, ngram, 1, window=256):
+            # Same window as the device proposer (run_spec_multi): a
+            # narrower host scan would veto probes forever on workloads
+            # whose n-grams recur only deeper in the history.
+            if propose_ngram(s.token_ids, ngram, 1, window=PROPOSE_WINDOW):
                 return True
         self._spec_cooldown = self._spec_backoff
         self._spec_backoff = min(
@@ -222,6 +225,21 @@ class LLMEngine:
         except Exception as e:  # jaxlib XlaRuntimeError
             if "RESOURCE_EXHAUSTED" not in str(e):
                 raise
+            if self.config.multihost and self._process_count() > 1:
+                # Multi-host replicates the scheduler; a LOCAL
+                # preempt-all + shrink + rebuild would diverge
+                # host-visible state (block pool size, preemption order)
+                # from peers that did not OOM — permanently, silently.
+                # Fail fast with an actionable error instead (CLAUDE.md
+                # determinism invariant).
+                raise RuntimeError(
+                    "device OOM during multi-host serving: in-place "
+                    "recovery would diverge the replicated scheduler "
+                    "state across hosts. Restart the serving job with a "
+                    "smaller KV cache (lower gpu_memory_utilization or "
+                    "max_num_seqs); engine state can be preserved with "
+                    "save_state/load_state."
+                ) from e
             self.num_oom_recoveries += 1
             if self.num_oom_recoveries > 16:
                 raise
@@ -234,6 +252,12 @@ class LLMEngine:
                 nb,
             )
             return [], 0  # nothing finished; the caller's loop continues
+
+    @staticmethod
+    def _process_count() -> int:
+        import jax
+
+        return jax.process_count()
 
     def _recover_from_oom(self) -> int:
         """Preempt-all + shrink + rebuild the block pool. The failed
@@ -249,7 +273,12 @@ class LLMEngine:
             s.reset_for_recompute()
         self.scheduler.num_preemptions += len(live)
         # Stale cross-step state computed against the old cache/block ids.
+        # _spec_hist_cache too: its hist/lens arrays were DONATED into
+        # the failed dispatch (invalidated), but the (seq_id, length)
+        # signature still matches after recovery (the failed step
+        # applied nothing) — reuse would crash on deleted arrays.
         self.model_runner._spec = None
+        self.model_runner._spec_hist_cache = None
         nb = self.model_runner.shrink_kv_cache()
         preemptions = self.scheduler.num_preemptions
         self.scheduler = Scheduler(self.config)  # new pool at nb blocks

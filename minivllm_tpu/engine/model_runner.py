@@ -767,9 +767,11 @@ class ModelRunner:
         Greedy rows are bit-identical to plain greedy decoding;
         temperature > 0 rows follow the exact target distribution
         (rejection sampling, engine/spec.py)."""
+        from minivllm_tpu.engine.spec import PROPOSE_WINDOW
+
         k = self.config.speculative_num_tokens
         ngram = self.config.speculative_ngram
-        window = 1024
+        window = PROPOSE_WINDOW
         S = len(seqs)
         self._spec = None
         self.last_logprobs = None

@@ -42,6 +42,13 @@ __all__ = ["propose_ngram", "propose_ngram_device", "accept_or_resample"]
 
 NEG_INF = float(jnp.finfo(jnp.float32).min)
 
+# Backward-scan bound shared by the DEVICE proposer (run_spec_multi) and
+# every host-side proposal/qualifier scan. The engine's gate qualifier
+# must use the same window as the device proposer — a narrower host scan
+# would veto probes whose n-grams recur only deeper in the history,
+# keeping the gate shut on workloads the device WOULD draft for.
+PROPOSE_WINDOW = 1024
+
 
 def _filter_rows(
     rows: jnp.ndarray,
@@ -89,7 +96,7 @@ def propose_ngram(
     token_ids: list[int],
     ngram: int,
     max_draft: int,
-    window: int = 1024,
+    window: int = PROPOSE_WINDOW,
 ) -> list[int]:
     """Draft tokens following the most recent earlier occurrence of the
     trailing `ngram` tokens. Empty when there is no earlier occurrence
@@ -124,7 +131,7 @@ def propose_ngram_device(
     lens: jnp.ndarray,
     ngram: int,
     k: int,
-    window: int = 1024,
+    window: int = PROPOSE_WINDOW,
 ) -> jnp.ndarray:
     """In-jit n-gram proposal over a device-resident history buffer.
 

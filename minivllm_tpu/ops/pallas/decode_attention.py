@@ -551,8 +551,15 @@ def decode_attention(
         jnp.zeros((S_seq,), jnp.int32) if start is None
         else start.astype(jnp.int32)
     )
+    # Work-list window floor: row r's window reaches down to
+    # ctx_len - (qrows-1) + r - window; ctx_seq holds the LAST row's
+    # bound, so build the list with the FIRST row's (lowest) floor —
+    # window + (qrows-1) — or sliding-window models would never fetch
+    # super-blocks holding keys only earlier verify rows attend to.
+    # The kernel's per-row masks and interior check use the true `win`.
+    list_win = win if qrows == 1 else win + (qrows - 1)
     work, n_work = _build_work_list(
-        ctx_seq, win, block_size, W, mblk, start_tok=start_arr
+        ctx_seq, list_win, block_size, W, mblk, start_tok=start_arr
     )
     carry = init_state is not None
     # W8A8 int8 MXU scores (int8-KV only): opt-in via env for A/B

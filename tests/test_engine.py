@@ -386,6 +386,42 @@ def test_mid_serving_oom_recovers_all_requests(tiny_qwen3):
     assert runner.num_blocks < blocks_before
     assert all(len(t) == 12 for t in got)
     assert got == ref, "OOM recovery changed greedy tokens"
+    # Cross-step speculation state computed against the old cache/block
+    # ids must have been dropped (the hist/lens arrays were donated into
+    # the failed dispatch; reuse would touch deleted device arrays).
+    assert runner._spec is None and runner._spec_hist_cache is None
+
+
+def test_multihost_oom_fails_fast(tiny_qwen3, monkeypatch):
+    """Under multi-host serving the scheduler is REPLICATED: a local
+    preempt-all/shrink/rebuild after a device OOM would silently diverge
+    host-visible state from peers that did not OOM. The engine must
+    fail fast with an actionable error instead of recovering locally
+    (CLAUDE.md determinism invariant)."""
+    from minivllm_tpu.engine.llm_engine import LLMEngine
+
+    llm = LLM(Config(
+        model=str(tiny_qwen3), max_num_seqs=4, max_model_len=128,
+        max_num_batched_tokens=128, kvcache_block_size=16,
+        num_kvcache_blocks=64, dtype="float32", attention_impl="xla",
+    ))
+    # Simulate a pod slice without jax.distributed: flag the config and
+    # report >1 processes (initialization itself is covered by
+    # tests/test_multihost.py's real two-process integration).
+    llm.config.multihost = True
+    monkeypatch.setattr(LLMEngine, "_process_count", staticmethod(lambda: 2))
+    runner = llm.model_runner
+
+    def oom(*a, **kw):
+        raise RuntimeError("RESOURCE_EXHAUSTED: Out of memory allocating")
+
+    runner.run = oom
+    runner.run_multi = oom
+    sp = SamplingParams(temperature=0.0, max_tokens=4, ignore_eos=True)
+    with pytest.raises(RuntimeError, match="multi-host"):
+        llm.generate([[1, 5, 9, 2]], sp, use_tqdm=False)
+    assert llm.num_oom_recoveries == 0, "engine must not recover locally"
+    llm.exit()
 
 
 def test_cached_prefill_fuses_into_decode_window(tiny_qwen3):

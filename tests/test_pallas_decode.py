@@ -176,6 +176,66 @@ def test_multi_row_verify_items_match_per_row(quant):
     np.testing.assert_allclose(out, ref, rtol=3e-5, atol=3e-5)
 
 
+def test_multi_row_verify_sliding_window_straddles_super_block():
+    """qrows > 1 + sliding window: the work list is built from the LAST
+    verify row's ctx_lens, but row r's window floor is
+    ctx - (qrows-1) + r - window — up to qrows-1 keys LOWER. With ctx
+    128, window 64, qrows 5 (BS 16, mblk 4 -> 64-key super-blocks) the
+    last row's floor (64) lands in super-block 1 while rows 0-3 still
+    attend keys 60-63 in super-block 0: the list must fetch it (the
+    regression dropped those keys silently for sliding-window models
+    under fused speculation)."""
+    from minivllm_tpu.ops.attention import make_quantized_cache  # noqa: F401
+
+    rng = np.random.default_rng(13)
+    kvh, h, d, K1, window = 2, 4, 128, 5, 64
+    ctx_last = [128, 80]  # 128 straddles; 80's floor stays in sb 0
+    S = len(ctx_last)
+    num_blocks = 64
+    slots_total = (num_blocks + 1) * BS
+    kc = jnp.zeros((slots_total, kvh, d), jnp.float32)
+    vc = jnp.zeros_like(kc)
+    W = max(1, -(-max(ctx_last) // BS))
+    tables = np.full((S, W), num_blocks, np.int32)
+    nxt = 0
+    for s, L in enumerate(ctx_last):
+        nb = -(-L // BS)
+        tables[s, :nb] = range(nxt, nxt + nb)
+        nxt += nb
+        slots = np.array(
+            [tables[s, i // BS] * BS + i % BS for i in range(L)], np.int32
+        )
+        k = rng.standard_normal((L, kvh, d)).astype(np.float32)
+        v = rng.standard_normal((L, kvh, d)).astype(np.float32)
+        kc, vc = store_kv(
+            kc, vc, jnp.asarray(k), jnp.asarray(v), jnp.asarray(slots)
+        )
+    q = jnp.asarray(rng.standard_normal((S * K1, h, d)).astype(np.float32))
+    ctx_rows = np.array(
+        [[L - (K1 - 1) + i for i in range(K1)] for L in ctx_last], np.int32
+    ).reshape(-1)
+    meta_rows = DecodeBatch(
+        input_ids=jnp.zeros(S * K1, jnp.int32),
+        positions=jnp.asarray(ctx_rows - 1),
+        slot_mapping=jnp.zeros(S * K1, jnp.int32),
+        block_tables=jnp.asarray(np.repeat(tables, K1, axis=0)),
+        ctx_lens=jnp.asarray(ctx_rows),
+    )
+    ref = np.asarray(
+        pdec.decode_attention(
+            q, kc, vc, meta_rows, 0.125, BS,
+            window=jnp.int32(window), interpret=True,
+        )
+    )
+    out = np.asarray(
+        pdec.decode_attention(
+            q, kc, vc, meta_rows, 0.125, BS,
+            window=jnp.int32(window), interpret=True, qrows=K1,
+        )
+    )
+    np.testing.assert_allclose(out, ref, rtol=3e-5, atol=3e-5)
+
+
 def test_bf16_cache():
     rng = np.random.default_rng(1)
     q, kc, vc, meta = build_case(rng, [29, 50], 2, 4, 128, dtype=jnp.bfloat16)
