@@ -207,7 +207,8 @@ class LLMEngine:
     def step(self) -> tuple[list[tuple[int, list[int], list | None, list | None]], int]:
         """One engine step. Returns (finished outputs, ±token count):
         finished entries are (seq_id, completion token ids, logprob entries
-        or None, prompt-logprob entries or None); positive counts are
+        or None, prompt-logprob entries or None, (finish_reason,
+        stop_reason, stop-truncated text or None)); positive counts are
         prefill tokens, negative decode tokens (reference convention,
         llm_engine.py:203-251).
 
@@ -286,6 +287,32 @@ class LLMEngine:
         for s in live:
             self.scheduler.add(s)
         return nb
+
+    def _check_stop_strings(self, seqs) -> None:
+        """Finish sequences whose generated text now contains one of
+        their stop strings (SamplingParams.stop). Called after every
+        postprocess batch, so a match terminates within ONE decode
+        window: remaining fused iterations skip the finished sequence
+        and its KV blocks free here, not at max_tokens. Host-replica
+        deterministic (same tokenizer everywhere)."""
+        if self.tokenizer is None:
+            return
+        from minivllm_tpu.utils.detok import StopStringMatcher
+
+        for s in seqs:
+            sp = s.sampling_params
+            if s.is_finished or not sp.stop:
+                continue
+            if s.stop_matcher is None:
+                s.stop_matcher = StopStringMatcher(
+                    self.tokenizer, sp.stop, sp.include_stop_str_in_output
+                )
+            hit = s.stop_matcher.check(s.completion_token_ids)
+            if hit is None:
+                continue
+            s.output_text, s.stop_reason = hit
+            s.finish_reason = "stop"
+            self.scheduler.abort(s)  # frees blocks, marks FINISHED
 
     def _step_inner(self) -> tuple[list[tuple[int, list[int], list | None, list | None]], int]:
         t0 = perf_counter()
@@ -455,6 +482,7 @@ class LLMEngine:
                         if not active:
                             break
                         self.scheduler.postprocess(active, toks)
+                        self._check_stop_strings(active)
                         appended += len(active)
                     # Gate accounting: every live sequence in this
                     # iteration is one OPPORTUNITY (it paid the
@@ -528,6 +556,7 @@ class LLMEngine:
                     if not active:
                         break
                     self.scheduler.postprocess(active, toks)
+                    self._check_stop_strings(active)
                     appended += len(active)
                 self.model_runner.total_decode_tokens += appended
                 K = 0  # handled; skip the window and single-step paths
@@ -542,6 +571,7 @@ class LLMEngine:
                 if not active:
                     break
                 self.scheduler.postprocess(active, toks)
+                self._check_stop_strings(active)
                 appended += len(active)
             self.model_runner.total_decode_tokens += appended
             if self.config.speculative_num_tokens > 0:
@@ -553,6 +583,7 @@ class LLMEngine:
             self.scheduler.postprocess(
                 seqs, token_ids, self.model_runner.last_logprobs
             )
+            self._check_stop_strings(seqs)
             appended = len(seqs)
         now = perf_counter()
         if is_prefill:
@@ -578,6 +609,11 @@ class LLMEngine:
                 seq.prompt_logprobs
                 if seq.sampling_params.prompt_logprobs is not None
                 else None,
+                # Finish info: (finish_reason, stop_reason, stop-truncated
+                # text or None). token_ids may extend past a stop-string
+                # match within the same fused window; callers rendering
+                # text prefer the truncated form.
+                (seq.finish_reason, seq.stop_reason, seq.output_text),
             )
             for seq in seqs
             if seq.is_finished
@@ -946,6 +982,7 @@ class LLMEngine:
         outputs: dict[int, list[int]] = {}
         logprob_map: dict[int, list | None] = {}
         plp_map: dict[int, list | None] = {}
+        fin_map: dict[int, tuple] = {}
         prefill_tp = decode_tp = 0.0
         while not self.is_finished():
             t = perf_counter()
@@ -962,10 +999,11 @@ class LLMEngine:
                         "Decode": f"{int(decode_tp)} tok/s",
                     }
                 )
-            for seq_id, token_ids, logprobs, prompt_logprobs in finished:
+            for seq_id, token_ids, logprobs, prompt_logprobs, fin in finished:
                 outputs[seq_id] = token_ids
                 logprob_map[seq_id] = logprobs
                 plp_map[seq_id] = prompt_logprobs
+                fin_map[seq_id] = fin
                 if pbar is not None:
                     pbar.update(1)
         if pbar is not None:
@@ -980,7 +1018,18 @@ class LLMEngine:
             texts = ["" for _ in ordered]
         results = []
         for i, (t, ids) in enumerate(zip(texts, ordered)):
-            out: dict[str, Any] = {"text": t, "token_ids": ids}
+            reason, stop_reason, stop_text = fin_map.get(
+                id_order[i], (None, None, None)
+            )
+            out: dict[str, Any] = {
+                # A stop-string finish carries the exactly-truncated text
+                # (token ids may extend past the match within the window).
+                "text": stop_text if stop_text is not None else t,
+                "token_ids": ids,
+                "finish_reason": reason,
+            }
+            if stop_reason is not None:
+                out["stop_reason"] = stop_reason
             lp = logprob_map.get(id_order[i])
             if lp is not None:
                 out["logprobs"] = lp

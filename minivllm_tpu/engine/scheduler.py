@@ -211,13 +211,22 @@ class Scheduler:
             seq.num_computed_tokens = len(seq)
             self.block_manager.on_token_appended(seq)
             sp = seq.sampling_params
-            finished = (
-                (not sp.ignore_eos and token_id == self.eos)
-                or seq.num_completion_tokens >= sp.max_tokens
-                or len(seq) >= self.config.max_model_len
+            is_eos = not sp.ignore_eos and token_id == self.eos
+            is_stop_tok = (
+                sp.stop_token_ids is not None
+                and token_id in sp.stop_token_ids
             )
-            if finished:
-                seq.status = SequenceStatus.FINISHED
-                self._by_id.pop(seq.seq_id, None)
-                self.block_manager.deallocate(seq)
-                self.running.remove(seq)
+            if is_eos or is_stop_tok:
+                seq.finish_reason = "stop"
+                seq.stop_reason = token_id if is_stop_tok else None
+            elif (
+                seq.num_completion_tokens >= sp.max_tokens
+                or len(seq) >= self.config.max_model_len
+            ):
+                seq.finish_reason = "length"
+            else:
+                continue
+            seq.status = SequenceStatus.FINISHED
+            self._by_id.pop(seq.seq_id, None)
+            self.block_manager.deallocate(seq)
+            self.running.remove(seq)

@@ -68,6 +68,19 @@ class Sequence:
         # Mirostat running surprise bound (sampling_params.mirostat > 0);
         # None until the first sampled token initializes it to 2 * tau.
         self.mirostat_mu: float | None = None
+        # Why generation ended: "stop" (EOS / stop token / stop string)
+        # or "length" (max_tokens / model length); None while live.
+        self.finish_reason: str | None = None
+        # The stop trigger when finish_reason == "stop": the matched
+        # stop STRING, the stop token id, or None for plain EOS.
+        self.stop_reason: int | str | None = None
+        # Completion text truncated at a stop-string match, set by the
+        # engine's stop checker; callers prefer it over re-decoding
+        # (token ids may extend past the match within the same window).
+        self.output_text: str | None = None
+        # Lazy per-request StopStringMatcher (engine-owned; host state
+        # only, survives preemption because completion tokens do).
+        self.stop_matcher = None
 
     # -- token/block math ----------------------------------------------------
 

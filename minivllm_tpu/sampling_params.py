@@ -56,6 +56,20 @@ class SamplingParams:
     # Disables prefix-cache reuse for the request: every prompt position
     # must actually be computed to have logits.
     prompt_logprobs: int | None = None
+    # Stop strings: generation TERMINATES (KV blocks freed, no further
+    # decode capacity burned) within one decode window of the first
+    # occurrence of any of these in the generated text; the returned
+    # text is truncated at the match (OpenAI `stop`). Requires a
+    # tokenizer. A bare string is normalized to a one-element list.
+    stop: str | list[str] | None = None
+    # Token ids that end generation like EOS (checked token-level in the
+    # scheduler; independent of ignore_eos, which only gates the model
+    # EOS id). The matched id IS included in the returned token ids and
+    # reported as the request's stop_reason.
+    stop_token_ids: list[int] | None = None
+    # Keep the matched stop string in the output text (off = OpenAI
+    # default truncation BEFORE the stop string).
+    include_stop_str_in_output: bool = False
 
     def __post_init__(self) -> None:
         if self.temperature < 0:
@@ -97,6 +111,24 @@ class SamplingParams:
                 f"prompt_logprobs must be None or in [0, 20], "
                 f"got {self.prompt_logprobs}"
             )
+        if isinstance(self.stop, str):
+            self.stop = [self.stop]
+        if self.stop is not None:
+            if not all(isinstance(s, str) and s for s in self.stop):
+                raise ValueError(
+                    f"stop must be a non-empty string or list of "
+                    f"non-empty strings, got {self.stop!r}"
+                )
+            self.stop = list(self.stop)
+        if self.stop_token_ids is not None:
+            if not all(
+                isinstance(t, int) and t >= 0 for t in self.stop_token_ids
+            ):
+                raise ValueError(
+                    f"stop_token_ids must be non-negative ints, "
+                    f"got {self.stop_token_ids!r}"
+                )
+            self.stop_token_ids = list(self.stop_token_ids)
 
     @property
     def is_greedy(self) -> bool:

@@ -59,6 +59,9 @@ class _Request:
         self.logprobs: list | None = None  # set at finish when requested
         self.prompt_logprobs: list | None = None  # echo + logprobs
         self.cancelled = False  # set by AsyncEngine.abort
+        self.finish_reason: str | None = None  # "stop" | "length"
+        self.stop_reason: int | str | None = None
+        self.output_text: str | None = None  # stop-string truncated text
 
 
 _DONE = object()
@@ -226,12 +229,13 @@ class AsyncEngine:
                 self._live.clear()
                 continue
             self._flush_progress()
-            for seq_id, token_ids, logprobs, prompt_logprobs in finished:
+            for seq_id, token_ids, logprobs, prompt_logprobs, fin in finished:
                 req = self._live.pop(seq_id, None)
                 if req is None:
                     continue
                 req.logprobs = logprobs
                 req.prompt_logprobs = prompt_logprobs
+                req.finish_reason, req.stop_reason, req.output_text = fin
                 tail = token_ids[req.emitted :]
                 if tail:
                     req.chunks.put(tail)
@@ -277,6 +281,13 @@ def _sampling_params(
         ignore_eos=bool(body.get("ignore_eos", False)),
         logprobs=lp,
         prompt_logprobs=lp if (echo and lp is not None) else None,
+        # Engine-level stops: generation TERMINATES at the match (KV
+        # freed within one decode window), not just text truncation.
+        stop=body.get("stop") or None,
+        stop_token_ids=body.get("stop_token_ids") or None,
+        include_stop_str_in_output=bool(
+            body.get("include_stop_str_in_output", False)
+        ),
     )
 
 
@@ -452,14 +463,21 @@ def create_server(
                 return  # client gone; blocks already freed via abort
             except Exception as e:
                 return self._error(400, str(e))
-            text = self._decode(token_ids)
-            text, stopped = _truncate_at_stop(text, stops)
+            if req.output_text is not None:
+                # Engine stop-string finish: exactly-truncated text
+                # (token ids may overrun the match within one window).
+                text, stopped = req.output_text, True
+            else:
+                text = self._decode(token_ids)
+                text, stopped = _truncate_at_stop(text, stops)
             text = echo_text + text
-            finish = "stop" if stopped or (
+            finish = req.finish_reason or ("stop" if stopped or (
                 token_ids and token_ids[-1] == engine.config.eos
                 and not params.ignore_eos
-            ) else ("length" if len(token_ids) >= params.max_tokens else "stop")
+            ) else ("length" if len(token_ids) >= params.max_tokens else "stop"))
             choice: dict[str, Any] = {"index": 0, "finish_reason": finish}
+            if req.stop_reason is not None:
+                choice["stop_reason"] = req.stop_reason
             if chat:
                 choice["message"] = {"role": "assistant", "content": text}
             else:
@@ -533,10 +551,18 @@ def create_server(
                         }))
                     if stopped:
                         break
-                finish = "stop" if stopped else (
+                if stopped:
+                    # The engine finishes stop-string requests itself
+                    # (params carry `stop`), but if this client-side
+                    # match fired first — or the engine ran without a
+                    # tokenizer — cancel the generation NOW so its KV
+                    # blocks free instead of decoding to max_tokens
+                    # invisibly (abort of a finished request is a no-op).
+                    async_engine.abort(req)
+                finish = req.finish_reason or ("stop" if stopped else (
                     "length" if len(all_ids) >= req.params.max_tokens
                     else "stop"
-                )
+                ))
                 final = {"delta": {}, "index": 0, "finish_reason": finish} \
                     if chat else {"text": "", "index": 0, "finish_reason": finish}
                 if req.logprobs is not None or req.prompt_logprobs is not None:

@@ -132,6 +132,87 @@ def test_streaming_matches_nonstream(served):
     assert text == full["choices"][0]["text"]
 
 
+def test_stop_terminates_generation_nonstream(served):
+    """`stop` must END generation at the match (engine-level), not just
+    truncate the response text: completion_tokens stays far below
+    max_tokens and the engine is idle right after the response."""
+    base, eng = served
+    tok = eng.engine.tokenizer
+    body = {"prompt": "hello world", "max_tokens": 48, "temperature": 0.0,
+            "ignore_eos": True}
+    _, full = post(base, "/v1/completions", body)
+    assert full["usage"]["completion_tokens"] == 48
+    # a word the model actually generates, mid-completion
+    words = full["choices"][0]["text"].split()
+    word = words[5]
+    code, r = post(base, "/v1/completions", {**body, "stop": word})
+    assert code == 200, r
+    assert r["choices"][0]["finish_reason"] == "stop"
+    assert r["choices"][0]["stop_reason"] == word
+    assert word not in r["choices"][0]["text"]
+    assert full["choices"][0]["text"].startswith(r["choices"][0]["text"])
+    # terminated within one decode window of the match — not at 48
+    n = r["usage"]["completion_tokens"]
+    assert n < 24, f"stop did not terminate generation ({n} tokens)"
+    assert eng.engine.is_finished(), "request still decoding after stop"
+
+
+def test_stop_terminates_generation_stream(served):
+    """Streaming stop: the SSE stream ends at the match AND the request
+    is actually finished (blocks freed) — the regression left it
+    decoding to max_tokens invisibly with KV blocks held."""
+    base, eng = served
+    body = {"prompt": "lazy dog sat", "max_tokens": 48, "temperature": 0.0,
+            "ignore_eos": True}
+    _, full = post(base, "/v1/completions", body)
+    word = full["choices"][0]["text"].split()[4]
+    req = urllib.request.Request(
+        base + "/v1/completions",
+        data=json.dumps({**body, "stop": word, "stream": True}).encode(),
+        headers={"Content-Type": "application/json"}, method="POST",
+    )
+    text, finish = "", None
+    with urllib.request.urlopen(req, timeout=300) as r:
+        for raw in r:
+            line = raw.decode().strip()
+            if not line.startswith("data: "):
+                continue
+            payload = line[len("data: "):]
+            if payload == "[DONE]":
+                break
+            ch = json.loads(payload)["choices"][0]
+            text += ch.get("text", "")
+            if ch["finish_reason"]:
+                finish = ch["finish_reason"]
+    assert finish == "stop"
+    assert word not in text
+    # no invisible post-stop decoding: the engine drains promptly (the
+    # abort/finish lands at the next loop iteration)
+    import time as _t
+    deadline = _t.monotonic() + 10
+    while not eng.engine.is_finished() and _t.monotonic() < deadline:
+        _t.sleep(0.05)
+    assert eng.engine.is_finished(), "request still decoding after stop"
+    bm = eng.engine.scheduler.block_manager
+    assert bm.num_free_blocks == bm.num_blocks  # all KV blocks freed
+
+
+def test_stop_token_ids_http(served):
+    base, eng = served
+    body = {"prompt": "hello world", "max_tokens": 48, "temperature": 0.0,
+            "ignore_eos": True}
+    _, full = post(base, "/v1/completions", body)
+    tok = eng.engine.tokenizer
+    ids = tok.encode(full["choices"][0]["text"])
+    target = ids[6]
+    code, r = post(base, "/v1/completions",
+                   {**body, "stop_token_ids": [target]})
+    assert code == 200, r
+    assert r["choices"][0]["finish_reason"] == "stop"
+    assert r["choices"][0]["stop_reason"] == target
+    assert r["usage"]["completion_tokens"] == ids.index(target) + 1
+
+
 def test_error_paths(served):
     base, _ = served
     code, r = post(base, "/v1/completions", {"max_tokens": 4})
