@@ -115,6 +115,12 @@ def main() -> None:
         "(extraction/quoting-like text where prompt lookup fires)",
     )
     p.add_argument("--temperature", type=float, default=0.7)
+    p.add_argument(
+        "--n", type=int, default=1,
+        help="completions per prompt (KV-forked siblings); the prompt "
+        "count shrinks to num-seqs//n so live-sequence concurrency "
+        "matches the n=1 run — A/B: --n 4 vs default",
+    )
     p.add_argument("--passes", type=int, default=2)
     p.add_argument(
         "--cached", action="store_true",
@@ -178,7 +184,10 @@ def main() -> None:
         return list(rng.integers(1, vocab, size=args.prompt_len))
 
     def prompt_set():
-        return [system + one_prompt() for _ in range(args.num_seqs)]
+        return [
+            system + one_prompt()
+            for _ in range(max(1, args.num_seqs // args.n))
+        ]
 
     # Fresh prompts per pass measure cold serving (real prefill each
     # pass); --cached reuses one set, measuring fully prefix-cached
@@ -190,7 +199,7 @@ def main() -> None:
     ]
     sp = SamplingParams(
         temperature=args.temperature, top_p=0.95,
-        max_tokens=args.max_tokens, ignore_eos=True,
+        max_tokens=args.max_tokens, ignore_eos=True, n=args.n,
     )
 
     llm.generate(first, sp, use_tqdm=False)  # warm compile buckets
@@ -199,7 +208,10 @@ def main() -> None:
     t0 = time.perf_counter()
     for prompts in sets:
         outs = llm.generate(prompts, sp, use_tqdm=False)
-        gen += sum(len(o["token_ids"]) for o in outs)
+        gen += sum(
+            sum(len(c["token_ids"]) for c in o.get("completions", [o]))
+            for o in outs
+        )
     elapsed = time.perf_counter() - t0
     stats = llm.get_stats()
     print(json.dumps({
@@ -211,7 +223,7 @@ def main() -> None:
             "max_tokens": args.max_tokens, "quant": args.quant,
             "kv_dtype": args.kv_dtype, "multi_step": args.multi_step,
             "batched_tokens": args.batched_tokens, "cached": args.cached,
-            "shared_prefix": args.shared_prefix,
+            "shared_prefix": args.shared_prefix, "n": args.n,
         },
         "shared_prefix_steps": stats.get("shared_prefix_steps", 0),
         "ngram_spec_steps": stats.get("ngram_spec_steps", 0),

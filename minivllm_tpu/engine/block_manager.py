@@ -164,6 +164,54 @@ class BlockManager:
         if seq.num_cached_tokens >= len(seq):
             seq.num_cached_tokens = len(seq) - 1
 
+    def shared_fork_blocks(self, parent: Sequence, child: Sequence) -> int:
+        """Blocks of `parent`'s table that `child` can share at fork:
+        the FULL blocks covering the (identical) prompt. The partial
+        tail block diverges on the first generated token and is never
+        shared (reference refcount semantics:
+        /root/reference/minivllm/engine/block_manager.py:346-364).
+        0 when the parent's table is gone (preempted/finished) or its
+        prompt KV is not computed yet."""
+        shared = child.num_prompt_tokens // self.block_size
+        if (
+            parent.block_table is None
+            or len(parent.block_table) < shared
+            or parent.num_computed_tokens < shared * self.block_size
+        ):
+            return 0
+        return shared
+
+    def can_fork(self, parent: Sequence, child: Sequence) -> bool:
+        shared = self.shared_fork_blocks(parent, child)
+        return child.num_blocks - shared <= self.num_free_blocks
+
+    def fork(self, parent: Sequence, child: Sequence) -> None:
+        """Copy-on-write fork: child's table references the parent's
+        full prompt blocks (refcount++, no KV copy, no hashing), fresh
+        blocks cover the tail. child.num_cached_tokens marks the shared
+        prefix so prefill recomputes only the partial tail (at most
+        block_size tokens; the divergence point). If the prompt is
+        block-aligned the child still recomputes its final prompt token,
+        rewriting that shared slot with identical values (the same
+        benign rewrite speculative verification performs)."""
+        if child.block_table:
+            raise RuntimeError(f"seq {child.seq_id} already has a block table")
+        shared = self.shared_fork_blocks(parent, child)
+        if shared == 0:
+            return self.allocate(child)
+        for block_id in parent.block_table[:shared]:
+            block = self.blocks[block_id]
+            if block.ref_count <= 0:
+                raise RuntimeError(f"forking freed block {block_id}")
+            block.ref_count += 1
+            child.block_table.append(block_id)
+        child.num_cached_tokens = min(
+            shared * self.block_size, len(child) - 1
+        )
+        for i in range(shared, child.num_blocks):
+            block = self._take_block(self.free_block_ids[0])
+            child.block_table.append(block.block_id)
+
     def deallocate(self, seq: Sequence) -> None:
         """Drop all references to the sequence's blocks (freed blocks keep
         their hash in the index for resurrection)."""

@@ -50,6 +50,8 @@ class LLMEngine:
         self._spec_rate = None
         self._plain_rate = None
         self._spec_dispatch_i = 0
+        # n>1 sibling bookkeeping: primary seq_id -> all sibling ids.
+        self._families: dict[int, list[int]] = {}
         atexit.register(self.exit)
 
     # -- setup ---------------------------------------------------------------
@@ -186,6 +188,13 @@ class LLMEngine:
         prompt: str | list[int],
         sampling_params: SamplingParams | None = None,
     ) -> int:
+        """Enqueue one request; returns its seq_id. `sampling_params.n > 1`
+        enqueues n sibling sequences that FORK the prompt's KV blocks
+        copy-on-write (scheduler admission + block_manager.fork): the
+        prompt prefills once, siblings share its full blocks by refcount
+        and recompute only the partial tail, and the shared-prefix decode
+        grouping picks them up. Returns the primary sibling's id;
+        `family(primary_id)` lists all n ids (primary first)."""
         if sampling_params is None:
             sampling_params = SamplingParams()
         if isinstance(prompt, str):
@@ -197,12 +206,55 @@ class LLMEngine:
             prompt_tokens: list[int] = self.tokenizer.encode(prompt)
         else:
             prompt_tokens = list(prompt)
-        seq = Sequence(
-            prompt_tokens, sampling_params, block_size=self.config.kvcache_block_size
-        )
-        seq.arrival_time = perf_counter()
-        self.scheduler.add(seq)
-        return seq.seq_id
+        n = sampling_params.n
+        if n == 1:
+            seq = Sequence(
+                prompt_tokens, sampling_params,
+                block_size=self.config.kvcache_block_size,
+            )
+            seq.arrival_time = perf_counter()
+            self.scheduler.add(seq)
+            return seq.seq_id
+        import dataclasses
+
+        ids: list[int] = []
+        parent: Sequence | None = None
+        for i in range(n):
+            # Sibling i of a seeded request draws with seed + i:
+            # deterministic, distinct streams, and identical to an
+            # independent request with that seed (seeded draws depend
+            # on (seed, position) only — sampling/ops._row_keys).
+            sp_i = dataclasses.replace(
+                sampling_params,
+                n=1,
+                seed=(
+                    None if sampling_params.seed is None
+                    else (sampling_params.seed + i) % (2**31)
+                ),
+            )
+            seq = Sequence(
+                prompt_tokens, sp_i,
+                block_size=self.config.kvcache_block_size,
+            )
+            seq.arrival_time = perf_counter()
+            if parent is None:
+                parent = seq
+            else:
+                seq.fork_from = parent
+            self.scheduler.add(seq)
+            ids.append(seq.seq_id)
+        self._families[ids[0]] = ids
+        return ids[0]
+
+    def family(self, primary_id: int) -> list[int]:
+        """All sibling seq_ids of an n>1 request (primary first); a plain
+        request maps to itself."""
+        return self._families.get(primary_id, [primary_id])
+
+    def pop_family(self, primary_id: int) -> list[int]:
+        """family() + drop the bookkeeping entry (call once the caller
+        has bound the sibling ids)."""
+        return self._families.pop(primary_id, [primary_id])
 
     def step(self) -> tuple[list[tuple[int, list[int], list | None, list | None]], int]:
         """One engine step. Returns (finished outputs, ±token count):
@@ -221,10 +273,12 @@ class LLMEngine:
         OOM retry, attention_backend.py:596-614). Each step dispatches
         the device at most once and fetches results before any host
         bookkeeping, so a failed step applies nothing."""
+        from minivllm_tpu.engine.model_runner import is_device_oom
+
         try:
             return self._step_inner()
         except Exception as e:  # jaxlib XlaRuntimeError
-            if "RESOURCE_EXHAUSTED" not in str(e):
+            if not is_device_oom(e):
                 raise
             if self.config.multihost and self._process_count() > 1:
                 # Multi-host replicates the scheduler; a LOCAL
@@ -431,13 +485,13 @@ class LLMEngine:
             # rows use exact rejection sampling with those filters
             # applied to the verify distribution (engine/spec.py
             # accept_or_resample(filters=...)), so the standard serving
-            # point (temp 0.7, top_p 0.95) speculates too. typical_p and
-            # avoid_top_k can exclude the argmax and reorder the kept
-            # set, and per-request seeds need the positional key chain —
-            # those still disable speculation.
+            # point (temp 0.7, top_p 0.95) speculates too, and so do
+            # per-request seeds (accept_or_resample derives per-row
+            # (seed, position) key chains). typical_p and avoid_top_k
+            # can exclude the argmax and reorder the kept set — those
+            # still disable speculation.
             s.sampling_params.typical_p >= 1.0
             and s.sampling_params.avoid_top_k == 0
-            and s.sampling_params.seed is None
             for s in seqs
         ) and (
             self._spec_backoff <= self.SPEC_GATE_COOLDOWN
@@ -719,27 +773,32 @@ class LLMEngine:
         max_tokens: list[int] | None = None,
         sampled: bool = True,
         prefill_buckets: bool = True,
-        logprob_variants: bool = False,
+        aux_variants: bool = True,
     ) -> int:
-        """Precompile the serving working set at boot (roadmap "bucket
-        precompile"): drives dummy generations through every decode
-        batch-size bucket at the dominant fused-decode window and the
-        single-step path, then (prefill_buckets=True) through every
-        prefill TOKEN bucket at both block-table-width classes — one
-        single-prompt run at each bucket's shortest and longest length,
-        plus one max_model_len prompt for the chunked-prefill chain — in
-        greedy and (optionally) filtered-sampling variants, so
-        first-request latency at ANY prompt length excludes bucket
-        compiles (~10-60s each through a compile relay; the persistent
-        compile cache then makes this a once-per-binary cost).
-        `logprob_variants` additionally warms the logprob step variants
-        (off by default: logprob traffic is rare and compiles lazily).
+        """Precompile the serving working set at boot (reference analog:
+        device-graph capture for EVERY decode batch size at init,
+        inference_executor.py:823-920 — no runtime capture ever).
+
+        Coverage (a first compile through the relay is a 10-60 s
+        mid-traffic stall; the persistent compile cache makes warmup a
+        once-per-binary cost):
+        - every decode batch bucket x BOTH block-table width classes
+          (model_runner._width_class collapses widths to two) x every
+          power-of-two fused window + single-step, greedy and filtered;
+        - (prefill_buckets) every prefill token bucket boundary and the
+          chunked-prefill chain via a prompt-length sweep;
+        - (aux_variants) the logprob / penalty / prompt-logprob program
+          variants, incl. combinations (logprobs ride a FIXED top-20
+          program; penalty histories quantize to two length classes),
+          plus typical_p / seeded / mirostat at the single-step and
+          dominant-window paths.
 
         Prefix caching is suspended for the dummy prompts, so warmup
         neither pollutes the block hash table nor short-circuits its own
-        prefill shapes. Buckets not covered (unusual decode-batch x
-        block-table-width combinations, penalty variants) still compile
-        lazily on first hit. Returns the number of warmup generations."""
+        prefill shapes. Still lazily compiled: typical_p/seeded requests
+        at NON-dominant fused windows (they occur only near a request's
+        completion) and shared-prefix group dispatches (shapes follow
+        runtime group structure). Returns the number of generations."""
         import dataclasses
 
         import numpy as np
@@ -763,50 +822,114 @@ class LLMEngine:
                 max_tokens.add(w + 1)
                 w *= 2
             max_tokens = sorted(max_tokens)
+        mt_max = max(max_tokens)
+        bs = cfg.kvcache_block_size
         if prompt_len is None:
             prompt_len = max(16, min(cfg.max_model_len // 4, 256))
-        prompt_len = min(prompt_len, cfg.max_model_len - max(max_tokens) - 1)
+        prompt_len = min(prompt_len, cfg.max_model_len - mt_max - 1)
+        # One representative prompt length per decode table-width class
+        # (model_runner._width_class: {2, 8, cap}); entries exist only
+        # where the model length reaches the class.
+        width_lens = [max(1, min(prompt_len, 2 * bs - mt_max - 1))]
+        for L in (4 * bs, 8 * bs + 1):
+            if L + mt_max + 1 <= cfg.max_model_len and L not in width_lens:
+                width_lens.append(L)
         variants = [SamplingParams(temperature=0.0, ignore_eos=True)]
         if sampled:
             variants.append(
                 SamplingParams(temperature=0.8, top_p=0.95, ignore_eos=True)
             )
-        if logprob_variants:
-            variants.append(
-                SamplingParams(temperature=0.0, ignore_eos=True, logprobs=1)
-            )
+        # Aux program variants (single-step path; lp/pen/mirostat gate
+        # the fused window off). FLAG combinations are distinct
+        # programs: (with_filters, logprobs, penalties-hist, typical,
+        # seeded, mirostat) — warm the reachable pairings users hit.
+        aux: list[SamplingParams] = []
+        aux_win: list[SamplingParams] = []
+        if aux_variants:
+            aux = [
+                SamplingParams(temperature=0.0, ignore_eos=True, logprobs=0),
+                SamplingParams(
+                    temperature=0.8, top_p=0.95, ignore_eos=True, logprobs=0
+                ),
+                SamplingParams(
+                    temperature=0.8, top_p=0.95, ignore_eos=True,
+                    repetition_penalty=1.05,
+                ),
+                SamplingParams(
+                    temperature=0.8, top_p=0.95, ignore_eos=True,
+                    repetition_penalty=1.05, logprobs=0,
+                ),
+                SamplingParams(
+                    temperature=0.0, ignore_eos=True, prompt_logprobs=0
+                ),
+                SamplingParams(
+                    temperature=0.8, top_p=0.95, ignore_eos=True,
+                    logprobs=0, prompt_logprobs=0,
+                ),
+                SamplingParams(
+                    temperature=0.8, ignore_eos=True, mirostat=2
+                ),
+                # top_k > 64 selects the WIDE candidate pool programs
+                # (sampling/ops.candidate_pool).
+                SamplingParams(
+                    temperature=0.8, top_k=128, ignore_eos=True
+                ),
+            ]
+            # typical_p / seeded DO use fused windows: warm their
+            # single-step and dominant-window programs (other windows
+            # occur only near completion and stay lazy).
+            aux_win = [
+                SamplingParams(
+                    temperature=0.8, typical_p=0.9, ignore_eos=True
+                ),
+                SamplingParams(temperature=0.8, seed=7, ignore_eos=True),
+            ]
         vocab = int(getattr(cfg.hf_config, "vocab_size", 1000))
         rng = np.random.default_rng(0)
         saved = self.scheduler.block_manager.enable_prefix_caching
         self.scheduler.block_manager.enable_prefix_caching = False
         runs = 0
+
+        def fits(S: int, L: int, mt: int) -> bool:
+            need = S * (-(-(L + mt + 1) // bs))
+            return need <= int(0.9 * cfg.num_kvcache_blocks)
+
+        def gen(S: int, L: int, sp: SamplingParams, mt: int) -> None:
+            nonlocal runs
+            if L + mt + 1 > cfg.max_model_len or not fits(S, L, mt):
+                return
+            prompts = [
+                [int(t) for t in rng.integers(1, vocab, L)]
+                for _ in range(S)
+            ]
+            self._warmup_generate(
+                prompts, dataclasses.replace(sp, max_tokens=mt)
+            )
+            runs += 1
+
         try:
             for S in batch_sizes:
-                for mt in max_tokens:
-                    for sp in variants:
-                        prompts = [
-                            [int(t) for t in rng.integers(1, vocab, prompt_len)]
-                            for _ in range(S)
-                        ]
-                        params = dataclasses.replace(sp, max_tokens=mt)
-                        self._warmup_generate(prompts, params)
-                        runs += 1
-            if prefill_buckets:
-                # The decode programs key on (fused window, block-table
-                # width W) — both follow the REQUEST (its remaining
-                # tokens / its context length) — so the length sweep
-                # crosses with every window-selecting max_tokens value.
-                for L in self._warmup_prefill_lens():
+                for L in width_lens:
                     for mt in max_tokens:
                         for sp in variants:
-                            prompt = [
-                                int(t) for t in rng.integers(1, vocab, L)
-                            ]
-                            if L + mt + 1 > cfg.max_model_len:
-                                continue
-                            params = dataclasses.replace(sp, max_tokens=mt)
-                            self._warmup_generate([prompt], params)
-                            runs += 1
+                            gen(S, L, sp, mt)
+                    for sp in aux:
+                        gen(S, L, sp, 2)
+                    for sp in aux_win:
+                        gen(S, L, sp, 2)
+                        if mt_max > 2:
+                            gen(S, L, sp, mt_max)
+            if prefill_buckets:
+                # Prefill programs key on the packed TOKEN bucket (and
+                # chunk structure) CROSSED with every variant flag
+                # (logprobs/penalties/prompt-logprobs/typical/seeded/
+                # mirostat each select a distinct prefill program), so
+                # the length sweep covers all of them. Decode
+                # (window x width) programs are fully covered by the
+                # batch loop above, so mt stays at the smallest window.
+                for L in self._warmup_prefill_lens():
+                    for sp in variants + aux + aux_win:
+                        gen(1, L, sp, 2)
         finally:
             self.scheduler.block_manager.enable_prefix_caching = saved
         logger.info(
@@ -831,7 +954,9 @@ class LLMEngine:
                 self.generate(prompts, params, use_tqdm=False)
                 return
             except Exception as e:  # jaxlib XlaRuntimeError
-                if "RESOURCE_EXHAUSTED" not in str(e) or attempt == 3:
+                from minivllm_tpu.engine.model_runner import is_device_oom
+
+                if not is_device_oom(e) or attempt == 3:
                     raise
                 for s in list(self.scheduler.unfinished()):
                     self.scheduler.abort(s)
@@ -936,6 +1061,11 @@ class LLMEngine:
         for concurrent streaming across requests use the HTTP server's
         AsyncEngine, which owns the loop in a thread. Closing the generator
         early aborts the request (its blocks are freed)."""
+        if sampling_params is not None and sampling_params.n != 1:
+            raise ValueError(
+                "stream() supports n == 1; use generate() (or the HTTP "
+                "server, which multiplexes sibling streams) for n > 1"
+            )
         seq_id = self.add_request(prompt, sampling_params)
         seq = self.scheduler.waiting[-1]
         assert seq.seq_id == seq_id
@@ -960,7 +1090,10 @@ class LLMEngine:
         use_tqdm: bool = True,
     ) -> list[dict[str, Any]]:
         """Generate completions. Returns [{"text": ..., "token_ids": [...]}]
-        in prompt order (reference: llm_engine.py:261-367)."""
+        in prompt order (reference: llm_engine.py:261-367). For n > 1 the
+        per-prompt dict additionally carries "completions": a list of n
+        {"text", "token_ids", "finish_reason", ...} dicts (the top-level
+        text/token_ids mirror the first sibling)."""
         pbar = None
         if use_tqdm:
             from tqdm.auto import tqdm
@@ -976,8 +1109,14 @@ class LLMEngine:
             sp_list = sampling_params
 
         id_order: list[int] = []
+        fam_map: dict[int, list[int]] = {}
         for prompt, sp in zip(prompts, sp_list):
-            id_order.append(self.add_request(prompt, sp))
+            pid = self.add_request(prompt, sp)
+            id_order.append(pid)
+            fam_map[pid] = self.pop_family(pid)
+        if pbar is not None:
+            pbar.total = sum(len(f) for f in fam_map.values())
+            pbar.refresh()
 
         outputs: dict[int, list[int]] = {}
         logprob_map: dict[int, list | None] = {}
@@ -1009,32 +1148,42 @@ class LLMEngine:
         if pbar is not None:
             pbar.close()
 
-        ordered = [outputs[i] for i in id_order]
+        all_ids = [sid for pid in id_order for sid in fam_map[pid]]
         if self.tokenizer is not None:
             texts = self.tokenizer.batch_decode(
-                ordered, skip_special_tokens=True, clean_up_tokenization_spaces=True
+                [outputs[sid] for sid in all_ids],
+                skip_special_tokens=True, clean_up_tokenization_spaces=True,
             )
+            text_map = dict(zip(all_ids, texts))
         else:
-            texts = ["" for _ in ordered]
-        results = []
-        for i, (t, ids) in enumerate(zip(texts, ordered)):
+            text_map = {sid: "" for sid in all_ids}
+
+        def completion(sid: int) -> dict[str, Any]:
             reason, stop_reason, stop_text = fin_map.get(
-                id_order[i], (None, None, None)
+                sid, (None, None, None)
             )
             out: dict[str, Any] = {
                 # A stop-string finish carries the exactly-truncated text
                 # (token ids may extend past the match within the window).
-                "text": stop_text if stop_text is not None else t,
-                "token_ids": ids,
+                "text": stop_text if stop_text is not None else text_map[sid],
+                "token_ids": outputs[sid],
                 "finish_reason": reason,
             }
             if stop_reason is not None:
                 out["stop_reason"] = stop_reason
-            lp = logprob_map.get(id_order[i])
+            lp = logprob_map.get(sid)
             if lp is not None:
                 out["logprobs"] = lp
-            plp = plp_map.get(id_order[i])
+            plp = plp_map.get(sid)
             if plp is not None:
                 out["prompt_logprobs"] = plp
+            return out
+
+        results = []
+        for pid in id_order:
+            sibs = fam_map[pid]
+            out = completion(sibs[0])
+            if len(sibs) > 1:
+                out["completions"] = [completion(sid) for sid in sibs]
             results.append(out)
         return results

@@ -37,6 +37,7 @@ from minivllm_tpu.ops.attention import DecodeBatch, PrefillBatch
 from minivllm_tpu.ops.backend import make_backend
 from minivllm_tpu.sampling.ops import (
     SamplingState,
+    candidate_pool,
     make_mirostat_rows,
     make_state,
     mirostat_tokens,
@@ -70,6 +71,22 @@ def _pick_bucket(n: int, buckets: list[int]) -> int:
     return _next_pow2(n, buckets[-1] if buckets else 8)
 
 
+def is_device_oom(e: BaseException) -> bool:
+    """Device/compile OOM detection across backends. Direct backends
+    raise RESOURCE_EXHAUSTED; the TPU compile RELAY wraps a compile-time
+    HBM OOM as `INTERNAL: ...remote_compile: HTTP 500` with the OOM text
+    only in the relay's own logs — so a remote-compile 500 is treated as
+    possibly-OOM by the bounded shrink-retry paths (a genuine compile
+    bug re-raises after the attempts are exhausted)."""
+    s = str(e)
+    return (
+        "RESOURCE_EXHAUSTED" in s
+        or "Ran out of memory" in s
+        or "Exceeded hbm capacity" in s
+        or ("remote_compile" in s and "HTTP 500" in s)
+    )
+
+
 def lax_scan_steps(body, init, num_steps: int):
     """lax.scan over a static iteration count with the index as xs."""
     from jax import lax
@@ -80,6 +97,16 @@ def lax_scan_steps(body, init, num_steps: int):
 class ModelRunner:
     """Owns the model, its parameters, the paged KV cache, and the compiled
     step functions."""
+
+    # Logprob top-k computed ON DEVICE whenever any request wants
+    # logprobs. SamplingParams caps logprobs/prompt_logprobs at 20
+    # (OpenAI limit), so computing a FIXED top-20 and trimming per
+    # sequence host-side keeps the jit program count at logprobs
+    # on/off instead of one program per distinct requested k — a
+    # first-compile through the relay is a 10-60 s mid-traffic stall
+    # (the reference never compiles at runtime,
+    # inference_executor.py:823-920; this is the bucketed-jit analog).
+    LOGPROB_TOPK = 20
 
     # HBM held back for activations / compiled-program workspace when
     # auto-sizing the KV cache (reference analog: the 10% utilization
@@ -218,7 +245,7 @@ class ModelRunner:
                 self._alloc_cache(num_blocks)
                 break
             except Exception as e:  # jaxlib XlaRuntimeError
-                if "RESOURCE_EXHAUSTED" not in str(e) or num_blocks <= 16:
+                if not is_device_oom(e) or num_blocks <= 16:
                     raise
                 num_blocks = max(16, num_blocks - num_blocks // 8)
                 logger.warning(
@@ -474,9 +501,9 @@ class ModelRunner:
         return jax.tree.map(lambda x: x.reshape((T,) + x.shape[2:]), out)
 
     def _prefill_step(
-        self, with_filters, typical, lp_k, plp_k, seeded, m_on, params,
-        k_cache, v_cache, packed_t, packed_c, packed_s, tables, state, key,
-        hist=None, m=None,
+        self, with_filters, typical, lp_k, plp_k, seeded, m_on, pool,
+        params, k_cache, v_cache, packed_t, packed_c, packed_s, tables,
+        state, key, hist=None, m=None,
     ):
         from minivllm_tpu.parallel.sharding import shard_batch
 
@@ -509,7 +536,7 @@ class ModelRunner:
             out_tokens=None if hist is None else hist[1],
             with_filters=with_filters,
             typical_active=typical,
-            positions=positions, seeded=seeded,
+            positions=positions, seeded=seeded, pool=pool,
         )
         # Mirostat overrides the token BEFORE logprobs so a request with
         # both reports the logprob of the token actually emitted.
@@ -562,13 +589,15 @@ class ModelRunner:
         )
         sel = hidden[rows.reshape(-1)]
         logits = self.model.compute_logits(params, sel)
-        toks = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        from minivllm_tpu.sampling.ops import fast_argmax
+
+        toks = fast_argmax(logits)
         return toks.reshape(rows.shape), k_cache, v_cache
 
     def _decode_step(
-        self, with_filters, typical, lp_k, seeded, m_on, params, k_cache,
-        v_cache, packed, tables, state, key, prev_toks=None, hist=None,
-        groups=None, m=None,
+        self, with_filters, typical, lp_k, seeded, m_on, pool, params,
+        k_cache, v_cache, packed, tables, state, key, prev_toks=None,
+        hist=None, groups=None, m=None,
     ):
         from minivllm_tpu.parallel.sharding import shard_batch
 
@@ -595,7 +624,10 @@ class ModelRunner:
             all_tokens=None if hist is None else hist[0],
             out_tokens=None if hist is None else hist[1],
             with_filters=with_filters,
-            positions=positions, seeded=seeded,
+            # typical_active was silently dropped here before — the
+            # single-step decode path ignored typical_p entirely.
+            typical_active=typical,
+            positions=positions, seeded=seeded, pool=pool,
         )
         # Mirostat overrides the token BEFORE logprobs so a request with
         # both reports the logprob of the token actually emitted.
@@ -609,8 +641,8 @@ class ModelRunner:
         return toks, lp, k_cache, v_cache
 
     def _decode_multi_step(
-        self, with_filters, typical, num_steps, seeded, params, k_cache,
-        v_cache, packed, tables, state, key, groups=None,
+        self, with_filters, typical, num_steps, seeded, pool, params,
+        k_cache, v_cache, packed, tables, state, key, groups=None,
     ):
         """`num_steps` fused decode iterations: sampled tokens feed the next
         iteration on device; returns (num_steps, S) tokens.
@@ -645,7 +677,7 @@ class ModelRunner:
                 logits, state, jax.random.fold_in(key, i),
                 with_filters=with_filters,
                 typical_active=typical,
-                positions=packed[3] + i, seeded=seeded,
+                positions=packed[3] + i, seeded=seeded, pool=pool,
             )
             return (k_cache, v_cache, toks), toks
 
@@ -656,8 +688,8 @@ class ModelRunner:
 
     def _spec_multi_step(
         self, num_steps, k, ngram, window, with_filters, greedy_only,
-        params, k_cache, v_cache, packed, tables, temps, fparams, key,
-        hist, lens,
+        seeded, pool, params, k_cache, v_cache, packed, tables, temps,
+        fparams, seeds, key, hist, lens,
     ):
         """Fused speculative decode: `num_steps` iterations, each of which
         proposes up to `k` n-gram draft tokens ON DEVICE from the carried
@@ -733,6 +765,12 @@ class ModelRunner:
                 logits, drafts, temps, jax.random.fold_in(key, i),
                 filters=fparams if with_filters else None,
                 greedy_only=greedy_only,
+                # Per-request seeds (static `seeded` selects the per-row
+                # key path): draws derive from (seed, first emission
+                # position) — reproducible across restarts and batches.
+                seeds=seeds if seeded else None,
+                positions=packed[1] + adv + 1 if seeded else None,
+                pool=pool,
             )
             upd = lens[:, None] + iota
             hist = hist.at[
@@ -787,12 +825,17 @@ class ModelRunner:
         top_k = np.full((S_pad,), -1, np.int32)
         top_p = np.ones((S_pad,), np.float32)
         min_p = np.zeros((S_pad,), np.float32)
+        seeds = np.full((S_pad,), -1, np.int32)
         with_filters = False
         greedy_only = True
+        seeded = False
         for i, s in enumerate(seqs):
             sp = s.sampling_params
             temps[i] = sp.temperature
             top_k[i], top_p[i], min_p[i] = sp.top_k, sp.top_p, sp.min_p
+            if sp.seed is not None:
+                seeds[i] = sp.seed
+                seeded = True
             if sp.temperature > 0:
                 greedy_only = False
                 if sp.top_k > 0 or sp.top_p < 1.0 or sp.min_p > 0.0:
@@ -819,15 +862,19 @@ class ModelRunner:
                 hist[i, : len(tail)] = tail
                 lens_host[i] = len(tail)
             hist_dev, lens_dev = jnp.asarray(hist), jnp.asarray(lens_host)
-        fkey = ("spec_multi", num_steps, k, with_filters, greedy_only)
+        pool = candidate_pool([s.sampling_params for s in seqs])
+        fkey = (
+            "spec_multi", num_steps, k, with_filters, greedy_only, seeded,
+            pool,
+        )
         fn = self._compiled.get(fkey)
         if fn is None:
             fn = jax.jit(
                 partial(
                     self._spec_multi_step, num_steps, k, ngram, window,
-                    with_filters, greedy_only,
+                    with_filters, greedy_only, seeded, pool,
                 ),
-                donate_argnums=(1, 2, 8, 9),  # caches, hist, lens
+                donate_argnums=(1, 2, 9, 10),  # caches, hist, lens
             )
             self._compiled[fkey] = fn
         key = jax.random.fold_in(self._base_key, self._step_counter)
@@ -845,7 +892,7 @@ class ModelRunner:
                 self.params, self.k_cache, self.v_cache, packed, tables,
                 jnp.asarray(temps),
                 (jnp.asarray(top_k), jnp.asarray(top_p), jnp.asarray(min_p)),
-                key, hist_dev, lens_dev,
+                jnp.asarray(seeds), key, hist_dev, lens_dev,
             )
         finally:
             self.attn_backend.spec_qrows = 1
@@ -885,10 +932,11 @@ class ModelRunner:
         self, phase: str, with_filters: bool, num_steps: int = 1,
         typical: bool = False, lp_k: int | None = None,
         plp_k: int | None = None, seeded: bool = False, m_on: bool = False,
+        pool: int = 64,
     ):
         cache_key = (
             phase, with_filters, num_steps, typical, lp_k, plp_k, seeded,
-            m_on,
+            m_on, pool,
         )
         fn = self._compiled.get(cache_key)
         if fn is None:
@@ -896,7 +944,7 @@ class ModelRunner:
                 fn = jax.jit(
                     partial(
                         self._prefill_step, with_filters, typical, lp_k,
-                        plp_k, seeded, m_on,
+                        plp_k, seeded, m_on, pool,
                     ),
                     donate_argnums=(1, 2),
                 )
@@ -905,13 +953,13 @@ class ModelRunner:
             elif num_steps > 1:
                 fn = jax.jit(
                     partial(self._decode_multi_step, with_filters, typical,
-                            num_steps, seeded),
+                            num_steps, seeded, pool),
                     donate_argnums=(1, 2),
                 )
             else:
                 fn = jax.jit(
                     partial(self._decode_step, with_filters, typical, lp_k,
-                            seeded, m_on),
+                            seeded, m_on, pool),
                     donate_argnums=(1, 2),
                 )
             self._compiled[cache_key] = fn
@@ -933,8 +981,16 @@ class ModelRunner:
     def _build_hist(self, seqs, S_pad):
         """Token histories for penalty application: (all tokens, output
         tokens), padded with -1 (reference passes the same tensors to its
-        penalty kernels, functional.py:342-407)."""
-        H = _next_pow2(max(len(s) for s in seqs), 32)
+        penalty kernels, functional.py:342-407).
+
+        H is quantized to at most TWO classes (512 and max_model_len) so
+        penalty traffic compiles at most two programs per (batch bucket,
+        table width) instead of one per pow2 length — a runtime compile
+        through the relay stalls serving 10-60 s. The padding cost is
+        H2D bytes only (penalty rows already run the single-step path)."""
+        cap = _next_pow2(self.config.max_model_len, 32)
+        H = min(512, cap) if max(len(s) for s in seqs) <= min(512, cap) \
+            else cap
         all_t = np.full((S_pad, H), -1, np.int32)
         out_t = np.full((S_pad, H), -1, np.int32)
         for i, s in enumerate(seqs):
@@ -943,6 +999,38 @@ class ModelRunner:
             if ct:
                 out_t[i, : len(ct)] = ct
         return (jnp.asarray(all_t), jnp.asarray(out_t))
+
+    def _width_class(self, width: int) -> int:
+        """Decode block-table width class: THREE classes — 2 (the
+        short-context serving headline: 1-2 blocks), 8 (the boundary of
+        the kernel's narrow mblk=4 spans), and the model-length cap —
+        instead of one per pow2. The Pallas kernel treats every W > 8
+        identically (_pick_mblk), padding entries cost H2D bytes and
+        work-list padding only (the kernel's fori_loop runs real
+        items), and the compiled decode-program count per (batch
+        bucket, window, variant) drops from log2(max_blocks) to <= 3 —
+        so warmup() can cover EVERY decode program and no table width
+        triggers a 10-60 s relay compile mid-serving. Measured
+        (docs/performance.md "Width classes"): class-matched shapes are
+        throughput-neutral vs per-pow2 widths; a 2-class variant lost
+        ~2% at the 0.6b short-context point, which the {2} class
+        recovers. `MINIVLLM_DECODE_WCLASSES=pow2` restores per-pow2
+        widths for A/B measurement."""
+        if os.environ.get("MINIVLLM_DECODE_WCLASSES") == "pow2":
+            return _next_pow2(width, 1)
+        # The cap must cover the scheduler's lookahead reservation: a
+        # table can extend past ceil(max_model_len / bs) by the fused
+        # window's reserved blocks (may_append with lookahead).
+        cfg = self.config
+        lookahead = cfg.decode_multi_step * (
+            cfg.speculative_num_tokens + 1
+            if cfg.speculative_num_tokens > 0 and cfg.speculative_fused
+            else 1
+        )
+        max_blocks = (cfg.max_model_len - 2 + lookahead) // self.block_size + 1
+        cap = _next_pow2(max_blocks, 1)
+        cls = 2 if width <= 2 else 8 if width <= 8 else cap
+        return min(cls, cap)
 
     def _decode_signature(self, seqs, S_pad, W):
         return (
@@ -979,7 +1067,8 @@ class ModelRunner:
         key = jax.random.fold_in(self._base_key, self._step_counter)
         self._step_counter += 1
         fn = self._get_step_fn(
-            "decode", with_filters, typical=typical, seeded=seeded
+            "decode", with_filters, typical=typical, seeded=seeded,
+            pool=candidate_pool([s.sampling_params for s in seqs]),
         )
         toks, _, self.k_cache, self.v_cache = fn(
             self.params, self.k_cache, self.v_cache,
@@ -1348,7 +1437,7 @@ class ModelRunner:
             mult = self.mesh.shape.get("dp", 1) * self._pp
             S_pad = -(-S_pad // mult) * mult
         width = max(len(seq.block_table) for seq in seqs)
-        W = _next_pow2(width, 1)
+        W = self._width_class(width)
         packed = np.zeros((4, S_pad), np.int32)
         packed[2, S:] = self.trash_slot
         tables = np.full((S_pad, W), self.trash_block, np.int32)
@@ -1404,9 +1493,11 @@ class ModelRunner:
         if not seqs:
             return []
         S = len(seqs)
+        # Fixed device-side top-k (see LOGPROB_TOPK): one program per
+        # on/off, per-sequence k trimming happens host-side.
+        lp_top = min(self.LOGPROB_TOPK, self.model.vocab_size)
         plp_k = (
-            max(sp.prompt_logprobs or 0 for sp in
-                (s.sampling_params for s in seqs))
+            lp_top
             if any(s.sampling_params.prompt_logprobs is not None for s in seqs)
             else None
         )
@@ -1432,10 +1523,10 @@ class ModelRunner:
             or sp.avoid_top_k > 0
             for sp in params_list
         )
-        # Logprobs: compute at the batch's max top-k; per-sequence trimming
+        # Logprobs: computed at the fixed top-k; per-sequence trimming
         # happens at postprocess time.
         lp_k = (
-            max(sp.logprobs or 0 for sp in params_list)
+            lp_top
             if any(sp.logprobs is not None for sp in params_list)
             else None
         )
@@ -1449,6 +1540,7 @@ class ModelRunner:
             fn = self._get_step_fn(
                 "prefill", with_filters, typical=typical, lp_k=lp_k,
                 plp_k=plp_k, seeded=seeded, m_on=with_mirostat,
+                pool=candidate_pool(params_list),
             )
             state = self._get_state(params_list, S_pad)
             hist = self._build_hist(seqs, S_pad) if with_penalties else None
@@ -1489,6 +1581,7 @@ class ModelRunner:
                 fn = self._get_step_fn(
                     "decode", with_filters, typical=typical, lp_k=lp_k,
                     seeded=seeded, m_on=with_mirostat,
+                    pool=candidate_pool(params_list),
                 )
                 state = self._get_state(params_list, S_pad)
                 hist = self._build_hist(seqs, S_pad) if with_penalties else None
@@ -1564,7 +1657,8 @@ class ModelRunner:
         self.last_logprobs = None
         packed, tables, S_pad, groups = self._prepare_decode(seqs)
         fn = self._get_step_fn(
-            "decode", with_filters, num_steps, typical, seeded=seeded
+            "decode", with_filters, num_steps, typical, seeded=seeded,
+            pool=candidate_pool(params_list),
         )
         state = self._get_state(params_list, S_pad)
         key = jax.random.fold_in(self._base_key, self._step_counter)

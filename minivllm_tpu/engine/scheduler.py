@@ -88,9 +88,23 @@ class Scheduler:
         ):
             seq = self.waiting[0]
             if not seq.block_table:
-                if not self.block_manager.can_allocate(seq):
-                    break
-                self.block_manager.allocate(seq)
+                bm = self.block_manager
+                parent = seq.fork_from
+                if parent is not None and parent.is_finished:
+                    seq.fork_from = parent = None  # table gone; plain path
+                if (
+                    parent is not None
+                    and bm.shared_fork_blocks(parent, seq) > 0
+                ):
+                    # n>1 sibling: share the parent's full prompt blocks
+                    # copy-on-write instead of recomputing the prompt.
+                    if not bm.can_fork(parent, seq):
+                        break
+                    bm.fork(parent, seq)
+                else:
+                    if not bm.can_allocate(seq):
+                        break
+                    bm.allocate(seq)
                 seq.num_computed_tokens = seq.num_cached_tokens
             start = seq.num_computed_tokens
             remaining = len(seq) - start

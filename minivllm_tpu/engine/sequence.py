@@ -81,6 +81,12 @@ class Sequence:
         # Lazy per-request StopStringMatcher (engine-owned; host state
         # only, survives preemption because completion tokens do).
         self.stop_matcher = None
+        # n>1 sibling forking: the sequence whose full prompt blocks
+        # this one shares at allocation (copy-on-write via refcounts).
+        # Cleared opportunistically once the parent finishes; a fork
+        # falls back to plain allocation whenever the parent's table is
+        # gone (preempted/finished).
+        self.fork_from: Sequence | None = None
 
     # -- token/block math ----------------------------------------------------
 

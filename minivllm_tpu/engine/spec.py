@@ -55,16 +55,18 @@ def _filter_rows(
     top_k: jnp.ndarray,
     top_p: jnp.ndarray,
     min_p: jnp.ndarray,
+    pool: int | None = None,
 ) -> jnp.ndarray:
     """Apply the sampler's top-k/top-p/min-p filters to temperature-scaled
     logits, returning logits masked to NEG_INF outside the kept set.
 
-    Mirrors sampling/ops.sample_tokens' fast path EXACTLY (candidate pool
-    of NUM_CANDIDATES, exact probabilities via a full logsumexp, rank-0
+    Mirrors sampling/ops.sample_tokens' fast path EXACTLY (same
+    candidate pool, exact probabilities via a full logsumexp, rank-0
     always kept, non-candidates excluded) so a speculated row's emitted
     marginal equals what the non-speculative filtered sampler would
-    draw. rows (..., V); top_k/top_p/min_p broadcast over the leading
-    dims (shape rows.shape[:-1]).
+    draw — the caller must pass the pool candidate_pool() picked for
+    these requests. rows (..., V); top_k/top_p/min_p broadcast over the
+    leading dims (shape rows.shape[:-1]).
     """
     from minivllm_tpu.sampling.ops import NUM_CANDIDATES
 
@@ -76,7 +78,7 @@ def _filter_rows(
     tk = jnp.broadcast_to(top_k, tuple(lead)).reshape(B)
     tp = jnp.broadcast_to(top_p, tuple(lead)).reshape(B)
     mp = jnp.broadcast_to(min_p, tuple(lead)).reshape(B)
-    K = min(V, NUM_CANDIDATES)
+    K = min(V, pool if pool is not None else NUM_CANDIDATES)
     denom = jax.scipy.special.logsumexp(flat, axis=-1, keepdims=True)
     cand, idx = jax.lax.top_k(flat, K)             # (B, K) descending
     probs = jnp.exp(cand - denom)
@@ -202,6 +204,9 @@ def accept_or_resample(
     key: jax.Array,
     filters: tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray] | None = None,
     greedy_only: bool = False,
+    seeds: jnp.ndarray | None = None,
+    positions: jnp.ndarray | None = None,
+    pool: int | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Exact speculative sampling for a DETERMINISTIC draft proposal.
 
@@ -229,12 +234,14 @@ def accept_or_resample(
     renormalized — the emitted marginal is exactly p_i. A draft outside
     the filtered set has p_i(d) = 0 and is always rejected.
     """
+    from minivllm_tpu.sampling.ops import fast_argmax
+
     S, K1, V = logits.shape
     k = K1 - 1
     logits = logits.astype(jnp.float32)
     temp = jnp.maximum(temperature, 1e-6)[:, None]            # (S, 1)
     greedy = temperature <= 0.0                               # (S,)
-    argmax = jnp.argmax(logits, axis=-1).astype(jnp.int32)    # (S, k+1)
+    argmax = fast_argmax(logits)                              # (S, k+1)
 
     if greedy_only:
         # All rows greedy (static, runner-decided): acceptance is pure
@@ -255,7 +262,8 @@ def accept_or_resample(
     if filters is not None:
         top_k, top_p, min_p = filters
         rows = _filter_rows(
-            rows, top_k[:, None], top_p[:, None], min_p[:, None]
+            rows, top_k[:, None], top_p[:, None], min_p[:, None],
+            pool=pool,
         )
     logp = jax.nn.log_softmax(rows, axis=-1)                  # (S, k+1, V)
     dclip = jnp.clip(drafts, 0, V - 1)
@@ -263,8 +271,30 @@ def accept_or_resample(
     p_draft = jnp.exp(
         jnp.take_along_axis(logp[:, :k, :], dclip[:, :, None], axis=2)
     )[:, :, 0]                                                # (S, k)
-    ks = jax.random.split(key, 3)
-    u = jax.random.uniform(ks[0], (S, k))
+    if seeds is not None:
+        # Per-request seeds: a seeded row's draws derive from
+        # (seed, first emission position) ONLY — the same contract as
+        # sampling/ops._row_keys, so seeded requests reproduce across
+        # engine restarts, batch compositions, and spec on/off toggles
+        # of OTHER requests. salts 0/1/2 separate the three draw uses.
+        def row_key(seed, pos, i, salt):
+            seeded_k = jax.random.fold_in(
+                jax.random.fold_in(
+                    jax.random.PRNGKey(jnp.maximum(seed, 0)), pos
+                ),
+                salt,
+            )
+            base = jax.random.fold_in(jax.random.fold_in(key, i), salt)
+            return jnp.where(seed >= 0, seeded_k, base)
+
+        idx = jnp.arange(S, dtype=jnp.int32)
+        keyed = lambda salt: jax.vmap(  # noqa: E731
+            lambda s_, p_, i_: row_key(s_, p_, i_, salt)
+        )(seeds, positions.astype(jnp.int32), idx)
+        u = jax.vmap(lambda kk: jax.random.uniform(kk, (k,)))(keyed(0))
+    else:
+        ks = jax.random.split(key, 3)
+        u = jax.random.uniform(ks[0], (S, k))
     has_draft = drafts >= 0
     accept = jnp.where(
         greedy[:, None],
@@ -273,8 +303,6 @@ def accept_or_resample(
     ) & has_draft                                             # (S, k)
     # Longest accepted prefix: a = number of leading True.
     a = jnp.sum(jnp.cumprod(accept.astype(jnp.int32), axis=1), axis=1)
-    # Sampled token per row (for the bonus / final row).
-    sampled = jax.random.categorical(ks[1], rows, axis=-1).astype(jnp.int32)
     # Residual resample at the rejection row: p with the draft masked.
     # Only mask where a draft actually exists — a no-draft slot (-1,
     # dclip 0) stops the run vacuously, and its "resample" must be a
@@ -284,9 +312,21 @@ def accept_or_resample(
         -jnp.inf,
         rows[:, :k, :],
     )
-    resampled = jax.random.categorical(ks[2], masked, axis=-1).astype(
-        jnp.int32
-    )                                                         # (S, k)
+    if seeds is not None:
+        sampled = jax.vmap(
+            lambda kk, lg: jax.random.categorical(kk, lg, axis=-1)
+        )(keyed(1), rows).astype(jnp.int32)                   # (S, k+1)
+        resampled = jax.vmap(
+            lambda kk, lg: jax.random.categorical(kk, lg, axis=-1)
+        )(keyed(2), masked).astype(jnp.int32)                 # (S, k)
+    else:
+        # Sampled token per row (for the bonus / final row).
+        sampled = jax.random.categorical(ks[1], rows, axis=-1).astype(
+            jnp.int32
+        )
+        resampled = jax.random.categorical(ks[2], masked, axis=-1).astype(
+            jnp.int32
+        )                                                     # (S, k)
     # Token emitted at row i: accepted rows emit the draft they
     # verified EXCEPT the stream actually emits the model's token at
     # each position: positions 0..a-1 emit drafts (== argmax for

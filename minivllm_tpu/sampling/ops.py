@@ -36,6 +36,42 @@ NEG_INF = float(jnp.finfo(jnp.float32).min)
 # Candidate pool for the fast top-k/top-p path; a top-p cutoff virtually
 # always lies within the top-512 tokens at serving temperatures.
 NUM_CANDIDATES = 512
+# Serving pool: lax.top_k lowers to a FULL SORT on TPU — measured 14.8 ms
+# at (64, 152k) fp32 vs 2.0 ms at k=64, and the sampler was 7 of the 12
+# ms of a decode iteration (docs/performance.md "Step-time budget").
+# The runner picks the small pool whenever no request needs deeper ranks
+# (candidate_pool below); a top-p cutoff beyond rank 64 is truncated,
+# exactly as the 512 pool truncates beyond rank 512.
+POOL_FAST = 64
+
+
+def candidate_pool(sampling_params_list) -> int:
+    """Static candidate-pool size for a batch: the fast 64-candidate
+    pool unless a request's rank window provably reaches past it
+    (top_k > 64, or avoid_top_k shifting the window).
+    `MINIVLLM_SAMPLER_POOL` overrides for A/B measurement."""
+    import os
+
+    env = os.environ.get("MINIVLLM_SAMPLER_POOL")
+    if env:
+        return int(env)
+    for sp in sampling_params_list:
+        if sp.avoid_top_k > 0 or sp.top_k > POOL_FAST:
+            return NUM_CANDIDATES
+    return POOL_FAST
+
+
+def fast_argmax(x: jnp.ndarray) -> jnp.ndarray:
+    """argmax over the last axis via two plain reduces (max, then min
+    over the matching iota). XLA's variadic argmax reduce measured
+    3.3 ms at (64, 152k) on v5e; this form is 0.12 ms. Tie-break:
+    lowest index, identical to jnp.argmax."""
+    V = x.shape[-1]
+    m = jnp.max(x, axis=-1, keepdims=True)
+    i = jnp.where(
+        x == m, jax.lax.broadcasted_iota(jnp.int32, x.shape, x.ndim - 1), V
+    )
+    return jnp.min(i, axis=-1).astype(jnp.int32)
 
 
 class SamplingState(NamedTuple):
@@ -192,6 +228,7 @@ def sample_tokens(
     typical_active: bool = False,
     positions: jnp.ndarray | None = None,
     seeded: bool = False,
+    pool: int = NUM_CANDIDATES,
 ) -> jnp.ndarray:
     """Sample one token per row. logits (S, V) fp32 -> (S,) int32.
 
@@ -200,7 +237,9 @@ def sample_tokens(
     decides statically per step. `seeded=True` (static, runner-decided)
     switches to per-row keys so rows with SamplingParams.seed draw
     reproducibly from (seed, position); it requires `positions` (the
-    sampled token's position = context length per row).
+    sampled token's position = context length per row). `pool` (static)
+    is the rank-filter candidate set size — the runner picks it via
+    candidate_pool() from the batch's params.
     """
     logits = logits.astype(jnp.float32)
     S, V = logits.shape
@@ -218,7 +257,7 @@ def sample_tokens(
     # affect the greedy argmax too.
     if with_filters and all_tokens is not None:
         logits = apply_penalties(logits, state, all_tokens, out_tokens)
-    greedy_tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    greedy_tok = fast_argmax(logits)
     temp = jnp.maximum(state.temperature, 1e-6)[:, None]
     scaled = logits / temp
 
@@ -263,13 +302,14 @@ def sample_tokens(
             state.temperature > 0, sampled.astype(jnp.int32), greedy_tok
         )
 
-    # Fast path: rank filters operate on the top-NUM_CANDIDATES logits
+    # Fast path: rank filters operate on the top-`pool` logits
     # (lax.top_k instead of a full vocab sort — the sort was the dominant
-    # sampler cost at large batch). Probabilities stay exact w.r.t. the
-    # full distribution via a full logsumexp; the top-p cutoff is exact
-    # whenever it falls inside the candidate set, and top-k requests are
-    # clamped to NUM_CANDIDATES.
-    K = min(V, NUM_CANDIDATES)
+    # sampler cost at large batch, and top_k cost scales with k).
+    # Probabilities stay exact w.r.t. the full distribution via a full
+    # logsumexp; the top-p cutoff is exact whenever it falls inside the
+    # candidate set, and top-k requests are clamped to the pool (the
+    # runner widens the pool when a request's ranks reach past it).
+    K = min(V, pool)
     denom = jax.scipy.special.logsumexp(scaled, axis=-1, keepdims=True)
     cand, idx = jax.lax.top_k(scaled, K)           # (S, K) descending
     probs = jnp.exp(cand - denom)                  # true probabilities

@@ -29,6 +29,13 @@ class SamplingParams:
     min_p: float = 0.0
     max_tokens: int = 64
     ignore_eos: bool = False
+    # Number of completions per prompt (OpenAI `n`). The engine forks
+    # the prompt's KV blocks copy-on-write (refcounted full prompt
+    # blocks are shared; each sibling recomputes only the partial tail
+    # block), so n > 1 costs far less than n independent requests, and
+    # siblings are ideal shared-prefix decode groups. A seeded request's
+    # sibling i draws with seed + i (deterministic, distinct streams).
+    n: int = 1
     # Extended knobs (reference internal SamplingConfig):
     typical_p: float = 1.0
     repetition_penalty: float = 1.0
@@ -82,6 +89,8 @@ class SamplingParams:
             raise ValueError(f"min_p must be in [0, 1], got {self.min_p}")
         if self.max_tokens <= 0:
             raise ValueError(f"max_tokens must be > 0, got {self.max_tokens}")
+        if not 1 <= self.n <= 64:
+            raise ValueError(f"n must be in [1, 64], got {self.n}")
         if not 0.0 < self.typical_p <= 1.0:
             raise ValueError(f"typical_p must be in (0, 1], got {self.typical_p}")
         if self.repetition_penalty <= 0:

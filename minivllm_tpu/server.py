@@ -100,10 +100,16 @@ class AsyncEngine:
     # -- client side ---------------------------------------------------------
 
     def submit(self, prompt, params: SamplingParams) -> _Request:
-        req = _Request(prompt, params)
-        self._intake.put(req)
+        return self.submit_family(prompt, params)[0]
+
+    def submit_family(self, prompt, params: SamplingParams) -> list[_Request]:
+        """Submit a request; returns one handle per completion (n handles
+        for params.n — the engine forks the prompt KV copy-on-write and
+        each sibling streams independently)."""
+        reqs = [_Request(prompt, params) for _ in range(params.n)]
+        self._intake.put(reqs)
         self._wake.set()
-        return req
+        return reqs
 
     def abort(self, req: _Request) -> None:
         """Cancel an in-flight request from any thread. The engine thread
@@ -164,6 +170,31 @@ class AsyncEngine:
                 return
             yield chunk
 
+    def stream_many(self, reqs: list[_Request]):
+        """Multiplex sibling streams: yields (index, chunk) as chunks
+        arrive; (index, None) marks that sibling finished. Ends when
+        every sibling is done."""
+        done = [False] * len(reqs)
+        while not all(done):
+            progressed = False
+            for i, r in enumerate(reqs):
+                if done[i]:
+                    continue
+                try:
+                    chunk = r.chunks.get_nowait()
+                except queue.Empty:
+                    continue
+                progressed = True
+                if chunk is _DONE:
+                    done[i] = True
+                    if r.error is not None:
+                        raise r.error
+                    yield i, None
+                else:
+                    yield i, chunk
+            if not progressed:
+                time.sleep(0.005)
+
     def shutdown(self) -> None:
         self._stop = True
         self._wake.set()
@@ -174,18 +205,25 @@ class AsyncEngine:
     def _admit(self) -> None:
         while True:
             try:
-                req = self._intake.get_nowait()
+                fam = self._intake.get_nowait()  # list[_Request] siblings
             except queue.Empty:
                 return
-            if req.cancelled:  # aborted before admission
-                req.chunks.put(_DONE)
+            if all(r.cancelled for r in fam):  # aborted before admission
+                for r in fam:
+                    r.chunks.put(_DONE)
                 continue
             try:
-                req.seq_id = self.engine.add_request(req.prompt, req.params)
-                self._live[req.seq_id] = req
+                pid = self.engine.add_request(fam[0].prompt, fam[0].params)
+                ids = self.engine.pop_family(pid)
+                for r, sid in zip(fam, ids):
+                    r.seq_id = sid
+                    self._live[sid] = r
+                    if r.cancelled:  # raced an abort during intake
+                        self._aborts.put(r)
             except Exception as e:  # bad prompt / no tokenizer / over limits
-                req.error = e
-                req.chunks.put(_DONE)
+                for r in fam:
+                    r.error = e
+                    r.chunks.put(_DONE)
 
     def _drain_aborts(self) -> None:
         while True:
@@ -278,6 +316,7 @@ def _sampling_params(
         mirostat=int(body.get("mirostat", 0)),
         mirostat_tau=float(body.get("mirostat_tau", 5.0)),
         mirostat_eta=float(body.get("mirostat_eta", 0.1)),
+        n=int(body.get("n", 1)),
         ignore_eos=bool(body.get("ignore_eos", False)),
         logprobs=lp,
         prompt_logprobs=lp if (echo and lp is not None) else None,
@@ -447,62 +486,77 @@ def create_server(
                 echo_text = prompt if isinstance(prompt, str) else (
                     tokenizer.decode(prompt) if tokenizer else ""
                 )
-            req = async_engine.submit(prompt, params)
+            reqs = async_engine.submit_family(prompt, params)
             rid = ("chatcmpl-" if chat else "cmpl-") + uuid.uuid4().hex[:24]
             obj = "chat.completion" if chat else "text_completion"
             if body.get("stream"):
                 return self._stream_response(
-                    req, rid, obj, chat, stops, echo_text
+                    reqs, rid, obj, chat, stops, echo_text
                 )
-            try:
-                token_ids = async_engine.result(
-                    req, timeout=600, disconnect_check=self._client_gone
-                )
-            except ConnectionAbortedError:
-                self.close_connection = True
-                return  # client gone; blocks already freed via abort
-            except Exception as e:
-                return self._error(400, str(e))
-            if req.output_text is not None:
-                # Engine stop-string finish: exactly-truncated text
-                # (token ids may overrun the match within one window).
-                text, stopped = req.output_text, True
-            else:
-                text = self._decode(token_ids)
-                text, stopped = _truncate_at_stop(text, stops)
-            text = echo_text + text
-            finish = req.finish_reason or ("stop" if stopped or (
-                token_ids and token_ids[-1] == engine.config.eos
-                and not params.ignore_eos
-            ) else ("length" if len(token_ids) >= params.max_tokens else "stop"))
-            choice: dict[str, Any] = {"index": 0, "finish_reason": finish}
-            if req.stop_reason is not None:
-                choice["stop_reason"] = req.stop_reason
-            if chat:
-                choice["message"] = {"role": "assistant", "content": text}
-            else:
-                choice["text"] = text
-            if req.logprobs is not None or req.prompt_logprobs is not None:
-                choice["logprobs"] = _logprobs_payload(
-                    (req.prompt_logprobs or []) + (req.logprobs or []),
-                    tokenizer, chat,
-                )
+            choices: list[dict[str, Any]] = []
+            total_completion = 0
+            for i, req in enumerate(reqs):
+                try:
+                    token_ids = async_engine.result(
+                        req, timeout=600, disconnect_check=self._client_gone
+                    )
+                except ConnectionAbortedError:
+                    for r in reqs:
+                        async_engine.abort(r)
+                    self.close_connection = True
+                    return  # client gone; blocks already freed via abort
+                except Exception as e:
+                    for r in reqs:
+                        async_engine.abort(r)
+                    return self._error(400, str(e))
+                total_completion += len(token_ids)
+                if req.output_text is not None:
+                    # Engine stop-string finish: exactly-truncated text
+                    # (token ids may overrun the match within one window).
+                    text, stopped = req.output_text, True
+                else:
+                    text = self._decode(token_ids)
+                    text, stopped = _truncate_at_stop(text, stops)
+                text = echo_text + text
+                finish = req.finish_reason or ("stop" if stopped or (
+                    token_ids and token_ids[-1] == engine.config.eos
+                    and not params.ignore_eos
+                ) else (
+                    "length" if len(token_ids) >= params.max_tokens
+                    else "stop"
+                ))
+                choice: dict[str, Any] = {"index": i, "finish_reason": finish}
+                if req.stop_reason is not None:
+                    choice["stop_reason"] = req.stop_reason
+                if chat:
+                    choice["message"] = {"role": "assistant", "content": text}
+                else:
+                    choice["text"] = text
+                if req.logprobs is not None or req.prompt_logprobs is not None:
+                    choice["logprobs"] = _logprobs_payload(
+                        (req.prompt_logprobs or []) + (req.logprobs or []),
+                        tokenizer, chat,
+                    )
+                choices.append(choice)
             n_prompt = len(prompt) if isinstance(prompt, list) else (
                 len(tokenizer.encode(prompt)) if tokenizer else 0
             )
             self._json(200, {
                 "id": rid, "object": obj, "created": int(time.time()),
-                "model": model_id, "choices": [choice],
+                "model": model_id, "choices": choices,
                 "usage": {
                     "prompt_tokens": n_prompt,
-                    "completion_tokens": len(token_ids),
-                    "total_tokens": n_prompt + len(token_ids),
+                    "completion_tokens": total_completion,
+                    "total_tokens": n_prompt + total_completion,
                 },
             })
 
         def _stream_response(
-            self, req, rid, obj, chat, stops, echo_text: str = ""
+            self, reqs, rid, obj, chat, stops, echo_text: str = ""
         ) -> None:
+            """SSE stream over one or more sibling completions (OpenAI
+            `n`): chunks carry the sibling's choice index; each sibling
+            gets its own finish chunk as it completes."""
             self.send_response(200)
             self.send_header("Content-Type", "text/event-stream")
             self.send_header("Cache-Control", "no-cache")
@@ -514,44 +568,22 @@ def create_server(
                 self.wfile.write(f"{len(data):x}\r\n".encode() + data + b"\r\n")
                 self.wfile.flush()
 
-            sent_text = 0
-            all_ids: list[int] = []
-            stopped = False
+            def send_choice(d: dict) -> None:
+                send_event(json.dumps({
+                    "id": rid, "object": obj + ".chunk",
+                    "created": int(time.time()), "model": model_id,
+                    "choices": [d],
+                }))
+
+            N = len(reqs)
+            sent_text = [0] * N
+            all_ids: list[list[int]] = [[] for _ in range(N)]
+            stopped = [False] * N
             completed = False
-            try:
-                if echo_text:
-                    # OpenAI streams the echoed prompt as the first chunk.
-                    send_event(json.dumps({
-                        "id": rid, "object": obj + ".chunk",
-                        "created": int(time.time()), "model": model_id,
-                        "choices": [{"text": echo_text, "index": 0,
-                                     "finish_reason": None}],
-                    }))
-                for chunk in async_engine.stream(req):
-                    all_ids.extend(chunk)
-                    full = self._decode(all_ids)
-                    full, stopped = _truncate_at_stop(full, stops)
-                    delta = full[sent_text:]
-                    # Hold back trailing replacement chars (partial UTF-8
-                    # from a mid-codepoint token split).
-                    while delta.endswith("�"):
-                        delta = delta[:-1]
-                    if delta:
-                        sent_text += len(delta)
-                        if chat:
-                            d = {"delta": {"content": delta}, "index": 0,
-                                 "finish_reason": None}
-                        else:
-                            d = {"text": delta, "index": 0,
-                                 "finish_reason": None}
-                        send_event(json.dumps({
-                            "id": rid, "object": obj + ".chunk",
-                            "created": int(time.time()), "model": model_id,
-                            "choices": [d],
-                        }))
-                    if stopped:
-                        break
-                if stopped:
+
+            def finish_choice(i: int) -> None:
+                req = reqs[i]
+                if stopped[i]:
                     # The engine finishes stop-string requests itself
                     # (params carry `stop`), but if this client-side
                     # match fired first — or the engine ran without a
@@ -559,12 +591,13 @@ def create_server(
                     # blocks free instead of decoding to max_tokens
                     # invisibly (abort of a finished request is a no-op).
                     async_engine.abort(req)
-                finish = req.finish_reason or ("stop" if stopped else (
-                    "length" if len(all_ids) >= req.params.max_tokens
+                finish = req.finish_reason or ("stop" if stopped[i] else (
+                    "length" if len(all_ids[i]) >= req.params.max_tokens
                     else "stop"
                 ))
-                final = {"delta": {}, "index": 0, "finish_reason": finish} \
-                    if chat else {"text": "", "index": 0, "finish_reason": finish}
+                final = {"delta": {}, "index": i, "finish_reason": finish} \
+                    if chat else {
+                        "text": "", "index": i, "finish_reason": finish}
                 if req.logprobs is not None or req.prompt_logprobs is not None:
                     # logprobs ride the terminal chunk (they are recorded
                     # at finish; per-delta emission would desync on UTF-8
@@ -573,11 +606,49 @@ def create_server(
                         (req.prompt_logprobs or []) + (req.logprobs or []),
                         tokenizer, chat,
                     )
-                send_event(json.dumps({
-                    "id": rid, "object": obj + ".chunk",
-                    "created": int(time.time()), "model": model_id,
-                    "choices": [final],
-                }))
+                send_choice(final)
+
+            try:
+                if echo_text:
+                    # OpenAI streams the echoed prompt as the first chunk.
+                    for i in range(N):
+                        send_choice({"text": echo_text, "index": i,
+                                     "finish_reason": None})
+                done = [False] * N
+                for i, chunk in async_engine.stream_many(reqs):
+                    if chunk is None:
+                        done[i] = True
+                        finish_choice(i)
+                        continue
+                    if stopped[i]:
+                        continue  # post-stop tokens of the same window
+                    all_ids[i].extend(chunk)
+                    full = self._decode(all_ids[i])
+                    full, stopped[i] = _truncate_at_stop(full, stops)
+                    delta = full[sent_text[i]:]
+                    # Hold back trailing replacement chars (partial UTF-8
+                    # from a mid-codepoint token split).
+                    while delta.endswith("�"):
+                        delta = delta[:-1]
+                    if delta:
+                        sent_text[i] += len(delta)
+                        if chat:
+                            d = {"delta": {"content": delta}, "index": i,
+                                 "finish_reason": None}
+                        else:
+                            d = {"text": delta, "index": i,
+                                 "finish_reason": None}
+                        send_choice(d)
+                    if stopped[i] and N == 1:
+                        # Single stream: end at the match (the engine
+                        # finishes the request itself; finish_choice
+                        # also aborts as belt-and-braces).
+                        finish_choice(0)
+                        done[0] = True
+                        break
+                for i in range(N):
+                    if not done[i]:
+                        finish_choice(i)
                 send_event("[DONE]")
                 self.wfile.write(b"0\r\n\r\n")
                 self.wfile.flush()
@@ -591,7 +662,8 @@ def create_server(
                     # cancels the generation so its KV blocks free
                     # immediately; aborting an already-finished request is a
                     # no-op.
-                    async_engine.abort(req)
+                    for req in reqs:
+                        async_engine.abort(req)
 
     return ThreadingHTTPServer((host, port), Handler)
 

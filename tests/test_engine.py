@@ -4,12 +4,25 @@ Covers the reference's mocked integration tier (tests/test_llm_engine.py,
 test_llm.py) but with the real runner and real generation.
 """
 
+import jax
 import numpy as np
 import pytest
 
 from minivllm_tpu import Config, SamplingParams
 from minivllm_tpu.llm import LLM
 from minivllm_tpu.utils.testing import make_tiny_checkpoint
+
+
+@pytest.fixture(autouse=True)
+def _clear_caches_after_each_test():
+    """This module's warmup-coverage tests compile a few hundred XLA:CPU
+    programs EACH — past ~300 live executables the CPU backend
+    segfaults inside backend_compile (see conftest's module-scoped
+    clearing). Drop the jit caches after every test here so the live
+    count stays bounded within the module; the module-scoped `llm`
+    fixture's programs recompile on next use (cheap on CPU)."""
+    yield
+    jax.clear_caches()
 
 
 @pytest.fixture(scope="module")
@@ -229,10 +242,13 @@ def test_warmup_precompiles_buckets(llm):
     hashes_before = dict(bm.hash_to_block_id)
     runs = llm.warmup(prompt_len=24, batch_sizes=[2], max_tokens=[3, 2],
                       prefill_buckets=False)
-    assert runs == 4  # 2 windows x (greedy + sampled)
+    # 3 width classes x (2 windows x 2 core + 8 aux + 2x2 aux_win)
+    assert runs == 48
     assert bm.enable_prefix_caching  # restored
-    # dummy prompts left no new cache entries
-    assert bm.hash_to_block_id == hashes_before
+    # dummy prompts left no NEW cache entries (cycling blocks through
+    # the free list may evict tombstones of already-freed blocks — they
+    # were only resurrection candidates — but nothing may be added)
+    assert set(bm.hash_to_block_id) <= set(hashes_before)
 
     def cache_sizes():
         return {
@@ -241,11 +257,16 @@ def test_warmup_precompiles_buckets(llm):
     before = cache_sizes()
     rng = np.random.default_rng(9)
     prompts = [[int(t) for t in rng.integers(1, 150, 24)] for _ in range(2)]
-    llm.generate(
-        prompts,
+    for sp in (
         SamplingParams(temperature=0.0, max_tokens=3, ignore_eos=True),
-        use_tqdm=False,
-    )
+        # logprob/penalty variants are part of the warmed set too (any
+        # requested k rides the fixed top-20 program)
+        SamplingParams(temperature=0.0, max_tokens=2, ignore_eos=True,
+                       logprobs=4),
+        SamplingParams(temperature=0.8, top_p=0.95, max_tokens=2,
+                       ignore_eos=True, repetition_penalty=1.3, logprobs=2),
+    ):
+        llm.generate(prompts, sp, use_tqdm=False)
     after = cache_sizes()
     assert after == before, "post-warmup generate triggered a new compile"
 
@@ -270,12 +291,20 @@ def test_warmup_covers_all_prompt_lengths(tiny_qwen3):
     before = cache_sizes()
     rng = np.random.default_rng(11)
     # Adversarial lengths: inside each bucket, at straddles, and beyond
-    # the batch budget (chunked prefill), both greedy and sampled.
+    # the batch budget (chunked prefill) — greedy, sampled, and the
+    # logprob/penalty/prompt-logprob variants a real serving session
+    # mixes in (the round-3 caveat: these used to compile lazily).
     for L in (1, 5, 33, 65, 100, 128, 129, 200, 250):
         for sp in (
             SamplingParams(temperature=0.0, max_tokens=2, ignore_eos=True),
             SamplingParams(temperature=0.8, top_p=0.95, max_tokens=2,
                            ignore_eos=True),
+            SamplingParams(temperature=0.0, max_tokens=2, ignore_eos=True,
+                           logprobs=5),
+            SamplingParams(temperature=0.8, top_p=0.95, max_tokens=2,
+                           ignore_eos=True, repetition_penalty=1.2),
+            SamplingParams(temperature=0.0, max_tokens=2, ignore_eos=True,
+                           prompt_logprobs=3),
         ):
             prompt = [int(t) for t in rng.integers(1, 150, L)]
             llm.generate([prompt], sp, use_tqdm=False)
@@ -283,6 +312,31 @@ def test_warmup_covers_all_prompt_lengths(tiny_qwen3):
         "a prompt length triggered a post-warmup compile"
     )
     llm.exit()
+
+
+def test_typical_p_applies_on_single_step_decode(llm):
+    """Regression: the single-step decode path dropped typical_active,
+    silently ignoring typical_p (the fused-window and prefill paths
+    applied it). With typical_p ~ 0 the kept set collapses to the single
+    most-typical token, so the emitted stream is deterministic and must
+    match between the fused-window path and the single-step path (forced
+    via logprobs, which gates the window off)."""
+    prompt = [3, 9, 27, 81]
+    # Per-request seed: draws depend on (seed, position) only, so the
+    # two paths emit identical streams iff they apply the same filters.
+    fused = llm.generate(
+        [prompt],
+        SamplingParams(temperature=1.0, typical_p=0.01, max_tokens=8,
+                       ignore_eos=True, seed=5),
+        use_tqdm=False,
+    )[0]["token_ids"]
+    single = llm.generate(
+        [prompt],
+        SamplingParams(temperature=1.0, typical_p=0.01, max_tokens=8,
+                       ignore_eos=True, seed=5, logprobs=0),
+        use_tqdm=False,
+    )[0]["token_ids"]
+    assert fused == single, "single-step decode ignored typical_p"
 
 
 def test_warmup_oom_shrinks_kv_cache(tiny_qwen3):

@@ -401,3 +401,40 @@ def test_sampled_requests_and_speculation(ckpt):
     assert run(fused=True, typical_p=0.8) == 0, "typical_p must disable"
     # top_p is INERT under argmax: greedy requests speculate through it
     assert run(fused=True, top_p=0.9, temperature=0.0) > 0
+
+
+def test_seeded_requests_speculate_reproducibly(ckpt):
+    """Per-request seeds speculate on the fused path: draws derive from
+    (seed, emission position) per row, so a seeded request reproduces
+    exactly across engines — and across spec-on/spec-off of OTHER rows
+    in the batch (the key chain never touches the shared step key)."""
+
+    def run(seed, spec=True, extra=None):
+        cfg = Config(
+            model=str(ckpt), max_num_seqs=4, max_model_len=128,
+            max_num_batched_tokens=256, kvcache_block_size=16,
+            num_kvcache_blocks=64, dtype="float32", attention_impl="xla",
+            decode_multi_step=8,
+            speculative_num_tokens=4 if spec else 0,
+            speculative_fused=spec, seed=7,
+        )
+        llm = LLM(cfg)
+        prompts = [[1, 2] * 8]
+        sps = [SamplingParams(temperature=0.9, max_tokens=8,
+                              ignore_eos=True, seed=seed)]
+        if extra is not None:
+            prompts.append([5, 6] * 8)
+            sps.append(extra)
+        outs = llm.generate(prompts, sps, use_tqdm=False)
+        steps = llm.get_stats()["ngram_spec_steps"]
+        return outs[0]["token_ids"], steps
+
+    a, steps_a = run(seed=1234)
+    assert steps_a > 0, "seeded request did not speculate"
+    b, _ = run(seed=1234)
+    assert a == b, "seeded spec run not reproducible"
+    c, _ = run(seed=1234, extra=SamplingParams(
+        temperature=0.7, max_tokens=8, ignore_eos=True))
+    assert a == c, "seeded row affected by unseeded batchmate"
+    d, _ = run(seed=4321)
+    assert a != d, "different seeds produced identical streams"

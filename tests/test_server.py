@@ -213,6 +213,53 @@ def test_stop_token_ids_http(served):
     assert r["usage"]["completion_tokens"] == ids.index(target) + 1
 
 
+def test_n_choices_nonstream(served):
+    """OpenAI `n`: one request returns n choices; greedy siblings are
+    identical to the n=1 completion (KV-forked, same stream)."""
+    base, eng = served
+    body = {"prompt": "hello world the quick", "max_tokens": 6,
+            "temperature": 0.0, "ignore_eos": True}
+    _, single = post(base, "/v1/completions", body)
+    code, r = post(base, "/v1/completions", {**body, "n": 3})
+    assert code == 200, r
+    assert [c["index"] for c in r["choices"]] == [0, 1, 2]
+    for c in r["choices"]:
+        assert c["text"] == single["choices"][0]["text"]
+    assert r["usage"]["completion_tokens"] == 18
+    assert eng.engine.is_finished()
+
+
+def test_n_choices_stream(served):
+    """Streaming n=2: deltas carry per-sibling indexes, every sibling
+    gets a finish chunk, and reassembled texts match non-streaming."""
+    base, _ = served
+    body = {"prompt": "lazy dog sat on", "max_tokens": 5,
+            "temperature": 0.0, "ignore_eos": True}
+    _, full = post(base, "/v1/completions", {**body, "n": 2})
+    req = urllib.request.Request(
+        base + "/v1/completions",
+        data=json.dumps({**body, "n": 2, "stream": True}).encode(),
+        headers={"Content-Type": "application/json"}, method="POST",
+    )
+    texts = {0: "", 1: ""}
+    finishes = {}
+    with urllib.request.urlopen(req, timeout=300) as r:
+        for raw in r:
+            line = raw.decode().strip()
+            if not line.startswith("data: "):
+                continue
+            payload = line[len("data: "):]
+            if payload == "[DONE]":
+                break
+            ch = json.loads(payload)["choices"][0]
+            texts[ch["index"]] += ch.get("text", "")
+            if ch["finish_reason"]:
+                finishes[ch["index"]] = ch["finish_reason"]
+    assert set(finishes) == {0, 1}
+    for i in (0, 1):
+        assert texts[i] == full["choices"][i]["text"]
+
+
 def test_error_paths(served):
     base, _ = served
     code, r = post(base, "/v1/completions", {"max_tokens": 4})
