@@ -96,7 +96,7 @@ def main() -> None:
     p.add_argument("--max-tokens", type=int, default=32)
     p.add_argument("--max-model-len", type=int, default=512)
     p.add_argument("--batched-tokens", type=int, default=4096)
-    p.add_argument("--quant", choices=["int8", "fp8"], default=None)
+    p.add_argument("--quant", choices=["int8", "fp8", "w8a8"], default=None)
     p.add_argument("--kv-dtype", default="auto")
     p.add_argument("--multi-step", type=int, default=4)
     p.add_argument("--blocks", type=int, default=-1,

@@ -12,6 +12,13 @@ SWEEPS = {
     "typical": SamplingParams(temperature=1.0, typical_p=0.9, max_tokens=16),
     "no_repeat": SamplingParams(temperature=0.8, repetition_penalty=1.3,
                                 frequency_penalty=0.2, max_tokens=16),
+    # Generation TERMINATES at the first match (KV freed within one
+    # decode window); the text is truncated at the stop string.
+    "stop_str": SamplingParams(temperature=0.0, max_tokens=32,
+                               stop=["the", "and"]),
+    # 3 completions, one prompt prefill (copy-on-write KV forking);
+    # out["completions"] lists all siblings.
+    "n3": SamplingParams(temperature=0.9, seed=7, n=3, max_tokens=12),
 }
 
 

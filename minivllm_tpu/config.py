@@ -107,8 +107,12 @@ class Config:
     # prompt) stream those KV blocks once per group instead of once per
     # sequence. Pallas backend, mesh-less, non-sliding-window only.
     shared_prefix_decode: bool = True
-    # Weight quantization: None | "int8" | "fp8" (both weight-only;
-    # fp8 = float8_e4m3 with per-channel scales).
+    # Weight quantization: None | "int8" | "fp8" (weight-only;
+    # fp8 = float8_e4m3 with per-channel scales) | "w8a8" (int8 weights
+    # AND per-row int8 activations on the layer matmuls — the int8 MXU
+    # runs at 2x the bf16 issue rate, halving the compute-bound
+    # large-batch decode/prefill matmul cost; the LM head stays
+    # weight-only for logit fidelity).
     quantization: str | None = None
     # SPMD mesh axes beyond tensor parallelism (reference has TP only,
     # SURVEY.md §2.2). data_parallel_size shards decode batch rows over a
@@ -217,7 +221,7 @@ class Config:
                 f"num_kvcache_blocks must be -1 (auto) or >= 1, got "
                 f"{self.num_kvcache_blocks}"
             )
-        if self.quantization not in (None, "int8", "fp8"):
+        if self.quantization not in (None, "int8", "fp8", "w8a8"):
             raise ValueError(f"unsupported quantization {self.quantization!r}")
         if not 1 <= self.decode_multi_step <= 64:
             raise ValueError(

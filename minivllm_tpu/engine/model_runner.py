@@ -201,6 +201,10 @@ class ModelRunner:
             interpret=config.attention_interpret,
         )
         self.model = create_model(config.hf_config, self.dtype, self.attn_backend)
+        if config.quantization == "w8a8":
+            # Layer matmuls take the int8 x int8 MXU path (ops/quant.qdot
+            # a8=True); weights are stored exactly like "int8".
+            self.model.a8 = True
 
         t0 = time.perf_counter()
         if config.quantization is not None and not hasattr(

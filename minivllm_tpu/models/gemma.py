@@ -56,9 +56,9 @@ class GemmaForCausalLM(QwenForCausalLM):
         return x * normalizer, aux
 
     def _mlp(self, lp, h):
-        gate = qdot(h, lp["gate_proj"])
-        up = qdot(h, lp["up_proj"])
-        return qdot(gelu_new(gate) * up, lp["down_proj"])
+        gate = qdot(h, lp["gate_proj"], a8=self.a8)
+        up = qdot(h, lp["up_proj"], a8=self.a8)
+        return qdot(gelu_new(gate) * up, lp["down_proj"], a8=self.a8)
 
     def init_params(self, rng):
         # Norm weights are zero-centered ((1 + w) convention): identity

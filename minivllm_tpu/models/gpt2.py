@@ -27,6 +27,8 @@ __all__ = ["GPT2ForCausalLM"]
 
 
 class GPT2ForCausalLM:
+    a8 = False  # W8A8 matmul path (see qwen.py)
+
     def __init__(self, hf_config, dtype=jnp.bfloat16, attn_backend=None) -> None:
         c = hf_config
         self.dtype = jnp.dtype(dtype)
@@ -208,19 +210,19 @@ class GPT2ForCausalLM:
             base = lidx * stride
             T = x.shape[0]
             h_in = layer_norm(x, lp["ln1"], lp["ln1_bias"], eps)
-            q = (qdot(h_in, lp["q_proj"]) + lp["q_bias"]).reshape(T, H, hd)
-            k = (qdot(h_in, lp["k_proj"]) + lp["k_bias"]).reshape(T, H, hd)
-            v = (qdot(h_in, lp["v_proj"]) + lp["v_bias"]).reshape(T, H, hd)
+            q = (qdot(h_in, lp["q_proj"], a8=self.a8) + lp["q_bias"]).reshape(T, H, hd)
+            k = (qdot(h_in, lp["k_proj"], a8=self.a8) + lp["k_bias"]).reshape(T, H, hd)
+            v = (qdot(h_in, lp["v_proj"], a8=self.a8) + lp["v_bias"]).reshape(T, H, hd)
             slots = base + batch.slot_mapping
             k_cache, v_cache = store_kv(k_cache, v_cache, k, v, slots)
             if is_prefill:
                 attn = backend.prefill(q, k_cache, v_cache, batch, self.scale, base)
             else:
                 attn = backend.decode(q, k_cache, v_cache, batch, self.scale, base)
-            x = x + qdot(attn.reshape(T, H * hd), lp["o_proj"]) + lp["o_bias"]
+            x = x + qdot(attn.reshape(T, H * hd), lp["o_proj"], a8=self.a8) + lp["o_bias"]
             h_mlp = layer_norm(x, lp["ln2"], lp["ln2_bias"], eps)
-            h_mlp = gelu_new(qdot(h_mlp, lp["fc_in"]) + lp["fc_in_bias"])
-            x = x + qdot(h_mlp, lp["fc_out"]) + lp["fc_out_bias"]
+            h_mlp = gelu_new(qdot(h_mlp, lp["fc_in"], a8=self.a8) + lp["fc_in_bias"])
+            x = x + qdot(h_mlp, lp["fc_out"], a8=self.a8) + lp["fc_out_bias"]
             return (x, k_cache, v_cache), None
 
         lidx = jnp.arange(n_local, dtype=jnp.int32)

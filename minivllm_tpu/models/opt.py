@@ -26,6 +26,8 @@ __all__ = ["OPTForCausalLM"]
 
 
 class OPTForCausalLM:
+    a8 = False  # W8A8 matmul path (see qwen.py)
+
     def __init__(self, hf_config, dtype=jnp.bfloat16, attn_backend=None) -> None:
         c = hf_config
         self.dtype = jnp.dtype(dtype)
@@ -215,16 +217,16 @@ class OPTForCausalLM:
                 if self.do_layer_norm_before
                 else x
             )
-            q = (qdot(h_in, lp["q_proj"]) + lp["q_bias"]).reshape(T, H, hd)
-            k = (qdot(h_in, lp["k_proj"]) + lp["k_bias"]).reshape(T, H, hd)
-            v = (qdot(h_in, lp["v_proj"]) + lp["v_bias"]).reshape(T, H, hd)
+            q = (qdot(h_in, lp["q_proj"], a8=self.a8) + lp["q_bias"]).reshape(T, H, hd)
+            k = (qdot(h_in, lp["k_proj"], a8=self.a8) + lp["k_bias"]).reshape(T, H, hd)
+            v = (qdot(h_in, lp["v_proj"], a8=self.a8) + lp["v_bias"]).reshape(T, H, hd)
             slots = base + batch.slot_mapping
             k_cache, v_cache = store_kv(k_cache, v_cache, k, v, slots)
             if is_prefill:
                 attn = backend.prefill(q, k_cache, v_cache, batch, self.scale, base)
             else:
                 attn = backend.decode(q, k_cache, v_cache, batch, self.scale, base)
-            x = residual + qdot(attn.reshape(T, H * hd), lp["o_proj"]) + lp["o_bias"]
+            x = residual + qdot(attn.reshape(T, H * hd), lp["o_proj"], a8=self.a8) + lp["o_bias"]
             if not self.do_layer_norm_before:
                 x = layer_norm(x, lp["attn_ln"], lp["attn_ln_bias"])
             residual = x
@@ -233,8 +235,8 @@ class OPTForCausalLM:
                 if self.do_layer_norm_before
                 else x
             )
-            h_mlp = jnp.maximum(qdot(h_mlp, lp["fc1"]) + lp["fc1_bias"], 0)
-            x = residual + qdot(h_mlp, lp["fc2"]) + lp["fc2_bias"]
+            h_mlp = jnp.maximum(qdot(h_mlp, lp["fc1"], a8=self.a8) + lp["fc1_bias"], 0)
+            x = residual + qdot(h_mlp, lp["fc2"], a8=self.a8) + lp["fc2_bias"]
             if not self.do_layer_norm_before:
                 x = layer_norm(x, lp["final_ln"], lp["final_ln_bias"])
             return (x, k_cache, v_cache), None

@@ -42,6 +42,10 @@ __all__ = ["QwenForCausalLM"]
 class QwenForCausalLM:
     """Static architecture description + pure forward functions."""
 
+    # W8A8 matmul path (config.quantization == "w8a8"; the runner sets
+    # this after construction). Read at trace time by the layer qdots.
+    a8 = False
+
     def __init__(self, hf_config, dtype=jnp.bfloat16, attn_backend=None) -> None:
         c = hf_config
         self.dtype = jnp.dtype(dtype)
@@ -293,9 +297,9 @@ class QwenForCausalLM:
 
     def _mlp(self, lp: dict, h: jnp.ndarray) -> jnp.ndarray:
         """Dense SwiGLU MLP on normed hidden states (T, D) -> (T, D)."""
-        gate = qdot(h, lp["gate_proj"])
-        up = qdot(h, lp["up_proj"])
-        return qdot(silu_and_mul(gate, up), lp["down_proj"])
+        gate = qdot(h, lp["gate_proj"], a8=self.a8)
+        up = qdot(h, lp["up_proj"], a8=self.a8)
+        return qdot(silu_and_mul(gate, up), lp["down_proj"], a8=self.a8)
 
     def _rope(self, positions):
         return compute_cos_sin(
@@ -357,9 +361,9 @@ class QwenForCausalLM:
             base = lidx * stride
             T = x.shape[0]
             h_in = self._norm(x, lp["input_ln"])
-            q = qdot(h_in, lp["q_proj"])
-            k = qdot(h_in, lp["k_proj"])
-            v = qdot(h_in, lp["v_proj"])
+            q = qdot(h_in, lp["q_proj"], a8=self.a8)
+            k = qdot(h_in, lp["k_proj"], a8=self.a8)
+            v = qdot(h_in, lp["v_proj"], a8=self.a8)
             if self.qkv_bias:
                 q = q + lp["q_bias"]
                 k = k + lp["k_bias"]
@@ -388,7 +392,7 @@ class QwenForCausalLM:
                     q, k_cache, v_cache, batch, self.scale, base, **extras
                 )
             x = self._residual_tail(
-                lp, x, qdot(attn.reshape(T, H * hd), lp["o_proj"])
+                lp, x, qdot(attn.reshape(T, H * hd), lp["o_proj"], a8=self.a8)
             )
             return (x, k_cache, v_cache), None
 

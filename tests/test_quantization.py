@@ -41,6 +41,24 @@ def test_qdot_matches_dense_closely(fmt):
     assert rel < QDOT_ERR[fmt]
 
 
+def test_qdot_w8a8_matches_dense_closely():
+    """W8A8: per-row int8 activations x int8 weights on the int8 MXU
+    path; the added activation-quant error is bounded by the per-row
+    absmax/127 grid (~0.4% relative) on top of the weight error."""
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.normal(0, 1, (8, 64)).astype(np.float32))
+    w = rng.normal(0, 0.05, (64, 32)).astype(np.float32)
+    qw = quantize_weight(w, (0,), "w8a8")
+    assert qw["w"].dtype == jnp.int8  # stored exactly like int8
+    ref = np.asarray(jnp.dot(x, jnp.asarray(w)))
+    out = np.asarray(qdot(x, qw, a8=True))
+    rel = np.abs(out - ref).max() / np.abs(ref).max()
+    assert rel < 0.03
+    # layer-slice scale shape (1, out) broadcast path
+    out2 = np.asarray(qdot(x, {"w": qw["w"], "s": qw["s"]}, a8=True))
+    np.testing.assert_allclose(out, out2)
+
+
 def test_qlookup_and_transpose():
     rng = np.random.default_rng(2)
     table = rng.normal(0, 0.1, (10, 16)).astype(np.float32)
@@ -55,7 +73,7 @@ def test_qlookup_and_transpose():
     assert np.abs(out_l - ref_l).max() / np.abs(ref_l).max() < 0.02
 
 
-@pytest.mark.parametrize("fmt", ["int8", "fp8"])
+@pytest.mark.parametrize("fmt", ["int8", "fp8", "w8a8"])
 @pytest.mark.parametrize("model_type", ["qwen3", "llama", "gemma2", "opt", "gpt2"])
 def test_quantized_generation_close_to_fp32(model_type, fmt, tmp_path):
     ckpt = make_tiny_checkpoint(model_type, tmp_path / model_type)
@@ -82,7 +100,7 @@ def test_quantized_generation_close_to_fp32(model_type, fmt, tmp_path):
     assert q[0] == fp[0]
 
 
-@pytest.mark.parametrize("fmt", ["int8", "fp8"])
+@pytest.mark.parametrize("fmt", ["int8", "fp8", "w8a8"])
 def test_quantized_logit_cosine(tmp_path, fmt):
     """Cosine similarity of int8/fp8 vs fp32 logits > 0.99 (the
     reference's parity bar, test_qwen3_logit_match.py:307-312)."""
@@ -106,6 +124,7 @@ def test_quantized_logit_cosine(tmp_path, fmt):
     vc = jnp.zeros_like(kc)
     meta, _ = build_prefill_batch(toks, 16, 32)
     h_fp, _, _ = model.forward(params, meta, kc, vc, is_prefill=True)
+    model.a8 = fmt == "w8a8"  # the runner sets this for w8a8 configs
     h_q, _, _ = model.forward(qparams, meta, jnp.zeros_like(kc), jnp.zeros_like(vc), is_prefill=True)
     V = model.vocab_size
     l_fp = np.asarray(model.compute_logits(params, h_fp))[19, :V]
