@@ -219,7 +219,8 @@ class GPT2ForCausalLM:
                 attn = backend.prefill(q, k_cache, v_cache, batch, self.scale, base)
             else:
                 attn = backend.decode(q, k_cache, v_cache, batch, self.scale, base)
-            x = x + qdot(attn.reshape(T, H * hd), lp["o_proj"], a8=self.a8) + lp["o_bias"]
+            o = qdot(attn.reshape(T, H * hd), lp["o_proj"], a8=self.a8)
+            x = x + o + lp["o_bias"]
             h_mlp = layer_norm(x, lp["ln2"], lp["ln2_bias"], eps)
             h_mlp = gelu_new(qdot(h_mlp, lp["fc_in"], a8=self.a8) + lp["fc_in_bias"])
             x = x + qdot(h_mlp, lp["fc_out"], a8=self.a8) + lp["fc_out_bias"]

@@ -226,7 +226,8 @@ class OPTForCausalLM:
                 attn = backend.prefill(q, k_cache, v_cache, batch, self.scale, base)
             else:
                 attn = backend.decode(q, k_cache, v_cache, batch, self.scale, base)
-            x = residual + qdot(attn.reshape(T, H * hd), lp["o_proj"], a8=self.a8) + lp["o_bias"]
+            o = qdot(attn.reshape(T, H * hd), lp["o_proj"], a8=self.a8)
+            x = residual + o + lp["o_bias"]
             if not self.do_layer_norm_before:
                 x = layer_norm(x, lp["attn_ln"], lp["attn_ln_bias"])
             residual = x

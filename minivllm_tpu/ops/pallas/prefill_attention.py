@@ -107,6 +107,7 @@ def _prefill_kernel(
     softcap: float | None,
     int8_scores: bool,
     interior_skip: bool,
+    qk_bf16: bool,
 ):
     t = pl.program_id(0)
     s = tile_seq_ref[t]
@@ -208,6 +209,16 @@ def _prefill_kernel(
             jnp.max(jnp.abs(q_raw), axis=-1, keepdims=True), 1e-30
         ) / 127.0                                    # (QT, h, 1)
         q8 = jnp.round(q_raw / q_qs).astype(jnp.int8)
+    elif qk_bf16:
+        # bf16 MXU operands for the QK dot (4x the fp32 issue rate),
+        # fp32 accumulation. LOSSLESS for the serving inputs: q and the
+        # KV cache are bf16-sourced (bf16 x bf16 products are exact in
+        # fp32), and int8 cache values (|v| <= 127 integers) are
+        # bf16-exact too. `scale` applies AFTER the dot so the raw bf16
+        # bits reach the MXU unrounded. Unlike the falsified DECODE
+        # bf16 operands (tiny odd-M g=7 relayout wall), prefill dots
+        # have M = Q_TILE*g — large and even.
+        qb = q_ref[...].astype(jnp.bfloat16)         # (QT, h, d)
     else:
         q = q_ref[...].astype(jnp.float32) * scale  # (QT, h, d)
     q_pos = pos0 + jax.lax.broadcasted_iota(jnp.int32, (Q_TILE, 1), 0)[:, 0]
@@ -227,6 +238,8 @@ def _prefill_kernel(
         wait_fetch(js, slot)
         if int8_scores:
             k8 = kbuf[slot]                          # (span, kvh, d) int8
+        elif qk_bf16:
+            kb = kbuf[slot].astype(jnp.bfloat16)     # (span, kvh, d)
         else:
             k = kbuf[slot].astype(jnp.float32)       # (span, kvh, d)
         v = vbuf[slot].astype(jnp.float32)
@@ -258,14 +271,23 @@ def _prefill_kernel(
                 sc = sc * scale_row(0, kv)
                 score_rows.append(sc)
                 continue
-            qh = q[:, kv * g : (kv + 1) * g, :]      # (QT, g, d)
-            qh2 = qh.reshape(Q_TILE * g, d)
-            kh = k[:, kv, :]                          # (bs, d)
-            sc = jax.lax.dot_general(
-                qh2, kh,
-                dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )  # (QT*g, span)
+            if qk_bf16:
+                qh2 = qb[:, kv * g : (kv + 1) * g, :].reshape(Q_TILE * g, d)
+                kh = kb[:, kv, :]
+                sc = jax.lax.dot_general(
+                    qh2, kh,
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ) * scale
+            else:
+                qh = q[:, kv * g : (kv + 1) * g, :]  # (QT, g, d)
+                qh2 = qh.reshape(Q_TILE * g, d)
+                kh = k[:, kv, :]                      # (bs, d)
+                sc = jax.lax.dot_general(
+                    qh2, kh,
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # (QT*g, span)
             if quantized:
                 sc = sc * scale_row(0, kv)           # (1, span) broadcast
             score_rows.append(sc)
@@ -440,6 +462,14 @@ def prefill_attention_tiles(
         int8_scores=int8_scores,
         # A/B kill-switch for the interior-pass mask skip.
         interior_skip=os.environ.get("MINIVLLM_MASK_SKIP", "1") != "0",
+        # bf16 QK operands: lossless for bf16/int8 caches (see kernel);
+        # fp32 caches keep fp32 operands (a cast would drop mantissa).
+        qk_bf16=(
+            os.environ.get("MINIVLLM_PREFILL_QK_BF16", "0") == "1"
+            and not int8_scores
+            and k_data.dtype in (jnp.bfloat16, jnp.int8)
+            and q.dtype == jnp.bfloat16
+        ),
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=6,

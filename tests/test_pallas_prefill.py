@@ -136,6 +136,32 @@ def test_bf16():
     np.testing.assert_allclose(out[valid], ref[valid], rtol=3e-2, atol=3e-2)
 
 
+def test_qk_bf16_operands_match_fp32_path(monkeypatch):
+    """MINIVLLM_PREFILL_QK_BF16=1 (bf16/int8 caches only): the QK dot
+    runs bf16 x bf16 on the MXU with fp32 accumulation. For
+    bf16-sourced inputs this is LOSSLESS up to fp32 summation order
+    (bf16 products are exact in fp32), so the output must track the
+    fp32-operand kernel tightly — far tighter than bf16 storage noise."""
+    rng = np.random.default_rng(9)
+    q, kc, vc, meta = build_aligned_case(
+        rng, [(70, 16), (40, 0)], 2, 4, 128, dtype=jnp.bfloat16
+    )
+    ref = np.asarray(
+        ppre.prefill_attention(q, kc, vc, meta, 0.1, BS, interpret=True),
+        np.float32,
+    )
+    monkeypatch.setenv("MINIVLLM_PREFILL_QK_BF16", "1")
+    ppre.prefill_attention.clear_cache()
+    out = np.asarray(
+        ppre.prefill_attention(q, kc, vc, meta, 0.1, BS, interpret=True),
+        np.float32,
+    )
+    monkeypatch.delenv("MINIVLLM_PREFILL_QK_BF16")
+    ppre.prefill_attention.clear_cache()
+    valid = np.asarray(meta.q_seg) >= 0
+    np.testing.assert_allclose(out[valid], ref[valid], rtol=2e-3, atol=2e-3)
+
+
 def test_quantized_cache_matches_oracle():
     """INT8 QuantizedCache through the varlen prefill kernel (in-VMEM
     dequant) vs the oracle."""

@@ -134,20 +134,23 @@ def test_quantized_logit_cosine(tmp_path, fmt):
 
 
 @pytest.mark.skipif(len(jax.devices()) < 4, reason="needs virtual devices")
-def test_int8_tp_sharding(tmp_path):
+@pytest.mark.parametrize("fmt", ["int8", "w8a8"])
+def test_quantized_tp_sharding(tmp_path, fmt):
+    """Quantized params shard over tp and the step runs under the mesh —
+    for w8a8 the int8 x int8 dot_general must lower under GSPMD too."""
     from minivllm_tpu.engine.model_runner import ModelRunner
     from minivllm_tpu.engine.sequence import Sequence
     from minivllm_tpu.parallel.sharding import make_mesh
 
     ckpt = make_tiny_checkpoint(
-        "qwen3", tmp_path / "tp", num_attention_heads=8,
+        "qwen3", tmp_path / f"tp-{fmt}", num_attention_heads=8,
         num_key_value_heads=8, head_dim=16, hidden_size=64,
     )
     cfg = Config(
         model=str(ckpt), max_num_seqs=4, max_model_len=128,
         max_num_batched_tokens=128, kvcache_block_size=16,
         num_kvcache_blocks=32, dtype="float32", attention_impl="xla",
-        tensor_parallel_size=4, quantization="int8",
+        tensor_parallel_size=4, quantization=fmt,
     )
     runner = ModelRunner(cfg, mesh=make_mesh(4))
     seq = Sequence([1, 2, 3, 4, 5], SamplingParams(temperature=0.0), block_size=16)
