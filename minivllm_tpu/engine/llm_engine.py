@@ -50,8 +50,10 @@ class LLMEngine:
         self._spec_rate = None
         self._plain_rate = None
         self._spec_dispatch_i = 0
-        # n>1 sibling bookkeeping: primary seq_id -> all sibling ids.
+        # n>1 sibling bookkeeping: primary seq_id -> all sibling ids;
+        # best_of entries additionally record (keep_n, logprobs_forced).
         self._families: dict[int, list[int]] = {}
+        self._family_keep: dict[int, tuple[int, bool]] = {}
         atexit.register(self.exit)
 
     # -- setup ---------------------------------------------------------------
@@ -206,7 +208,7 @@ class LLMEngine:
             prompt_tokens: list[int] = self.tokenizer.encode(prompt)
         else:
             prompt_tokens = list(prompt)
-        n = sampling_params.n
+        n = sampling_params.best_of or sampling_params.n
         if n == 1:
             seq = Sequence(
                 prompt_tokens, sampling_params,
@@ -217,6 +219,13 @@ class LLMEngine:
             return seq.seq_id
         import dataclasses
 
+        # best_of ranking needs each sibling's cumulative logprob:
+        # force per-token logprob tracking when the caller didn't ask.
+        force_lp = (
+            sampling_params.best_of is not None
+            and sampling_params.best_of > sampling_params.n
+            and sampling_params.logprobs is None
+        )
         ids: list[int] = []
         parent: Sequence | None = None
         for i in range(n):
@@ -227,6 +236,8 @@ class LLMEngine:
             sp_i = dataclasses.replace(
                 sampling_params,
                 n=1,
+                best_of=None,
+                logprobs=0 if force_lp else sampling_params.logprobs,
                 seed=(
                     None if sampling_params.seed is None
                     else (sampling_params.seed + i) % (2**31)
@@ -244,6 +255,10 @@ class LLMEngine:
             self.scheduler.add(seq)
             ids.append(seq.seq_id)
         self._families[ids[0]] = ids
+        if sampling_params.best_of is not None:
+            # generate()/the server keep only the top-n by cumulative
+            # logprob; remember n and whether logprobs were forced.
+            self._family_keep[ids[0]] = (sampling_params.n, force_lp)
         return ids[0]
 
     def family(self, primary_id: int) -> list[int]:
@@ -1110,10 +1125,13 @@ class LLMEngine:
 
         id_order: list[int] = []
         fam_map: dict[int, list[int]] = {}
+        keep_map: dict[int, tuple[int, bool]] = {}
         for prompt, sp in zip(prompts, sp_list):
             pid = self.add_request(prompt, sp)
             id_order.append(pid)
             fam_map[pid] = self.pop_family(pid)
+            if pid in self._family_keep:
+                keep_map[pid] = self._family_keep.pop(pid)
         if pbar is not None:
             pbar.total = sum(len(f) for f in fam_map.values())
             pbar.refresh()
@@ -1182,8 +1200,23 @@ class LLMEngine:
         results = []
         for pid in id_order:
             sibs = fam_map[pid]
+            if pid in keep_map:
+                # best_of: rank ALL siblings by cumulative logprob and
+                # keep the top n (best first, OpenAI semantics).
+                keep_n, forced = keep_map[pid]
+                ranked = sorted(
+                    sibs,
+                    key=lambda sid: sum(
+                        e["logprob"] for e in (logprob_map.get(sid) or [])
+                    ),
+                    reverse=True,
+                )
+                sibs = ranked[:keep_n]
+                if forced:  # caller never asked for logprobs
+                    for sid in sibs:
+                        logprob_map[sid] = None
             out = completion(sibs[0])
-            if len(sibs) > 1:
+            if len(sibs) > 1 or pid in keep_map:
                 out["completions"] = [completion(sid) for sid in sibs]
             results.append(out)
         return results

@@ -36,6 +36,12 @@ class SamplingParams:
     # siblings are ideal shared-prefix decode groups. A seeded request's
     # sibling i draws with seed + i (deterministic, distinct streams).
     n: int = 1
+    # OpenAI `best_of`: generate best_of completions (forked like n) and
+    # return only the n highest-scoring by cumulative logprob. Forces
+    # per-token logprob tracking on the siblings, which routes them
+    # down the single-step decode path — use for quality-critical
+    # requests, not bulk serving. None means best_of = n.
+    best_of: int | None = None
     # Extended knobs (reference internal SamplingConfig):
     typical_p: float = 1.0
     repetition_penalty: float = 1.0
@@ -91,6 +97,10 @@ class SamplingParams:
             raise ValueError(f"max_tokens must be > 0, got {self.max_tokens}")
         if not 1 <= self.n <= 64:
             raise ValueError(f"n must be in [1, 64], got {self.n}")
+        if self.best_of is not None and not self.n <= self.best_of <= 64:
+            raise ValueError(
+                f"best_of must be in [n, 64], got {self.best_of} (n={self.n})"
+            )
         if not 0.0 < self.typical_p <= 1.0:
             raise ValueError(f"typical_p must be in (0, 1], got {self.typical_p}")
         if self.repetition_penalty <= 0:

@@ -104,9 +104,11 @@ class AsyncEngine:
 
     def submit_family(self, prompt, params: SamplingParams) -> list[_Request]:
         """Submit a request; returns one handle per completion (n handles
-        for params.n — the engine forks the prompt KV copy-on-write and
-        each sibling streams independently)."""
-        reqs = [_Request(prompt, params) for _ in range(params.n)]
+        for params.n, best_of handles when set — the engine forks the
+        prompt KV copy-on-write and each sibling streams independently;
+        best_of ranking happens at the HTTP layer once all finish)."""
+        count = params.best_of or params.n
+        reqs = [_Request(prompt, params) for _ in range(count)]
         self._intake.put(reqs)
         self._wake.set()
         return reqs
@@ -317,6 +319,9 @@ def _sampling_params(
         mirostat_tau=float(body.get("mirostat_tau", 5.0)),
         mirostat_eta=float(body.get("mirostat_eta", 0.1)),
         n=int(body.get("n", 1)),
+        best_of=(
+            int(body["best_of"]) if body.get("best_of") is not None else None
+        ),
         ignore_eos=bool(body.get("ignore_eos", False)),
         logprobs=lp,
         prompt_logprobs=lp if (echo and lp is not None) else None,
@@ -486,6 +491,13 @@ def create_server(
                 echo_text = prompt if isinstance(prompt, str) else (
                     tokenizer.decode(prompt) if tokenizer else ""
                 )
+            if body.get("stream") and (params.best_of or params.n) > params.n:
+                # Reject BEFORE submitting — an early return after
+                # submit would orphan best_of decoding generations.
+                return self._error(
+                    400, "best_of > n cannot stream (ranking needs "
+                    "completed outputs)"
+                )
             reqs = async_engine.submit_family(prompt, params)
             rid = ("chatcmpl-" if chat else "cmpl-") + uuid.uuid4().hex[:24]
             obj = "chat.completion" if chat else "text_completion"
@@ -538,6 +550,23 @@ def create_server(
                         tokenizer, chat,
                     )
                 choices.append(choice)
+            if (params.best_of or params.n) > params.n:
+                # Rank all best_of completions by cumulative logprob,
+                # return the top n (usage still counts every generated
+                # token, OpenAI semantics).
+                scored = sorted(
+                    zip(reqs, choices),
+                    key=lambda rc: sum(
+                        e["logprob"] for e in (rc[0].logprobs or [])
+                    ),
+                    reverse=True,
+                )
+                choices = []
+                for i, (req, ch) in enumerate(scored[: params.n]):
+                    ch["index"] = i
+                    if not body.get("logprobs"):
+                        ch.pop("logprobs", None)  # forced for ranking only
+                    choices.append(ch)
             n_prompt = len(prompt) if isinstance(prompt, list) else (
                 len(tokenizer.encode(prompt)) if tokenizer else 0
             )

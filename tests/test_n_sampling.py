@@ -132,6 +132,44 @@ def test_fork_survives_parent_finishing_first(tiny):
     llm.exit()
 
 
+def test_best_of_keeps_top_n_by_cumulative_logprob(tiny):
+    """best_of=4, n=2, seeded: the kept completions must be exactly the
+    top-2 of the 4 sibling streams by cumulative logprob (verified
+    against 4 independent seeded runs), best first."""
+    llm = make(tiny)
+    seed = 77
+    sp_one = [
+        SamplingParams(temperature=1.0, max_tokens=6, ignore_eos=True,
+                       seed=seed + i, logprobs=0)
+        for i in range(4)
+    ]
+    indep = llm.generate([PROMPT] * 4, sp_one, use_tqdm=False)
+    scores = [
+        (sum(e["logprob"] for e in o["logprobs"]), tuple(o["token_ids"]))
+        for o in indep
+    ]
+    expected = [t for _, t in sorted(scores, reverse=True)[:2]]
+    out = llm.generate(
+        [PROMPT],
+        SamplingParams(temperature=1.0, max_tokens=6, ignore_eos=True,
+                       seed=seed, n=2, best_of=4),
+        use_tqdm=False,
+    )[0]
+    got = [tuple(c["token_ids"]) for c in out["completions"]]
+    assert got == expected
+    # logprobs were forced for ranking, not requested: stripped
+    assert all("logprobs" not in c for c in out["completions"])
+    assert tuple(out["token_ids"]) == expected[0]  # top-level = best
+    llm.exit()
+
+
+def test_best_of_validation():
+    with pytest.raises(ValueError):
+        SamplingParams(n=4, best_of=2)
+    sp = SamplingParams(n=2, best_of=4)
+    assert sp.best_of == 4
+
+
 def test_n_validation():
     with pytest.raises(ValueError):
         SamplingParams(n=0)

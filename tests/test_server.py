@@ -260,6 +260,23 @@ def test_n_choices_stream(served):
         assert texts[i] == full["choices"][i]["text"]
 
 
+def test_best_of_http(served):
+    """best_of generates best_of completions, returns the top n by
+    cumulative logprob; usage counts every generated token; streaming
+    with best_of > n is rejected."""
+    base, eng = served
+    body = {"prompt": "hello world", "max_tokens": 5, "temperature": 1.0,
+            "ignore_eos": True, "seed": 3, "best_of": 3}
+    code, r = post(base, "/v1/completions", body)
+    assert code == 200, r
+    assert len(r["choices"]) == 1
+    assert "logprobs" not in r["choices"][0]  # forced for ranking only
+    assert r["usage"]["completion_tokens"] == 15  # all 3 generated
+    code, r = post(base, "/v1/completions", {**body, "stream": True})
+    assert code == 400 and "best_of" in r["error"]["message"]
+    assert eng.engine.is_finished()
+
+
 def test_error_paths(served):
     base, _ = served
     code, r = post(base, "/v1/completions", {"max_tokens": 4})
