@@ -434,6 +434,7 @@ class LLMEngine:
                 and len(self.scheduler.running) == len(seqs)
                 and not any(
                     s.sampling_params.has_penalties
+                    or s.sampling_params.has_logit_bias
                     or s.sampling_params.mirostat > 0
                     or s.sampling_params.logprobs is not None
                     or s.sampling_params.prompt_logprobs is not None
@@ -459,6 +460,7 @@ class LLMEngine:
         # table.
         if not is_prefill and seqs and not any(
             s.sampling_params.has_penalties
+            or s.sampling_params.has_logit_bias
             or s.sampling_params.mirostat > 0
             or s.sampling_params.logprobs is not None
             for s in seqs
@@ -483,6 +485,7 @@ class LLMEngine:
             and self._spec_gate_open()
             and all(
                 not s.sampling_params.has_penalties
+                and not s.sampling_params.has_logit_bias
                 and s.sampling_params.mirostat == 0
                 and s.sampling_params.logprobs is None
                 for s in seqs
@@ -888,6 +891,9 @@ class LLMEngine:
                 # (sampling/ops.candidate_pool).
                 SamplingParams(
                     temperature=0.8, top_k=128, ignore_eos=True
+                ),
+                SamplingParams(
+                    temperature=0.8, ignore_eos=True, logit_bias={1: -5.0}
                 ),
             ]
             # typical_p / seeded DO use fused windows: warm their

@@ -507,7 +507,7 @@ class ModelRunner:
     def _prefill_step(
         self, with_filters, typical, lp_k, plp_k, seeded, m_on, pool,
         params, k_cache, v_cache, packed_t, packed_c, packed_s, tables,
-        state, key, hist=None, m=None,
+        state, key, hist=None, m=None, bias=None,
     ):
         from minivllm_tpu.parallel.sharding import shard_batch
 
@@ -540,7 +540,7 @@ class ModelRunner:
             out_tokens=None if hist is None else hist[1],
             with_filters=with_filters,
             typical_active=typical,
-            positions=positions, seeded=seeded, pool=pool,
+            positions=positions, seeded=seeded, pool=pool, bias=bias,
         )
         # Mirostat overrides the token BEFORE logprobs so a request with
         # both reports the logprob of the token actually emitted.
@@ -601,7 +601,7 @@ class ModelRunner:
     def _decode_step(
         self, with_filters, typical, lp_k, seeded, m_on, pool, params,
         k_cache, v_cache, packed, tables, state, key, prev_toks=None,
-        hist=None, groups=None, m=None,
+        hist=None, groups=None, m=None, bias=None,
     ):
         from minivllm_tpu.parallel.sharding import shard_batch
 
@@ -631,7 +631,7 @@ class ModelRunner:
             # typical_active was silently dropped here before — the
             # single-step decode path ignored typical_p entirely.
             typical_active=typical,
-            positions=positions, seeded=seeded, pool=pool,
+            positions=positions, seeded=seeded, pool=pool, bias=bias,
         )
         # Mirostat overrides the token BEFORE logprobs so a request with
         # both reports the logprob of the token actually emitted.
@@ -1035,6 +1035,22 @@ class ModelRunner:
         cap = _next_pow2(max_blocks, 1)
         cls = 2 if width <= 2 else 8 if width <= 8 else cap
         return min(cls, cap)
+
+    def _build_bias(self, seqs, S_pad):
+        """(ids, vals) arrays for per-request logit_bias, padded to a
+        pow2 width (-1 id rows are inert in sample_tokens)."""
+        B = _next_pow2(
+            max(len(s.sampling_params.logit_bias or {}) for s in seqs), 8
+        )
+        ids = np.full((S_pad, B), -1, np.int32)
+        vals = np.zeros((S_pad, B), np.float32)
+        for i, s in enumerate(seqs):
+            lb = s.sampling_params.logit_bias
+            if lb:
+                for j, (t, b) in enumerate(lb.items()):
+                    ids[i, j] = t
+                    vals[i, j] = b
+        return (jnp.asarray(ids), jnp.asarray(vals))
 
     def _decode_signature(self, seqs, S_pad, W):
         return (
@@ -1517,6 +1533,7 @@ class ModelRunner:
             is_prefill = False
         params_list = [seq.sampling_params for seq in seqs]
         with_penalties = any(sp.has_penalties for sp in params_list)
+        with_bias = any(sp.has_logit_bias for sp in params_list)
         typical = any(sp.typical_p < 1.0 for sp in params_list)
         seeded = any(sp.seed is not None for sp in params_list)
         with_mirostat = any(sp.mirostat > 0 for sp in params_list)
@@ -1548,6 +1565,7 @@ class ModelRunner:
             )
             state = self._get_state(params_list, S_pad)
             hist = self._build_hist(seqs, S_pad) if with_penalties else None
+            bias = self._build_bias(seqs, S_pad) if with_bias else None
             key = jax.random.fold_in(self._base_key, self._step_counter)
             self._step_counter += 1
             if with_mirostat:
@@ -1557,13 +1575,13 @@ class ModelRunner:
                 toks, lp, plp, mu, self.k_cache, self.v_cache = fn(
                     self.params, self.k_cache, self.v_cache,
                     packed_t, packed_c, packed_s, tables, state, key,
-                    hist=hist, m=m,
+                    hist=hist, m=m, bias=bias,
                 )
             else:
                 toks, lp, plp, self.k_cache, self.v_cache = fn(
                     self.params, self.k_cache, self.v_cache,
                     packed_t, packed_c, packed_s, tables, state, key,
-                    hist=hist,
+                    hist=hist, bias=bias,
                 )
             if plp is not None:
                 self._record_prompt_logprobs(seqs, plp, layout)
@@ -1589,6 +1607,7 @@ class ModelRunner:
                 )
                 state = self._get_state(params_list, S_pad)
                 hist = self._build_hist(seqs, S_pad) if with_penalties else None
+                bias = self._build_bias(seqs, S_pad) if with_bias else None
                 key = jax.random.fold_in(self._base_key, self._step_counter)
                 self._step_counter += 1
                 if with_mirostat:
@@ -1598,19 +1617,23 @@ class ModelRunner:
                     toks, lp, mu, self.k_cache, self.v_cache = fn(
                         self.params, self.k_cache, self.v_cache,
                         packed, tables, state, key, hist=hist, groups=groups,
-                        m=m,
+                        m=m, bias=bias,
                     )
                 else:
                     toks, lp, self.k_cache, self.v_cache = fn(
                         self.params, self.k_cache, self.v_cache,
                         packed, tables, state, key, hist=hist, groups=groups,
+                        bias=bias,
                     )
             # Dispatch the likely next step before fetching this one's
             # tokens, so the D2H overlaps its compute. Penalty histories
             # grow with the (still unfetched) sampled token, so speculation
             # is disabled when penalties are active; logprob requests skip
             # it too (the speculative step has no logprob outputs).
-            if not with_penalties and lp_k is None and not with_mirostat:
+            if (
+                not with_penalties and not with_bias and lp_k is None
+                and not with_mirostat
+            ):
                 self._maybe_speculate(
                     seqs, toks, with_filters, typical, S_pad, W, groups
                 )

@@ -229,6 +229,7 @@ def sample_tokens(
     positions: jnp.ndarray | None = None,
     seeded: bool = False,
     pool: int = NUM_CANDIDATES,
+    bias: tuple[jnp.ndarray, jnp.ndarray] | None = None,
 ) -> jnp.ndarray:
     """Sample one token per row. logits (S, V) fp32 -> (S,) int32.
 
@@ -253,6 +254,16 @@ def sample_tokens(
 
         def draw(rows: jnp.ndarray) -> jnp.ndarray:
             return jax.random.categorical(key, rows, axis=-1)
+    # OpenAI logit_bias: additive, before every filter and the argmax
+    # (-100 bans, +100 forces). bias = (ids (S, B) int32 with -1
+    # padding, vals (S, B) fp32); like the penalty histories, presence
+    # is a trace-time property (None vs arrays retraces).
+    if bias is not None:
+        bids, bvals = bias
+        logits = logits.at[
+            jnp.arange(S, dtype=jnp.int32)[:, None],
+            jnp.clip(bids, 0, V - 1),
+        ].add(jnp.where(bids >= 0, bvals, 0.0))
     # Penalties come first (reference order: sampler.py:27-110), so they
     # affect the greedy argmax too.
     if with_filters and all_tokens is not None:

@@ -83,6 +83,11 @@ class SamplingParams:
     # Keep the matched stop string in the output text (off = OpenAI
     # default truncation BEFORE the stop string).
     include_stop_str_in_output: bool = False
+    # OpenAI logit_bias: token id -> additive bias in [-100, 100],
+    # applied to the logits before every filter and the greedy argmax
+    # (so -100 effectively bans a token and +100 forces it). Routed
+    # down the single-step decode path like penalties.
+    logit_bias: dict[int, float] | None = None
 
     def __post_init__(self) -> None:
         if self.temperature < 0:
@@ -148,6 +153,22 @@ class SamplingParams:
                     f"got {self.stop_token_ids!r}"
                 )
             self.stop_token_ids = list(self.stop_token_ids)
+        if self.logit_bias is not None:
+            norm: dict[int, float] = {}
+            for t, b in self.logit_bias.items():
+                t = int(t)  # OpenAI clients send string keys
+                b = float(b)
+                if t < 0 or not -100.0 <= b <= 100.0:
+                    raise ValueError(
+                        f"logit_bias needs token ids >= 0 and biases in "
+                        f"[-100, 100], got {t}: {b}"
+                    )
+                norm[t] = b
+            self.logit_bias = norm
+
+    @property
+    def has_logit_bias(self) -> bool:
+        return bool(self.logit_bias)
 
     @property
     def is_greedy(self) -> bool:

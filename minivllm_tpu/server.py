@@ -329,6 +329,7 @@ def _sampling_params(
         # freed within one decode window), not just text truncation.
         stop=body.get("stop") or None,
         stop_token_ids=body.get("stop_token_ids") or None,
+        logit_bias=body.get("logit_bias") or None,
         include_stop_str_in_output=bool(
             body.get("include_stop_str_in_output", False)
         ),

@@ -242,8 +242,8 @@ def test_warmup_precompiles_buckets(llm):
     hashes_before = dict(bm.hash_to_block_id)
     runs = llm.warmup(prompt_len=24, batch_sizes=[2], max_tokens=[3, 2],
                       prefill_buckets=False)
-    # 3 width classes x (2 windows x 2 core + 8 aux + 2x2 aux_win)
-    assert runs == 48
+    # 3 width classes x (2 windows x 2 core + 9 aux + 2x2 aux_win)
+    assert runs == 51
     assert bm.enable_prefix_caching  # restored
     # dummy prompts left no NEW cache entries (cycling blocks through
     # the free list may evict tombstones of already-freed blocks — they
