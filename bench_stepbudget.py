@@ -57,7 +57,7 @@ def main() -> None:
     p.add_argument("--num-seqs", type=int, default=64)
     p.add_argument("--prompt-len", type=int, default=64)
     p.add_argument("--max-model-len", type=int, default=768)
-    p.add_argument("--quant", choices=["int8", "fp8"], default=None)
+    p.add_argument("--quant", choices=["int8", "fp8", "w8a8"], default=None)
     p.add_argument("--kv-dtype", default="auto")
     p.add_argument("--blocks", type=int, default=-1,
                    help="KV blocks (-1 = auto-size; set explicitly to "
