@@ -1,6 +1,8 @@
 """Pod-mesh (dcn x tp) execution on virtual devices: the multi-host layout
 runs and matches single-device outputs."""
 
+from pathlib import Path
+
 import numpy as np
 import pytest
 import jax
@@ -120,8 +122,18 @@ def test_two_process_engine_determinism(tmp_path):
         subprocess.Popen(
             [sys.executable, str(child), str(i), str(ckpt), port],
             stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
-            env={k: v for k, v in __import__("os").environ.items()
-                 if k not in ("XLA_FLAGS", "JAX_PLATFORMS")},
+            # the child runs from tmp_path, so the repo root must ride
+            # PYTHONPATH explicitly (the parent may have it only via cwd)
+            env={
+                **{k: v for k, v in __import__("os").environ.items()
+                   if k not in ("XLA_FLAGS", "JAX_PLATFORMS")},
+                "PYTHONPATH": ":".join(
+                    p for p in (
+                        str(Path(__file__).resolve().parent.parent),
+                        __import__("os").environ.get("PYTHONPATH", ""),
+                    ) if p
+                ),
+            },
         )
         for i in range(2)
     ]
