@@ -238,13 +238,73 @@ def bench_gmm(T, K, N, E, wdtype_name, impl, iters=2000):
     }
 
 
+
+def bench_sampler(S, V, iters=50):
+    """Sampler-prep cost at serving logits shapes: the chunked two-stage
+    exact top-64 (sampling/ops.chunked_top_k) vs lax.top_k's full vocab
+    sort, both + full logsumexp — the two vocab sweeps of the fast
+    sampler path. Floor-subtracted chained scan (the results feed a FULL
+    reduction back into the carry: slicing a sort lets XLA narrow it to
+    the consumed prefix and the measurement collapses)."""
+    import jax
+    import jax.numpy as jnp
+
+    from minivllm_tpu.sampling.ops import chunked_top_k
+
+    rng = np.random.default_rng(0)
+    x0 = jnp.asarray(rng.standard_normal((S, V)) * 4.0, jnp.float32)
+
+    def chained(body):
+        @jax.jit
+        def run(x):
+            out, _ = jax.lax.scan(
+                lambda c, _: (body(c), None), x, None, length=iters
+            )
+            return out[0, :1]
+
+        run(x0).block_until_ready()
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            np.asarray(run(x0))
+            best = min(best, (time.perf_counter() - t0) / iters)
+        return best
+
+    def dep(c, *vals):
+        s = sum(jnp.sum(v.astype(jnp.float32)) * 1e-9 for v in vals)
+        return c.at[:, :1].add(s)
+
+    floor = chained(lambda c: c + 1.0)
+
+    def prep(c, topk):
+        lse = jax.scipy.special.logsumexp(c, axis=-1)
+        cand, idx = topk(c, 64)
+        return dep(c, cand, idx, lse)
+
+    chunked = chained(lambda c: prep(c, chunked_top_k)) - floor
+    full = chained(lambda c: prep(c, jax.lax.top_k)) - floor
+    return {
+        "kernel": "sampler_prep", "S": S, "V": V,
+        "chunked_ms": round(chunked * 1e3, 3),
+        "lax_top_k_ms": round(full * 1e3, 3),
+        "speedup": round(full / max(chunked, 1e-9), 2),
+    }
+
+
 def main() -> None:
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--kv-dtype", choices=["bf16", "int8"], default="bf16")
     p.add_argument("--iters", type=int, default=200)
     p.add_argument("--moe", action="store_true",
                    help="MoE grouped-matmul sweep instead of attention")
+    p.add_argument("--sampler", action="store_true",
+                   help="sampler-prep (chunked top-64 + logsumexp) sweep")
     args = p.parse_args()
+
+    if args.sampler:
+        for S, V in [(64, 151936), (256, 152064)]:
+            print(json.dumps(bench_sampler(S, V)))
+        return
 
     if args.moe:
         # qwen3-moe-3b shapes (bench_serving): D=2048, I=1408, E=8, k=2.

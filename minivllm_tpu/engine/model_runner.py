@@ -489,7 +489,9 @@ class ModelRunner:
                 logp, jnp.clip(t, 0, None)[:, None], axis=1
             )[:, 0]
             if plp_k > 0:
-                top_lp, top_id = jax.lax.top_k(logp, plp_k)
+                from minivllm_tpu.sampling.ops import chunked_top_k
+
+                top_lp, top_id = chunked_top_k(logp, plp_k)
             else:
                 top_id = jnp.zeros((h.shape[0], 0), jnp.int32)
                 top_lp = jnp.zeros((h.shape[0], 0), jnp.float32)

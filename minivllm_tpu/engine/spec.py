@@ -80,7 +80,9 @@ def _filter_rows(
     mp = jnp.broadcast_to(min_p, tuple(lead)).reshape(B)
     K = min(V, pool if pool is not None else NUM_CANDIDATES)
     denom = jax.scipy.special.logsumexp(flat, axis=-1, keepdims=True)
-    cand, idx = jax.lax.top_k(flat, K)             # (B, K) descending
+    from minivllm_tpu.sampling.ops import chunked_top_k
+
+    cand, idx = chunked_top_k(flat, K)             # (B, K) descending
     probs = jnp.exp(cand - denom)
     ranks = jnp.arange(K, dtype=jnp.int32)[None, :]
     k_arr = jnp.where(tk <= 0, K, jnp.minimum(tk, K))[:, None]

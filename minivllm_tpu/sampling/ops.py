@@ -61,6 +61,53 @@ def candidate_pool(sampling_params_list) -> int:
     return POOL_FAST
 
 
+# Chunk width of the two-stage top-k: one 128-lane vocab chunk per
+# per-chunk max, so the chunk-max sweep is a plain lane reduction.
+TOPK_CHUNK = 128
+
+
+def chunked_top_k(x: jnp.ndarray, k: int) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Exact top-k over the last axis via two-stage chunk selection.
+
+    `lax.top_k` lowers to a FULL vocab sort on TPU (measured ~6-8 ms at
+    (256, 152064) fp32 on v5e even at k=64). This computes the same
+    result in ~0.9 ms (probe_sampler.py): per-128-lane chunk maxima
+    (one fused sweep), top-k of the (S, V/128) chunk maxima, gather of
+    the selected chunks, and a small top-k over the k*128 gathered
+    candidates. Exactness: any element of the true top-k has a chunk
+    max >= the k-th value, and at most k chunks can rank above it (each
+    selected chunk contributes one element preceding it in the stable
+    descending order), so the gathered set always covers the top-k.
+
+    Tie semantics: the greedy tie-break (rank 0 = lowest index among
+    maxima) matches lax.top_k exactly; deeper ranks of EQUAL values
+    split across chunks may come back in chunk-rank order instead of
+    vocab order (the value multiset is identical either way).
+
+    Falls back to lax.top_k for small vocabularies (tiny test
+    checkpoints) where the two-stage split has nothing to amortize.
+    """
+    import os
+
+    S, V = x.shape
+    L = TOPK_CHUNK
+    if V < 64 * L or (V + L - 1) // L < k or (
+        os.environ.get("MINIVLLM_CHUNKED_TOPK") == "0"  # A/B escape
+    ):
+        return jax.lax.top_k(x, k)
+    pad = (L - V % L) % L
+    if pad:
+        x = jnp.pad(x, ((0, 0), (0, pad)), constant_values=NEG_INF)
+    C = (V + pad) // L
+    xc = x.reshape(S, C, L)
+    cm = jnp.max(xc, axis=-1)                       # (S, C)
+    _, cidx = jax.lax.top_k(cm, k)                  # (S, k) chunk ids
+    gath = jnp.take_along_axis(xc, cidx[:, :, None], axis=1)
+    vals, pos = jax.lax.top_k(gath.reshape(S, k * L), k)
+    chunk_of = jnp.take_along_axis(cidx, pos // L, axis=1)
+    return vals, chunk_of * L + pos % L
+
+
 def fast_argmax(x: jnp.ndarray) -> jnp.ndarray:
     """argmax over the last axis via two plain reduces (max, then min
     over the matching iota). XLA's variadic argmax reduce measured
@@ -322,7 +369,7 @@ def sample_tokens(
     # runner widens the pool when a request's ranks reach past it).
     K = min(V, pool)
     denom = jax.scipy.special.logsumexp(scaled, axis=-1, keepdims=True)
-    cand, idx = jax.lax.top_k(scaled, K)           # (S, K) descending
+    cand, idx = chunked_top_k(scaled, K)           # (S, K) descending
     probs = jnp.exp(cand - denom)                  # true probabilities
     ranks = jnp.arange(K, dtype=jnp.int32)[None, :]
     # avoid-top-k (reference functional.py:288-302): exclude the `avoid`
@@ -428,7 +475,7 @@ def token_logprobs(logits: jnp.ndarray, toks: jnp.ndarray, k: int):
     logp = jax.nn.log_softmax(logits, axis=-1)
     chosen = jnp.take_along_axis(logp, toks[:, None].astype(jnp.int32), axis=1)[:, 0]
     if k > 0:
-        top_lp, top_id = jax.lax.top_k(logp, k)
+        top_lp, top_id = chunked_top_k(logp, k)
         return chosen, top_id.astype(jnp.int32), top_lp
     S = logits.shape[0]
     return chosen, jnp.zeros((S, 0), jnp.int32), jnp.zeros((S, 0), jnp.float32)

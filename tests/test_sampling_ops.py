@@ -327,3 +327,74 @@ def test_mirostat_validation():
         SamplingParams(mirostat=2, mirostat_tau=0.0)
     with pytest.raises(ValueError):
         SamplingParams(mirostat=1, mirostat_eta=0.0)
+
+
+# ---------------------------------------------------------------------------
+# chunked_top_k: the two-stage exact top-k that replaces lax.top_k's
+# full vocab sort on the hot sampler paths.
+
+
+def test_chunked_top_k_matches_lax_top_k():
+    from minivllm_tpu.sampling.ops import chunked_top_k
+
+    rng = np.random.default_rng(0)
+    for S, V, k in [(4, 128 * 256, 64), (3, 128 * 70, 12), (2, 128 * 64, 64)]:
+        x = jnp.asarray(rng.standard_normal((S, V)), jnp.float32)
+        v_ref, i_ref = jax.lax.top_k(x, k)
+        v, i = chunked_top_k(x, k)
+        np.testing.assert_array_equal(np.asarray(v), np.asarray(v_ref))
+        np.testing.assert_array_equal(np.asarray(i), np.asarray(i_ref))
+
+
+def test_chunked_top_k_unaligned_vocab():
+    from minivllm_tpu.sampling.ops import chunked_top_k
+
+    rng = np.random.default_rng(1)
+    V = 128 * 400 + 57  # GPT2-style non-multiple-of-128 vocab
+    x = jnp.asarray(rng.standard_normal((2, V)), jnp.float32)
+    v_ref, i_ref = jax.lax.top_k(x, 20)
+    v, i = chunked_top_k(x, 20)
+    np.testing.assert_array_equal(np.asarray(v), np.asarray(v_ref))
+    np.testing.assert_array_equal(np.asarray(i), np.asarray(i_ref))
+
+
+def test_chunked_top_k_small_vocab_fallback():
+    from minivllm_tpu.sampling.ops import chunked_top_k
+
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.standard_normal((3, 999)), jnp.float32)
+    v_ref, i_ref = jax.lax.top_k(x, 8)
+    v, i = chunked_top_k(x, 8)
+    np.testing.assert_array_equal(np.asarray(v), np.asarray(v_ref))
+    np.testing.assert_array_equal(np.asarray(i), np.asarray(i_ref))
+
+
+def test_chunked_top_k_greedy_tie_break_lowest_index():
+    from minivllm_tpu.sampling.ops import chunked_top_k
+
+    # global max duplicated across two far-apart chunks: rank 0 must be
+    # the LOWEST index (jnp.argmax / lax.top_k tie-break).
+    V = 128 * 128
+    x = np.zeros((1, V), np.float32)
+    x[0, 5000] = 7.0
+    x[0, 13000] = 7.0
+    v, i = chunked_top_k(jnp.asarray(x), 4)
+    assert int(i[0, 0]) == 5000
+    assert float(v[0, 0]) == 7.0
+    assert int(i[0, 1]) == 13000
+
+
+def test_chunked_top_k_values_match_on_dense_ties():
+    from minivllm_tpu.sampling.ops import chunked_top_k
+
+    # many equal values: the value multiset must match lax.top_k even
+    # if tie ORDER may differ.
+    rng = np.random.default_rng(3)
+    V = 128 * 100
+    x = np.round(rng.standard_normal((2, V)) * 2).astype(np.float32)
+    v_ref, _ = jax.lax.top_k(jnp.asarray(x), 64)
+    v, i = chunked_top_k(jnp.asarray(x), 64)
+    np.testing.assert_array_equal(np.asarray(v), np.asarray(v_ref))
+    # returned indices really hold the returned values
+    got = np.take_along_axis(x, np.asarray(i), axis=1)
+    np.testing.assert_array_equal(got, np.asarray(v))
