@@ -1081,28 +1081,48 @@ class LLMEngine:
         only returns finished completions). Drives the engine loop itself —
         for concurrent streaming across requests use the HTTP server's
         AsyncEngine, which owns the loop in a thread. Closing the generator
-        early aborts the request (its blocks are freed)."""
-        if sampling_params is not None and sampling_params.n != 1:
+        early aborts the request (its blocks are freed).
+
+        n == 1 yields plain token-id chunks (lists). n > 1 yields
+        (sibling_index, chunk) pairs multiplexed across the n KV-forked
+        siblings, with a terminal (sibling_index, None) as each sibling
+        finishes — the same surface the HTTP server's stream_many
+        exposes, so library and server callers see one n>1 shape.
+        best_of > n cannot stream (ranking needs completed outputs)."""
+        sp = sampling_params if sampling_params is not None else SamplingParams()
+        if (sp.best_of or sp.n) > sp.n:
             raise ValueError(
-                "stream() supports n == 1; use generate() (or the HTTP "
-                "server, which multiplexes sibling streams) for n > 1"
+                "best_of > n cannot stream (ranking needs completed outputs)"
             )
-        seq_id = self.add_request(prompt, sampling_params)
-        seq = self.scheduler.waiting[-1]
-        assert seq.seq_id == seq_id
-        emitted = 0
+        primary_id = self.add_request(prompt, sampling_params)
+        ids = self.pop_family(primary_id)
+        self._family_keep.pop(primary_id, None)
+        wanted = set(ids)
+        by_id = {
+            s.seq_id: s for s in self.scheduler.waiting if s.seq_id in wanted
+        }
+        seqs = [by_id[i] for i in ids]
+        multiplexed = len(seqs) > 1
+        emitted = [0] * len(seqs)
+        done = [False] * len(seqs)
         try:
-            while True:
+            while not all(done):
                 self.step()
-                new = seq.completion_token_ids[emitted:]
-                if new:
-                    emitted += len(new)
-                    yield new
-                if seq.is_finished:
-                    return
+                for i, seq in enumerate(seqs):
+                    if done[i]:
+                        continue
+                    new = seq.completion_token_ids[emitted[i]:]
+                    if new:
+                        emitted[i] += len(new)
+                        yield (i, new) if multiplexed else new
+                    if seq.is_finished:
+                        done[i] = True
+                        if multiplexed:
+                            yield i, None
         finally:
-            if not seq.is_finished:
-                self.abort_request(seq_id)
+            for seq in seqs:
+                if not seq.is_finished:
+                    self.abort_request(seq.seq_id)
 
     def generate(
         self,

@@ -16,6 +16,7 @@ same sequence bucket as the batch.
 
 from __future__ import annotations
 
+import os
 from typing import NamedTuple
 
 import jax
@@ -65,6 +66,14 @@ def candidate_pool(sampling_params_list) -> int:
 # per-chunk max, so the chunk-max sweep is a plain lane reduction.
 TOPK_CHUNK = 128
 
+# A/B escape hatch, read ONCE at import: chunked_top_k is called at
+# trace time inside already-jitted steps, so flipping the env
+# mid-process could not affect cached compilations anyway (and with the
+# persistent XLA cache an in-process flip would silently measure the
+# same variant twice). Set MINIVLLM_CHUNKED_TOPK=0 before engine
+# construction, like MINIVLLM_SAMPLER_POOL.
+_CHUNKED_TOPK_ENABLED = os.environ.get("MINIVLLM_CHUNKED_TOPK") != "0"
+
 
 def chunked_top_k(x: jnp.ndarray, k: int) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Exact top-k over the last axis via two-stage chunk selection.
@@ -87,13 +96,9 @@ def chunked_top_k(x: jnp.ndarray, k: int) -> tuple[jnp.ndarray, jnp.ndarray]:
     Falls back to lax.top_k for small vocabularies (tiny test
     checkpoints) where the two-stage split has nothing to amortize.
     """
-    import os
-
     S, V = x.shape
     L = TOPK_CHUNK
-    if V < 64 * L or (V + L - 1) // L < k or (
-        os.environ.get("MINIVLLM_CHUNKED_TOPK") == "0"  # A/B escape
-    ):
+    if V < 64 * L or (V + L - 1) // L < k or not _CHUNKED_TOPK_ENABLED:
         return jax.lax.top_k(x, k)
     pad = (L - V % L) % L
     if pad:
@@ -105,7 +110,11 @@ def chunked_top_k(x: jnp.ndarray, k: int) -> tuple[jnp.ndarray, jnp.ndarray]:
     gath = jnp.take_along_axis(xc, cidx[:, :, None], axis=1)
     vals, pos = jax.lax.top_k(gath.reshape(S, k * L), k)
     chunk_of = jnp.take_along_axis(cidx, pos // L, axis=1)
-    return vals, chunk_of * L + pos % L
+    # Clamp into [0, V): if a row's real values reach NEG_INF they can
+    # tie with pad lanes and a deep rank may resolve to a pad position
+    # in [V, V+pad) — lax.top_k can never return an out-of-range index,
+    # and a downstream gather/token id >= V would be invalid.
+    return vals, jnp.minimum(chunk_of * L + pos % L, V - 1)
 
 
 def fast_argmax(x: jnp.ndarray) -> jnp.ndarray:

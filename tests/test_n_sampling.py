@@ -177,8 +177,34 @@ def test_n_validation():
         SamplingParams(n=100)
 
 
-def test_stream_rejects_n(tiny):
+def test_stream_n_matches_generate(tiny):
+    """n>1 library streaming: stream() multiplexes (sibling_index, chunk)
+    pairs with a terminal (i, None) per sibling — the same surface as the
+    server's stream_many — and the reassembled streams are exactly the
+    non-streamed family result."""
     llm = make(tiny)
-    with pytest.raises(ValueError, match="n == 1"):
-        next(llm.stream(PROMPT, SamplingParams(n=2)))
+    sp = SamplingParams(temperature=1.0, max_tokens=8, ignore_eos=True,
+                        seed=77, n=3)
+    ref = llm.generate([PROMPT], sp, use_tqdm=False)[0]
+    expected = [c["token_ids"] for c in ref["completions"]]
+    got: list[list[int]] = [[] for _ in range(3)]
+    finished = [False] * 3
+    for i, chunk in llm.stream(PROMPT, sp):
+        if chunk is None:
+            assert not finished[i], "duplicate terminal for sibling"
+            finished[i] = True
+        else:
+            assert not finished[i], "chunk after sibling terminal"
+            got[i].extend(chunk)
+    assert all(finished)
+    assert got == expected
+    bm = llm.scheduler.block_manager
+    assert bm.num_free_blocks == bm.num_blocks  # family blocks all freed
+    llm.exit()
+
+
+def test_stream_rejects_best_of_over_n(tiny):
+    llm = make(tiny)
+    with pytest.raises(ValueError, match="best_of"):
+        next(llm.stream(PROMPT, SamplingParams(n=1, best_of=2)))
     llm.exit()
