@@ -16,7 +16,14 @@ Passes (every mesh axis the engine supports, each with real shardings):
 (6) [n even] dense over ("dp", "tp") with the PALLAS attention kernels in
     interpret mode inside their shard_map SPMD wrappers
     (ops/pallas/spmd.py) — validates the real kernel partitioning, not
-    just the XLA oracle path.
+    just the XLA oracle path;
+(7) [n even] the quantized serving configs under a multi-device mesh:
+    int8 weights + int8 KV cache through the Pallas kernels (in-kernel
+    dequant under shard_map), and w8a8 (int8-activation MXU matmuls)
+    on the XLA path — the north-star configs previously never executed
+    multi-device in this gate (VERDICT r4 weak #4);
+(8) [n % 4 == 0] 3-axis meshes: dense over ("dp", "sp", "tp") and MoE
+    over ("ep", "dp", "tp") — every prior pass was 2-axis.
 """
 
 from __future__ import annotations
@@ -56,7 +63,8 @@ def run_dryrun(n_devices: int) -> None:
         "tie_word_embeddings": True,
     }
     dense = {**base, "architectures": ["Qwen3ForCausalLM"], "model_type": "qwen3"}
-    passes = [("dense tp", dense, {"tp_size": n_devices})]
+    # (name, hf config dict, mesh axis sizes, extra Config kwargs)
+    passes = [("dense tp", dense, {"tp_size": n_devices}, {})]
     if n_devices % 2 == 0:
         half = n_devices // 2
         passes += [
@@ -73,16 +81,18 @@ def run_dryrun(n_devices: int) -> None:
                  "norm_topk_prob": True, "decoder_sparse_step": 1,
                  "mlp_only_layers": []},
                 {"tp_size": half, "ep_size": 2},
+                {},
             ),
-            ("dense dp x tp", dense, {"tp_size": half, "dp_size": 2}),
-            ("dense sp x tp", dense, {"tp_size": half, "sp_size": 2}),
-            ("dense pp x tp", dense, {"tp_size": half, "pp_size": 2}),
+            ("dense dp x tp", dense, {"tp_size": half, "dp_size": 2}, {}),
+            ("dense sp x tp", dense, {"tp_size": half, "sp_size": 2}, {}),
+            ("dense pp x tp", dense, {"tp_size": half, "pp_size": 2}, {}),
             (
                 # d=128: the Pallas kernels' lane requirement
                 "pallas dp x tp",
                 {**dense, "head_dim": 128, "num_attention_heads": 4,
                  "num_key_value_heads": 2},
                 {"tp_size": min(half, 2), "dp_size": 2},
+                {},
             ),
             (
                 # Attention kernels inside the pipeline's manual-pp
@@ -92,9 +102,50 @@ def run_dryrun(n_devices: int) -> None:
                  "num_key_value_heads": 2},
                 {"tp_size": min(half, 2), "pp_size": 2},
             ),
+            (
+                # North-star serving config under a mesh: int8 weights
+                # (in-fusion dequant) + int8 KV cache (in-kernel dequant
+                # inside the shard_map'd Pallas kernels).
+                "pallas int8-w int8-kv dp x tp",
+                {**dense, "head_dim": 128, "num_attention_heads": 4,
+                 "num_key_value_heads": 2},
+                {"tp_size": min(half, 2), "dp_size": 2},
+                {"quantization": "int8", "kvcache_dtype": "int8"},
+            ),
+            (
+                # w8a8: int8-activation MXU matmuls traced under the mesh
+                # (per-row quantize + int8 dot + row x col dequant must
+                # all partition over tp's sharded out-dim).
+                "w8a8 dp x tp",
+                dense,
+                {"tp_size": half, "dp_size": 2},
+                {"quantization": "w8a8"},
+            ),
+        ]
+    if n_devices % 4 == 0:
+        quarter = n_devices // 4
+        passes += [
+            (
+                "dense dp x sp x tp",
+                dense,
+                {"tp_size": quarter, "dp_size": 2, "sp_size": 2},
+                {},
+            ),
+            (
+                "moe ep x dp x tp (pallas gmm)",
+                {**base, "architectures": ["Qwen3MoeForCausalLM"],
+                 "model_type": "qwen3_moe", "num_experts": 8,
+                 "num_experts_per_tok": 2,
+                 "moe_intermediate_size": 128 * quarter,
+                 "norm_topk_prob": True, "decoder_sparse_step": 1,
+                 "mlp_only_layers": []},
+                {"tp_size": quarter, "ep_size": 2, "dp_size": 2},
+                {},
+            ),
         ]
 
-    for name, cfg_dict, mesh_kw in passes:
+    for name, cfg_dict, mesh_kw, *rest in passes:
+        extra_cfg = rest[0] if rest else {}
         tmp = Path(tempfile.mkdtemp())
         (tmp / "config.json").write_text(json.dumps(cfg_dict))
         config = Config(
@@ -115,6 +166,7 @@ def run_dryrun(n_devices: int) -> None:
                 if name.startswith("pallas") or "pallas" in name
                 else "xla"
             ),
+            **extra_cfg,
         )
         mesh = make_mesh(**mesh_kw)
         runner = ModelRunner(config, init_random=True, mesh=mesh)

