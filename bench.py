@@ -98,18 +98,22 @@ def main() -> None:
     tok_s = sorted(rates)[len(rates) // 2]
 
     baseline = 39.9 if on_tpu else 8.7  # BASELINE.md Qwen3-0.6B NPU / CPU
-    print(
-        json.dumps(
-            {
-                "metric": "qwen3_0.6b_e2e_throughput"
-                if on_tpu
-                else "qwen3_tiny_cpu_e2e_throughput",
-                "value": round(tok_s, 2),
-                "unit": "tok/s",
-                "vs_baseline": round(tok_s / baseline, 3),
-            }
-        )
-    )
+    out = {
+        "metric": "qwen3_0.6b_e2e_throughput"
+        if on_tpu
+        else "qwen3_tiny_cpu_e2e_throughput",
+        "value": round(tok_s, 2),
+        "unit": "tok/s",
+        "vs_baseline": round(tok_s / baseline, 3),
+    }
+    if on_tpu:
+        # Roofline context: fraction of the chip's matmul bound this
+        # e2e rate represents (bench_serving.flops_per_token).
+        from bench_serving import V5E_BF16_FLOPS, V5E_INT8_OPS, flops_per_token
+
+        peak = V5E_INT8_OPS if quant == "w8a8" else V5E_BF16_FLOPS
+        out["mfu"] = round(tok_s * flops_per_token(cfg_dict) / peak, 6)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

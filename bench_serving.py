@@ -88,6 +88,40 @@ MODELS = {
 }
 
 
+# v5e per-chip peaks (public spec): bf16 197 TFLOP/s, int8 394 TOP/s,
+# HBM ~819 GB/s. MFU uses the standard param-matmul FLOP count
+# (2 * active matmul params per token); attention-score FLOPs are
+# context-dependent and excluded, as in the usual MFU convention.
+V5E_BF16_FLOPS = 197e12
+V5E_INT8_OPS = 394e12
+
+
+def flops_per_token(cfg: dict) -> float:
+    """Matmul FLOPs per generated token from the HF config shapes:
+    2 * (per-layer qkv/o + mlp or active-expert weights) * layers
+    + 2 * lm_head. Makes cross-session tok/s numbers interpretable as
+    a fraction of the chip bound despite the ±20-50% relay drift
+    (VERDICT r4 next #8)."""
+    D = cfg.get("hidden_size") or cfg.get("n_embd")
+    L = cfg.get("num_hidden_layers") or cfg.get("n_layer")
+    H = cfg.get("num_attention_heads") or cfg.get("n_head")
+    KVH = cfg.get("num_key_value_heads", H)
+    hd = cfg.get("head_dim") or D // H
+    V = cfg["vocab_size"]
+    qkvo = D * H * hd * 2 + D * KVH * hd * 2
+    if "num_experts" in cfg:
+        mlp = (
+            D * cfg["num_experts"]  # router
+            + cfg["num_experts_per_tok"] * 3 * D * cfg["moe_intermediate_size"]
+        )
+    elif "intermediate_size" in cfg:
+        mlp = 3 * D * cfg["intermediate_size"]  # SwiGLU gate/up/down
+    else:  # OPT / GPT2: fc1 + fc2 (GELU MLP)
+        ffn = cfg.get("ffn_dim") or 4 * D
+        mlp = 2 * D * ffn
+    return float(2 * (L * (qkvo + mlp) + D * V))
+
+
 def main() -> None:
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--model", choices=sorted(MODELS), default="qwen3-0.6b")
@@ -214,6 +248,11 @@ def main() -> None:
         )
     elapsed = time.perf_counter() - t0
     stats = llm.get_stats()
+    ftok = flops_per_token(MODELS[args.model])
+    decode_tps = stats.get("decode_tokens_per_s", 0)
+    # The layer matmuls run on the int8 MXU path under w8a8, so its
+    # roofline is the int8 bound; everything else computes in bf16.
+    peak = V5E_INT8_OPS if args.quant == "w8a8" else V5E_BF16_FLOPS
     print(json.dumps({
         "metric": f"{args.model}_serving_throughput",
         "value": round(gen / elapsed, 2),
@@ -235,6 +274,10 @@ def main() -> None:
         "ttft_s_p50": round(stats.get("ttft_s_p50", 0), 4),
         "ttft_s_p95": round(stats.get("ttft_s_p95", 0), 4),
         "prefill_tokens_per_s": round(stats.get("prefill_tokens_per_s", 0), 2),
+        "model_gflops_per_token": round(ftok / 1e9, 2),
+        "decode_mfu": round(decode_tps * ftok / peak, 4),
+        "e2e_mfu": round(gen / elapsed * ftok / peak, 4),
+        "mfu_bound": "int8" if args.quant == "w8a8" else "bf16",
     }))
 
 
