@@ -813,10 +813,13 @@ class LLMEngine:
 
         Prefix caching is suspended for the dummy prompts, so warmup
         neither pollutes the block hash table nor short-circuits its own
-        prefill shapes. Still lazily compiled: typical_p/seeded requests
-        at NON-dominant fused windows (they occur only near a request's
-        completion) and shared-prefix group dispatches (shapes follow
-        runtime group structure). Returns the number of generations."""
+        prefill shapes. typical_p / seeded variants warm at EVERY fused
+        window (any window can occur — it follows a request's remaining
+        tokens), and shared-prefix grouped-decode programs warm via
+        n-forked generations covering the collapsed group-shape classes
+        (model_runner._detect_groups quantizes G/Gmax/Wg to <= 2 classes
+        each, making that space finite). Returns the number of
+        generations."""
         import dataclasses
 
         import numpy as np
@@ -904,6 +907,10 @@ class LLMEngine:
                     temperature=0.8, typical_p=0.9, ignore_eos=True
                 ),
                 SamplingParams(temperature=0.8, seed=7, ignore_eos=True),
+                # typical AND seeded combine into a third program.
+                SamplingParams(
+                    temperature=0.8, typical_p=0.9, seed=7, ignore_eos=True
+                ),
             ]
         vocab = int(getattr(cfg.hf_config, "vocab_size", 1000))
         rng = np.random.default_rng(0)
@@ -928,18 +935,81 @@ class LLMEngine:
             )
             runs += 1
 
+        mr = self.model_runner
+        groups_on = (
+            cfg.shared_prefix_decode
+            and mr.attn_backend is not None
+            and mr.attn_backend.name == "pallas"
+            and getattr(cfg.hf_config, "sliding_window", None) is None
+            and getattr(mr, "_pp", 1) == 1
+        )
+
+        def gen_forked(
+            n_groups: int, members: int, L: int, sp: SamplingParams, mt: int
+        ) -> None:
+            """One n-forked generation that forms real shared-prefix
+            decode groups (COW block sharing), warming a grouped-decode
+            program class. Skipped when the savings gate would reject
+            the grouping (the generation would warm nothing new)."""
+            nonlocal runs
+            depth = L // bs  # full shared prompt blocks per group
+            saved = n_groups * (members - 1) * depth * bs
+            if (
+                depth < 1
+                or saved < mr.SHARED_PREFIX_MIN_SAVED_TOKENS
+                or L + mt + 1 > cfg.max_model_len
+                or not fits(n_groups * members, L, mt)
+            ):
+                return
+            prompts = [
+                [int(t) for t in rng.integers(1, vocab, L)]
+                for _ in range(n_groups)
+            ]
+            self._warmup_generate(
+                prompts, dataclasses.replace(sp, max_tokens=mt, n=members)
+            )
+            runs += 1
+
         try:
             for S in batch_sizes:
                 for L in width_lens:
                     for mt in max_tokens:
-                        for sp in variants:
+                        # typical/seeded ride fused windows like the
+                        # plain variants: warm them at EVERY window (a
+                        # request near completion shrinks its window, so
+                        # all of them occur in a mixed session).
+                        for sp in variants + aux_win:
                             gen(S, L, sp, mt)
                     for sp in aux:
                         gen(S, L, sp, 2)
-                    for sp in aux_win:
-                        gen(S, L, sp, 2)
-                        if mt_max > 2:
-                            gen(S, L, sp, mt_max)
+                if groups_on:
+                    # Grouped-decode programs at this batch bucket: the
+                    # collapsed shape classes (_detect_groups) are
+                    # (Gmax {4, cap}) x (G {4, cap}) x (Wg {8, cap}),
+                    # reached via many-small-groups (n=2) and
+                    # one-max-group forks at each width-class length
+                    # (Wg tracks the shared depth, so the width sweep
+                    # covers Wg 8; the >8-block length reaches Wg cap).
+                    glens = [
+                        max(L, bs + 1) for L in width_lens
+                    ]
+                    wg_cap_len = 10 * bs + 1
+                    if wg_cap_len + mt_max + 1 <= cfg.max_model_len:
+                        glens.append(wg_cap_len)
+                    cap_members = min(mr.SHARED_PREFIX_MAX_GROUP, S)
+                    for L in dict.fromkeys(glens):
+                        for n_groups, members in (
+                            (max(1, S // 2), 2),
+                            (1, cap_members),
+                        ):
+                            if members < 2:
+                                continue
+                            for sp in variants:
+                                gen_forked(n_groups, members, L, sp, 2)
+                                if mt_max > 2:
+                                    gen_forked(
+                                        n_groups, members, L, sp, mt_max
+                                    )
             if prefill_buckets:
                 # Prefill programs key on the packed TOKEN bucket (and
                 # chunk structure) CROSSED with every variant flag

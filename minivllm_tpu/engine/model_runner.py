@@ -203,8 +203,23 @@ class ModelRunner:
         self.model = create_model(config.hf_config, self.dtype, self.attn_backend)
         if config.quantization == "w8a8":
             # Layer matmuls take the int8 x int8 MXU path (ops/quant.qdot
-            # a8=True); weights are stored exactly like "int8".
+            # a8=True); weights are stored exactly like "int8". With the
+            # Pallas backend on a single chip, decode-shaped matmuls
+            # route through the fused quantize-matmul kernel
+            # (ops/pallas/qmatmul.py, bit-identical by contract); under
+            # a mesh the XLA path partitions via GSPMD instead.
             self.model.a8 = True
+            if (
+                mesh is None
+                and self.attn_backend is not None
+                and self.attn_backend.name == "pallas"
+                and os.environ.get("MINIVLLM_W8A8_KERNEL", "1") != "0"
+            ):
+                self.model.a8 = (
+                    "pallas_interpret"
+                    if getattr(self.attn_backend, "interpret", False)
+                    else "pallas"
+                )
 
         t0 = time.perf_counter()
         if config.quantization is not None and not hasattr(
@@ -1425,9 +1440,30 @@ class ModelRunner:
             return None
         all_groups = [f for fc in found for f in fc]
         G_local = _next_pow2(max(len(fc) for fc in found), 1)
-        G = G_local * dp
         Gmax = _next_pow2(max(len(f[0]) for f in all_groups), 2)
         Wg = _next_pow2(max(len(f[1]) for f in all_groups), 1)
+        if os.environ.get("MINIVLLM_GROUP_CLASSES") != "exact":
+            # Collapse the three group-shape dims to <= 2 classes each
+            # (same move as _width_class) so the grouped-decode program
+            # space is finite and warmup() covers it — otherwise a new
+            # runtime group shape costs a 10-60 s relay compile
+            # mid-serving. Padding is cheap where it matters: padded
+            # GROUPS have ctx 0 (the kernel's work list emits no items)
+            # and padded Wg blocks are predicated off; padded MEMBERS
+            # do add phase-1 matmul rows, but phase 1 is DMA-savings-
+            # bound, not MXU-bound, at these (tiny-M) shapes.
+            # MINIVLLM_GROUP_CLASSES=exact restores exact pow2s for A/B.
+            cap = self.SHARED_PREFIX_MAX_GROUP
+            g_cap = max(4, _next_pow2(chunk_rows // 2, 1))
+            G_local = 4 if G_local <= 4 else g_cap
+            G_local = min(G_local, g_cap)
+            Gmax = 4 if Gmax <= 4 else cap
+            wg_cap = _next_pow2(
+                (self.config.max_model_len - 2) // bs + 1, 1
+            )
+            Wg = 8 if Wg <= 8 else wg_cap
+            Wg = min(Wg, wg_cap)
+        G = G_local * dp
         member = np.full((G, Gmax), -1, np.int32)
         gtab = np.full((G, Wg), self.trash_block, np.int32)
         gctx = np.zeros((G,), np.int32)

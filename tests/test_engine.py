@@ -242,8 +242,8 @@ def test_warmup_precompiles_buckets(llm):
     hashes_before = dict(bm.hash_to_block_id)
     runs = llm.warmup(prompt_len=24, batch_sizes=[2], max_tokens=[3, 2],
                       prefill_buckets=False)
-    # 3 width classes x (2 windows x 2 core + 9 aux + 2x2 aux_win)
-    assert runs == 51
+    # 3 width classes x (2 windows x (2 core + 3 aux_win) + 9 aux)
+    assert runs == 57
     assert bm.enable_prefix_caching  # restored
     # dummy prompts left no NEW cache entries (cycling blocks through
     # the free list may evict tombstones of already-freed blocks — they
@@ -310,6 +310,67 @@ def test_warmup_covers_all_prompt_lengths(tiny_qwen3):
             llm.generate([prompt], sp, use_tqdm=False)
     assert cache_sizes() == before, (
         "a prompt length triggered a post-warmup compile"
+    )
+    llm.exit()
+
+
+def test_warmup_covers_mixed_session_zero_compiles(tmp_path):
+    """Round-5 closure of the warmup program space (the round-4 caveat:
+    typical/seeded at non-dominant windows and shared-prefix group
+    shapes stayed lazy): after warmup, a mixed session using typical_p,
+    seeds, and n>1 KV-forked groups across window sizes triggers ZERO
+    new compiles. Group shapes are warmable because _detect_groups
+    collapses (G, Gmax, Wg) to <= 2 classes each."""
+    ckpt = make_tiny_checkpoint(
+        "qwen3", tmp_path / "m",
+        num_attention_heads=4, num_key_value_heads=2, head_dim=128,
+        hidden_size=64,
+    )
+    llm = LLM(Config(
+        model=str(ckpt), max_num_seqs=4, max_model_len=128,
+        max_num_batched_tokens=256, kvcache_block_size=16,
+        num_kvcache_blocks=128, dtype="float32",
+        attention_impl="pallas_interpret", decode_multi_step=2,
+    ))
+    # Make tiny sharing worthwhile BEFORE warmup: gen_forked gates on
+    # the same threshold the serving-time detector uses.
+    llm.model_runner.SHARED_PREFIX_MIN_SAVED_TOKENS = 1
+    # prefill_buckets off: the prompt-length sweep is covered by
+    # test_warmup_covers_all_prompt_lengths, and the full sweep would
+    # blow the XLA:CPU ~300-live-executable limit in one process.
+    llm.warmup(batch_sizes=[4], max_tokens=[2, 3], prefill_buckets=False)
+    runner = llm.model_runner
+
+    def cache_sizes():
+        return {k: fn._cache_size() for k, fn in runner._compiled.items()}
+
+    before = cache_sizes()
+    rng = np.random.default_rng(21)
+    session = [
+        SamplingParams(temperature=0.8, typical_p=0.9, max_tokens=3,
+                       ignore_eos=True),
+        SamplingParams(temperature=0.8, seed=42, max_tokens=3,
+                       ignore_eos=True),
+        SamplingParams(temperature=0.8, typical_p=0.8, seed=9,
+                       max_tokens=2, ignore_eos=True),
+        SamplingParams(temperature=0.0, max_tokens=3, ignore_eos=True,
+                       n=2),
+        SamplingParams(temperature=0.8, top_p=0.95, max_tokens=3,
+                       ignore_eos=True, n=2),
+    ]
+    for L in (28, 64):
+        for sp in session:
+            n_prompts = 2 if sp.n > 1 else 4
+            prompts = [
+                [int(t) for t in rng.integers(1, 150, L)]
+                for _ in range(n_prompts)
+            ]
+            llm.generate(prompts, sp, use_tqdm=False)
+    assert llm.get_stats()["shared_prefix_steps"] > 0, (
+        "forked session never formed groups"
+    )
+    assert cache_sizes() == before, (
+        "mixed typical/seeded/forked session triggered a post-warmup compile"
     )
     llm.exit()
 
