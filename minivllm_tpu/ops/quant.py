@@ -76,7 +76,7 @@ def qdot(
     """x @ w for plain or quantized w. Dequant happens in-register: the
     int8 operand is converted and scaled inside the fused matmul.
 
-    `a8=True` (and int8 weights, 2-D x): W8A8 — activations quantize
+    `a8` truthy (and int8 weights, 2-D x): W8A8 — activations quantize
     per ROW to int8 and the matmul runs int8 x int8 -> int32 on the
     MXU (2x the bf16 issue rate on v5e), dequantizing with
     row-scale x col-scale. Large-batch decode and prefill are
@@ -84,12 +84,32 @@ def qdot(
     per-row absmax activation quantization bounds the added relative
     error at ~1/254 per element. Models enable it per call site via
     config.quantization == "w8a8" (the LM head stays on the
-    weight-only path — logit fidelity feeds sampling directly)."""
+    weight-only path — logit fidelity feeds sampling directly).
+
+    a8 == "pallas" / "pallas_interpret" additionally routes
+    decode-shaped calls through the fused quantize-matmul kernel
+    (ops/pallas/qmatmul.py — quantize VMEM-resident, weights streamed
+    once). Its int8 quantize + int32 accumulator are bit-identical to
+    this path; only the final f32 dequant multiplies may differ by
+    1 ULP (compiler reassociation — see the kernel docstring), so the
+    two paths interchange freely. The model runner selects it
+    (single-chip Pallas serving only — a pallas_call has no GSPMD
+    partitioning rule); MINIVLLM_W8A8_KERNEL=0 keeps the XLA path
+    for A/B."""
     if not is_quantized(w):
         return jnp.dot(x, w, preferred_element_type=preferred_element_type)
     if a8 and w["w"].dtype == jnp.int8 and x.ndim == 2:
         import jax
 
+        if a8 in ("pallas", "pallas_interpret"):
+            from minivllm_tpu.ops.pallas import qmatmul
+
+            if qmatmul.is_supported(x.shape, w["w"].shape):
+                return qmatmul.w8a8_matmul(
+                    x, w["w"], w["s"].reshape(-1),
+                    out_dtype=preferred_element_type or x.dtype,
+                    interpret=a8 == "pallas_interpret",
+                )
         xf = x.astype(jnp.float32)
         xs = (
             jnp.maximum(jnp.max(jnp.abs(xf), axis=-1, keepdims=True), 1e-30)

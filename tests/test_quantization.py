@@ -59,6 +59,87 @@ def test_qdot_w8a8_matches_dense_closely():
     np.testing.assert_allclose(out, out2)
 
 
+@pytest.mark.parametrize("M,K,N", [(32, 128, 128), (64, 256, 384),
+                                   (256, 384, 512)])
+def test_w8a8_kernel_matches_xla_path_to_1ulp(M, K, N):
+    """The fused quantize-matmul kernel (ops/pallas/qmatmul.py) matches
+    qdot's XLA a8 path: the int8 quantize and int32 accumulation are
+    exact integer arithmetic (identical in both), and the two final f32
+    dequant multiplies may differ by at most 1 ULP (XLA fusion can
+    reassociate them; jitted-vs-eager qdot shows the same 1 ULP)."""
+    from minivllm_tpu.ops.pallas import qmatmul
+
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.normal(0, 1, (M, K)).astype(np.float32))
+    w = rng.normal(0, 0.05, (K, N)).astype(np.float32)
+    qw = quantize_weight(w, (0,), "int8")
+    assert qmatmul.is_supported(x.shape, qw["w"].shape)
+    ref = np.asarray(qdot(x, qw, a8=True))
+    out = np.asarray(
+        qmatmul.w8a8_matmul(
+            x, qw["w"], qw["s"].reshape(-1), interpret=True
+        )
+    )
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(out, ref, rtol=3e-7, atol=0)
+    # The int32 accumulator itself is bit-exact: undo the (identical)
+    # scales and compare integers.
+    xf = np.asarray(x, np.float32)
+    xs = np.maximum(np.abs(xf).max(axis=-1, keepdims=True), 1e-30) / 127.0
+    ws = np.asarray(qw["s"], np.float32).reshape(1, -1)
+    acc_k = np.rint(out / xs / ws)
+    acc_r = np.rint(ref / xs / ws)
+    np.testing.assert_array_equal(acc_k, acc_r)
+    # qdot routes to the kernel itself under the a8="pallas_interpret"
+    # marker the runner sets for single-chip Pallas serving.
+    via_qdot = np.asarray(qdot(x, qw, a8="pallas_interpret"))
+    np.testing.assert_array_equal(via_qdot, out)
+
+
+def test_w8a8_kernel_engages_in_engine(tmp_path):
+    """End-to-end: w8a8 + the Pallas backend routes prefill matmuls
+    (packed M >= 32) through the fused kernel (trace counter), and the
+    generated tokens match the XLA a8 path exactly (greedy; the 1-ULP
+    dequant difference does not flip these argmaxes)."""
+    from minivllm_tpu.ops.pallas import qmatmul
+
+    ckpt = make_tiny_checkpoint(
+        "qwen3", tmp_path / "m",
+        num_attention_heads=4, num_key_value_heads=2, head_dim=128,
+        hidden_size=128,
+    )
+    rng = np.random.default_rng(3)
+    prompts = [[int(t) for t in rng.integers(1, 190, 40)] for _ in range(2)]
+    sp = SamplingParams(temperature=0.0, max_tokens=4, ignore_eos=True)
+
+    def run(impl):
+        llm = LLM(Config(
+            model=str(ckpt), max_num_seqs=4, max_model_len=128,
+            max_num_batched_tokens=128, kvcache_block_size=16,
+            num_kvcache_blocks=32, dtype="float32", attention_impl=impl,
+            quantization="w8a8",
+        ))
+        outs = llm.generate(prompts, sp, use_tqdm=False)
+        llm.exit()
+        return [o["token_ids"] for o in outs]
+
+    ref = run("xla")
+    before = qmatmul.TRACES
+    got = run("pallas_interpret")
+    assert qmatmul.TRACES > before, "fused w8a8 kernel never engaged"
+    assert got == ref
+
+
+def test_w8a8_kernel_support_gate():
+    from minivllm_tpu.ops.pallas import qmatmul
+
+    assert not qmatmul.is_supported((8, 128), (128, 128))     # M too small
+    assert not qmatmul.is_supported((512, 128), (128, 128))   # M too big
+    assert not qmatmul.is_supported((64, 100), (100, 128))    # K unaligned
+    assert not qmatmul.is_supported((64, 128), (128, 100))    # N unaligned
+    assert not qmatmul.is_supported((64, 200000), (200000, 128))  # overflow
+
+
 def test_qlookup_and_transpose():
     rng = np.random.default_rng(2)
     table = rng.normal(0, 0.1, (10, 16)).astype(np.float32)
