@@ -26,6 +26,40 @@ import numpy as np
 V5E_HBM_GBS = 819.0
 
 
+def _timed_floor_subtracted(run_chained, carry0, consts, iters):
+    """Best-of-2 chained-scan time minus the empty-scan floor.
+
+    The single result fetch costs a fixed ~25 ms relay round trip: at
+    N iters that is +25ms/N per iteration — up to ~10% of a
+    short-context attention kernel at 200 iters (docs/roadmap.md
+    "Microbenchmark floors"). An empty-body scan with the same carry,
+    iters, and fetch measures exactly that floor; subtracting it makes
+    the short-context rows honest (same protocol as bench_gmm)."""
+    import jax
+    import numpy as np
+    import time
+
+    @jax.jit
+    def empty(c, *consts):
+        out, _ = jax.lax.scan(
+            lambda c, _: (c + 1.0, None), c, None, length=iters
+        )
+        return out.reshape(-1)[:1]
+
+    def best_of(fn, *args):
+        np.asarray(fn(*args))  # compile
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            np.asarray(fn(*args))
+            best = min(best, (time.perf_counter() - t0) / iters)
+        return best
+
+    floor = best_of(empty, carry0, *consts)
+    dt = best_of(run_chained, carry0, *consts)
+    return max(dt - floor, 1e-9)
+
+
 def bench_decode(S, ctx, kvh, h, d, bs, dtype_name, iters=200):
     import jax
     import jax.numpy as jnp
@@ -79,10 +113,7 @@ def bench_decode(S, ctx, kvh, h, d, bs, dtype_name, iters=200):
         out, _ = jax.lax.scan(body, q, None, length=iters)
         return out[0, 0, :1]
 
-    np.asarray(run_chained(q, kc, vc, meta))  # compile
-    t0 = time.perf_counter()
-    np.asarray(run_chained(q, kc, vc, meta))
-    dt = (time.perf_counter() - t0) / iters
+    dt = _timed_floor_subtracted(run_chained, q, (kc, vc, meta), iters)
     itemsize = 1 if quantized else 2
     kv_bytes = 2 * S * ctx * kvh * d * itemsize
     if quantized:
@@ -153,10 +184,7 @@ def bench_prefill(S, q_len, ctx, kvh, h, d, bs, iters=100):
         out, _ = jax.lax.scan(body, q, None, length=iters)
         return out[0, 0, :1]
 
-    np.asarray(run_chained(q, kc, vc, meta))  # compile
-    t0 = time.perf_counter()
-    np.asarray(run_chained(q, kc, vc, meta))
-    dt = (time.perf_counter() - t0) / iters
+    dt = _timed_floor_subtracted(run_chained, q, (kc, vc, meta), iters)
     # attention FLOPs: per seq, q_len rows x ctx keys (~causal half for
     # the fresh part, full for the cached prefix; report the exact
     # masked count) x 2 matmuls x 2 flops
@@ -239,6 +267,65 @@ def bench_gmm(T, K, N, E, wdtype_name, impl, iters=2000):
 
 
 
+def bench_w8a8(M, K, N, impl, iters=400):
+    """W8A8 layer matmul at decode shapes: the fused Pallas
+    quantize-matmul (ops/pallas/qmatmul.py) vs the XLA a8 path vs
+    weight-only int8 (dequant-into-bf16-matmul). Floor-subtracted
+    chained scan (same protocol as bench_gmm). Weight streaming is the
+    decode bound, so the report is weight GB/s; the int8-TOP/s column
+    shows MXU utilization for the compute-heavy shapes.
+
+    The feedback consumes the FULL output via a sum reduction — slicing
+    one column lets XLA narrow the whole matmul to that column (the
+    measurement trap documented for top-k in CLAUDE.md; first version
+    of this bench read a 0 us weight-only matmul that way). The ~10 us
+    reduce is identical across impls, so the A/B stays valid."""
+    import jax
+    import jax.numpy as jnp
+
+    from minivllm_tpu.ops.quant import qdot, quantize_weight
+
+    rng = np.random.default_rng(0)
+    x0 = jnp.asarray(rng.standard_normal((M, K)), jnp.bfloat16)
+    w = quantize_weight(rng.standard_normal((K, N)).astype(np.float32) * 0.05,
+                        (0,))
+
+    def chained(body):
+        @jax.jit
+        def run(x, w):
+            out, _ = jax.lax.scan(
+                lambda c, _: (body(c, w), None), x, None, length=iters
+            )
+            return out[0, :1]
+
+        run(x0, w).block_until_ready()
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            np.asarray(run(x0, w))
+            best = min(best, (time.perf_counter() - t0) / iters)
+        return best
+
+    floor = chained(lambda c, w: c + 1.0)
+    a8 = {"xla_a8": True, "pallas": "pallas", "int8_wo": False}[impl]
+    dt = chained(
+        lambda c, w: c.at[:, :1].add(
+            (jnp.sum(qdot(c, w, a8=a8).astype(jnp.float32)) * 1e-9).astype(
+                c.dtype
+            )
+        )
+    ) - floor
+    dt = max(dt, 1e-9)
+    return {
+        "kernel": "w8a8_matmul", "impl": impl,
+        "M": M, "K": K, "N": N,
+        "us": round(dt * 1e6, 1),
+        "w_gb_per_s": round(K * N / dt / 1e9, 1),
+        "roofline_frac": round(K * N / dt / 1e9 / V5E_HBM_GBS, 3),
+        "int8_tops": round(2 * M * K * N / dt / 1e12, 2),
+    }
+
+
 def bench_sampler(S, V, iters=50):
     """Sampler-prep cost at serving logits shapes: the chunked two-stage
     exact top-64 (sampling/ops.chunked_top_k) vs lax.top_k's full vocab
@@ -299,7 +386,21 @@ def main() -> None:
                    help="MoE grouped-matmul sweep instead of attention")
     p.add_argument("--sampler", action="store_true",
                    help="sampler-prep (chunked top-64 + logsumexp) sweep")
+    p.add_argument("--w8a8", action="store_true",
+                   help="W8A8 fused quantize-matmul sweep (7B decode shapes)")
     args = p.parse_args()
+
+    if args.w8a8:
+        # qwen2-7b layer matmuls at the 256-seq north-star decode batch.
+        for M, K, N in [
+            (256, 3584, 3584),    # q / o projection
+            (256, 3584, 512),     # k / v projection
+            (256, 3584, 18944),   # gate / up
+            (256, 18944, 3584),   # down
+        ]:
+            for impl in ("xla_a8", "pallas", "int8_wo"):
+                print(json.dumps(bench_w8a8(M, K, N, impl, args.iters)))
+        return
 
     if args.sampler:
         for S, V in [(64, 151936), (256, 152064)]:
