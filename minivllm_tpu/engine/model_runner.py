@@ -203,17 +203,23 @@ class ModelRunner:
         self.model = create_model(config.hf_config, self.dtype, self.attn_backend)
         if config.quantization == "w8a8":
             # Layer matmuls take the int8 x int8 MXU path (ops/quant.qdot
-            # a8=True); weights are stored exactly like "int8". With the
-            # Pallas backend on a single chip, decode-shaped matmuls
-            # route through the fused quantize-matmul kernel
-            # (ops/pallas/qmatmul.py, bit-identical by contract); under
-            # a mesh the XLA path partitions via GSPMD instead.
+            # a8=True); weights are stored exactly like "int8". The fused
+            # quantize-matmul Pallas kernel (ops/pallas/qmatmul.py) is
+            # OFF by default: kernel-level it measures parity with the
+            # XLA a8 path (+-8% by shape) but the serving A/B/A at the
+            # 7B w8a8/256 north-star measured decode 4040/4033 vs 5864
+            # tok/s — 31% WORSE — because 196 per-matmul pallas calls
+            # per iteration serialize (x reload + in-kernel quantize
+            # block the first tile) where XLA fuses the quantize chains
+            # into neighbors and overlaps them (docs/performance.md
+            # "Fused W8A8 quantize-matmul kernel"). MINIVLLM_W8A8_KERNEL=1
+            # re-enables it for re-measurement on future toolchains.
             self.model.a8 = True
             if (
                 mesh is None
                 and self.attn_backend is not None
                 and self.attn_backend.name == "pallas"
-                and os.environ.get("MINIVLLM_W8A8_KERNEL", "1") != "0"
+                and os.environ.get("MINIVLLM_W8A8_KERNEL", "0") == "1"
             ):
                 self.model.a8 = (
                     "pallas_interpret"

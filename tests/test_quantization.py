@@ -96,12 +96,16 @@ def test_w8a8_kernel_matches_xla_path_to_1ulp(M, K, N):
     np.testing.assert_array_equal(via_qdot, out)
 
 
-def test_w8a8_kernel_engages_in_engine(tmp_path):
-    """End-to-end: w8a8 + the Pallas backend routes prefill matmuls
+def test_w8a8_kernel_engages_in_engine(tmp_path, monkeypatch):
+    """End-to-end: w8a8 + the Pallas backend + MINIVLLM_W8A8_KERNEL=1
+    (the kernel is opt-in — the serving A/B measured it 31% slower than
+    the XLA a8 path, docs/performance.md) routes prefill matmuls
     (packed M >= 32) through the fused kernel (trace counter), and the
     generated tokens match the XLA a8 path exactly (greedy; the 1-ULP
     dequant difference does not flip these argmaxes)."""
     from minivllm_tpu.ops.pallas import qmatmul
+
+    monkeypatch.setenv("MINIVLLM_W8A8_KERNEL", "1")
 
     ckpt = make_tiny_checkpoint(
         "qwen3", tmp_path / "m",
