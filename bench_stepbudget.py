@@ -56,13 +56,24 @@ def main() -> None:
     p.add_argument("--model", default="qwen3-0.6b")  # or "tiny" (CPU smoke)
     p.add_argument("--num-seqs", type=int, default=64)
     p.add_argument("--prompt-len", type=int, default=64)
-    p.add_argument("--max-model-len", type=int, default=768)
+    p.add_argument(
+        "--max-model-len", type=int, default=0,
+        help="0 = auto: prompt + enough decode budget for the full "
+        "K-sweep (warm + iters passes) so no sequence finishes mid-sweep",
+    )
     p.add_argument("--quant", choices=["int8", "fp8", "w8a8"], default=None)
     p.add_argument("--kv-dtype", default="auto")
     p.add_argument("--blocks", type=int, default=-1,
                    help="KV blocks (-1 = auto-size; set explicitly to "
                    "leave HBM headroom for the standalone probes)")
     p.add_argument("--iters", type=int, default=7)
+    p.add_argument(
+        "--max-window", type=int, default=64,
+        help="largest fused window in the K-sweep; bigger windows divide "
+        "the per-dispatch relay jitter out of the slope (jitter/K per "
+        "iteration) — the round-4 sweep capped at 16 and its 0.6b/64 "
+        "slope carried a ~2x jitter inflation (docs/performance.md)",
+    )
     args = p.parse_args()
 
     import jax
@@ -78,6 +89,20 @@ def main() -> None:
     zoo = {**MODELS, "tiny": TINY_CONFIGS["qwen3"]}  # tiny: CPU smoke test
     tmp = Path(tempfile.mkdtemp(prefix="stepbudget-"))
     (tmp / "config.json").write_text(json.dumps(zoo[args.model]))
+    sweep_ks = [
+        k for k in (2, 4, 8, 16, 32, 64) if k <= max(16, args.max_window)
+    ]
+    if args.max_model_len == 0:
+        # Warm pass + absolute-window pass + iters x pair passes, plus
+        # slack — the round-5 regression: a 64-window sweep finished
+        # its sequences mid-measurement at the old fixed 768 budget.
+        big = max(sweep_ks) // 2
+        pair_cost = sum(3 * k for k in (big, big // 2, big // 4) if k >= 2)
+        need = 2 * sum(sweep_ks) + args.iters * pair_cost
+        # 1.5x margin: engine-side extras (init warmup, scheduling
+        # boundaries) consume beyond the modeled sweep, and a sequence
+        # finishing mid-sweep aborts the measurement.
+        args.max_model_len = args.prompt_len + need + need // 2 + 192
     config = Config(
         model=str(tmp),
         hf_config=AutoConfig.from_pretrained(tmp),
@@ -89,7 +114,7 @@ def main() -> None:
         dtype="bfloat16",
         kvcache_dtype=args.kv_dtype,
         quantization=args.quant,
-        decode_multi_step=16,
+        decode_multi_step=max(16, args.max_window),
     )
     t0 = time.perf_counter()
     llm = LLM(config, init_random=True)
@@ -125,7 +150,7 @@ def main() -> None:
     # Warm every window program first (and advance past initial jitter).
     # K=1 routes to the single-step program (different output shape), so
     # the sweep starts at 2 — the fit extrapolates the intercept.
-    KS = (2, 4, 8, 16)
+    KS = tuple(sweep_ks)
     for K in KS:
         window(seqs, K)
 
@@ -136,20 +161,30 @@ def main() -> None:
         window(seqs2, K)
         return time.perf_counter() - t0
 
-    ksweep = {}
-    for K in KS:
-        ts = [step_again(K) for _ in range(args.iters)]
-        ksweep[K] = sorted(ts)[len(ts) // 2]
-    # Linear fit t(K) = b + a*K over the sweep; also report the pairwise
-    # slopes — relay jitter can swing one K point by tens of ms, and the
-    # pairwise view exposes that (trust the median pair).
+    ksweep = {K: step_again(K) for K in KS}  # absolute-window table
+
+    # Slope protocol (round 5): measure (K, 2K) BACK-TO-BACK and take
+    # (t(2K) - t(K)) / K, repeated, median over everything. Rationale:
+    # a sequential K-sweep confounds the slope twice — the relay drifts
+    # over the minutes the sweep takes, and the batch's CONTEXT grows
+    # hundreds of tokens between the small-K and large-K measurements
+    # (attention and table widths grow with it; the first 64-window
+    # sweep read 7.7 ms/iter at its start and 16.2 at its end). An
+    # adjacent pair shares relay conditions and differs by only K
+    # tokens of context, and the largest K divides the per-dispatch
+    # jitter down the most.
+    big = KS[-1] // 2
+    pair_ks = [k for k in (big, big // 2, big // 4) if k >= 2]
+    pair_slopes = []
+    for _ in range(args.iters):
+        for K in pair_ks:
+            t1 = step_again(K)
+            t2 = step_again(2 * K)
+            pair_slopes.append((t2 - t1) / K)
+    a_med = float(sorted(pair_slopes)[len(pair_slopes) // 2])
     ks = np.array(sorted(ksweep), dtype=np.float64)
     ys = np.array([ksweep[int(k)] for k in ks])
     a, b = np.polyfit(ks, ys, 1)
-    pair_slopes = [
-        (ys[i + 1] - ys[i]) / (ks[i + 1] - ks[i]) for i in range(len(ks) - 1)
-    ]
-    a_med = float(sorted(pair_slopes)[len(pair_slopes) // 2])
 
     # -- standalone components -------------------------------------------
     dev = jax.devices()[0]
