@@ -72,10 +72,10 @@ class QwenForCausalLM:
         if model_type == "qwen2":
             self.qkv_bias = True
             self.qk_norm = False
-        elif model_type in ("llama", "mistral"):
+        elif model_type in ("llama", "mistral", "mixtral"):
             self.qkv_bias = bool(getattr(c, "attention_bias", False))
             self.qk_norm = False
-            if model_type == "mistral":
+            if model_type in ("mistral", "mixtral"):
                 self.attn_window = getattr(c, "sliding_window", None)
         else:
             self.qkv_bias = bool(getattr(c, "attention_bias", False))

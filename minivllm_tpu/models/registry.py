@@ -17,6 +17,12 @@ def _qwen_moe(hf_config, dtype, attn_backend):
     return QwenMoeForCausalLM(hf_config, dtype, attn_backend)
 
 
+def _mixtral(hf_config, dtype, attn_backend):
+    from minivllm_tpu.models.mixtral import MixtralForCausalLM
+
+    return MixtralForCausalLM(hf_config, dtype, attn_backend)
+
+
 def _gemma(hf_config, dtype, attn_backend):
     from minivllm_tpu.models.gemma import GemmaForCausalLM
 
@@ -47,6 +53,7 @@ SUPPORTED_MODELS = {
     "LlamaForCausalLM": _qwen,
     "MistralForCausalLM": _qwen,
     "Qwen3MoeForCausalLM": _qwen_moe,
+    "MixtralForCausalLM": _mixtral,
     "GemmaForCausalLM": _gemma,
     "Gemma2ForCausalLM": _gemma2,
     "OPTForCausalLM": _opt,
@@ -59,6 +66,7 @@ TYPE_TO_ARCH = {
     "llama": "LlamaForCausalLM",
     "mistral": "MistralForCausalLM",
     "qwen3_moe": "Qwen3MoeForCausalLM",
+    "mixtral": "MixtralForCausalLM",
     "gemma": "GemmaForCausalLM",
     "gemma2": "Gemma2ForCausalLM",
     "opt": "OPTForCausalLM",

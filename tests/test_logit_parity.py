@@ -77,8 +77,8 @@ def run_parity(model_type, tmp_path, cos_bar=0.99, **overrides):
 
 @pytest.mark.parametrize(
     "model_type",
-    ["qwen3", "qwen2", "llama", "mistral", "qwen3_moe", "gemma", "gemma2",
-     "opt", "gpt2"],
+    ["qwen3", "qwen2", "llama", "mistral", "qwen3_moe", "mixtral", "gemma",
+     "gemma2", "opt", "gpt2"],
 )
 def test_prefill_parity(model_type, tmp_path):
     run_parity(model_type, tmp_path)
@@ -144,7 +144,7 @@ def test_decode_parity_non_rope(model_type, tmp_path):
         )
 
 
-@pytest.mark.parametrize("model_type", ["qwen3", "qwen3_moe", "gemma2"])
+@pytest.mark.parametrize("model_type", ["qwen3", "qwen3_moe", "mixtral", "gemma2"])
 def test_decode_parity_qwen3(model_type, tmp_path):
     """Prefill then one decode step through the paged cache must match the
     HF forward over the extended sequence."""

@@ -361,3 +361,42 @@ def test_moe_engine_generate(moe_ckpt):
         use_tqdm=False,
     )
     assert all(len(o["token_ids"]) == 8 for o in outs)
+
+
+def test_mixtral_engine_hf_greedy_parity(tmp_path):
+    """Mixtral end to end: sliding-window attention + the inherited MoE
+    stack generate HF-identical greedy tokens through the engine, on
+    both the XLA oracle and the Pallas kernels (interpret mode; the
+    MoE grouped-matmul path gated by its own shape support)."""
+    import torch
+    from transformers import AutoModelForCausalLM
+
+    ckpt = make_tiny_checkpoint(
+        "mixtral", tmp_path / "m",
+        head_dim=128, hidden_size=64, intermediate_size=128,
+    )
+    prompt = [11, 47, 3, 88, 120, 9, 55, 14]
+    n = 8
+
+    def run(impl):
+        llm = LLM(Config(
+            model=str(ckpt), max_num_seqs=4, max_model_len=128,
+            max_num_batched_tokens=128, kvcache_block_size=16,
+            num_kvcache_blocks=32, dtype="float32", attention_impl=impl,
+        ))
+        out = llm.generate(
+            [prompt], SamplingParams(temperature=0.0, max_tokens=n,
+                                     ignore_eos=True),
+            use_tqdm=False,
+        )[0]["token_ids"]
+        llm.exit()
+        return out
+
+    model = AutoModelForCausalLM.from_pretrained(str(ckpt)).eval()
+    toks = list(prompt)
+    with torch.no_grad():
+        for _ in range(n):
+            toks.append(int(model(torch.tensor([toks])).logits[0, -1].argmax()))
+    ref = toks[len(prompt):]
+    assert run("xla") == ref
+    assert run("pallas_interpret") == ref
