@@ -313,15 +313,22 @@ class LLMEngine:
             self.num_oom_recoveries += 1
             if self.num_oom_recoveries > 16:
                 raise
-            nb = self._recover_from_oom()
-            logger.warning(
-                "device OOM mid-serving (recovery %d); %d live requests "
-                "preempted to recompute, KV cache shrunk to %d blocks",
-                self.num_oom_recoveries,
-                self.scheduler.num_waiting,
-                nb,
-            )
-            return [], 0  # nothing finished; the caller's loop continues
+        # Recovery runs OUTSIDE the except block deliberately: inside
+        # it, the caught exception's traceback pins _step_inner's frames
+        # and their locals — the old KV cache, packed batch, logits —
+        # so the device stays at its OOM high-water mark and the
+        # recovery's own reallocation fails too (measured round 5: a
+        # 2048-len workload failed 8 compounding shrinks in a row, then
+        # succeeded immediately once the traceback was released).
+        nb = self._recover_from_oom()
+        logger.warning(
+            "device OOM mid-serving (recovery %d); %d live requests "
+            "preempted to recompute, KV cache shrunk to %d blocks",
+            self.num_oom_recoveries,
+            self.scheduler.num_waiting,
+            nb,
+        )
+        return [], 0  # nothing finished; the caller's loop continues
 
     @staticmethod
     def _process_count() -> int:
@@ -349,7 +356,29 @@ class LLMEngine:
         # applied nothing) — reuse would crash on deleted arrays.
         self.model_runner._spec = None
         self.model_runner._spec_hist_cache = None
-        nb = self.model_runner.shrink_kv_cache()
+        # The reallocation itself can hit RESOURCE_EXHAUSTED: right
+        # after a runtime OOM the device is at its high-water mark and
+        # one 12.5% shrink may not clear it (measured round 5: a
+        # 64-seq/2048-len workload OOM'd inside shrink_kv_cache's
+        # make_zeros and escaped recovery entirely). Keep shrinking —
+        # each attempt compounds 0.875x from the CURRENT block count,
+        # and shrink_kv_cache drops the old buffers before allocating,
+        # so every retry has strictly more headroom.
+        from minivllm_tpu.engine.model_runner import is_device_oom
+
+        nb = None
+        for _ in range(8):
+            try:
+                nb = self.model_runner.shrink_kv_cache()
+                break
+            except Exception as e:  # jaxlib XlaRuntimeError
+                if not is_device_oom(e):
+                    raise
+        if nb is None:
+            raise RuntimeError(
+                "KV cache reallocation still out of memory after 8 "
+                "compounding shrinks; the device has no serving headroom"
+            )
         preemptions = self.scheduler.num_preemptions
         self.scheduler = Scheduler(self.config)  # new pool at nb blocks
         self.scheduler.num_preemptions = preemptions

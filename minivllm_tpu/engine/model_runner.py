@@ -377,8 +377,18 @@ class ModelRunner:
             raise RuntimeError(
                 f"cannot shrink KV cache below {self.num_blocks} blocks"
             )
-        # Drop the old buffers before allocating replacements.
+        # Drop the old buffers before allocating replacements, then
+        # force one tiny dispatch + fetch: buffer deallocation is
+        # ASYNCHRONOUS (and through the TPU relay it queues behind
+        # dispatches), so an immediate reallocation can still see the
+        # device at its OOM high-water mark — measured round 5: a
+        # recovery failed 8 compounding shrinks while jax.live_arrays()
+        # showed only 1.1 GiB of 15.75 actually referenced. The round
+        # trip drains the deletion queue before the new allocation.
         self.k_cache = self.v_cache = None
+        import numpy as _np
+
+        _np.asarray(jnp.add(jnp.zeros((8,), jnp.int32), 1))
         self._alloc_cache(new_blocks)
         return new_blocks
 
@@ -445,19 +455,49 @@ class ModelRunner:
             per_block += m.num_kv_heads * scale_lanes(self.block_size) * 4
         return 2 * m.num_layers * per_block
 
+    # Physical HBM per chip by device kind: the budget fallback when the
+    # runtime reports no memory_stats (the TPU relay in this environment
+    # returns None). Without this, the sizer fell through to the
+    # CPU-style "enough blocks for the configured load" branch, which at
+    # a 2048-token x 64-seq config allocated 15.5 of 15.75 GiB and left
+    # no headroom for program temps — the first prefill OOM'd and (this
+    # relay holds a failed dispatch's donated buffers) recovery could
+    # not free it (measured round 5).
+    _HBM_BY_KIND = {
+        "tpu v7": 192 * 2**30,
+        "tpu v6 lite": 32 * 2**30,
+        "tpu v6": 32 * 2**30,
+        "tpu v5p": 95 * 2**30,
+        "tpu v5 lite": 16 * 2**30,
+        "tpu v5": 16 * 2**30,
+        "tpu v4": 32 * 2**30,
+        "tpu v3": 16 * 2**30,
+        "tpu v2": 8 * 2**30,
+    }
+
     def _resolve_num_blocks(self) -> int:
         if self.config.num_kvcache_blocks > 0:
             return self.config.num_kvcache_blocks
         # local_devices: under multi-host, jax.devices()[0] may belong to
         # another process (MemoryStats needs an addressable device).
-        stats = jax.local_devices()[0].memory_stats() or {}
+        dev = jax.local_devices()[0]
+        stats = dev.memory_stats() or {}
         limit = stats.get("bytes_limit") or stats.get("bytes_reservable_limit")
+        estimated = False
+        if not limit and dev.platform != "cpu":
+            kind = (dev.device_kind or "").lower()
+            for k, v in self._HBM_BY_KIND.items():
+                if kind.startswith(k):
+                    limit = v
+                    estimated = True
+                    break
+        need = (
+            self.config.max_num_seqs
+            * (self.config.max_model_len // self.block_size + 1)
+        )
         if not limit:
-            # CPU or unknown backend: enough blocks for the configured load.
-            need = (
-                self.config.max_num_seqs
-                * (self.config.max_model_len // self.block_size + 1)
-            )
+            # CPU or unknown accelerator: enough blocks for the
+            # configured load.
             return min(need, 4096)
         weight_bytes = sum(x.nbytes for x in jax.tree.leaves(self.params))
         budget = (
@@ -465,6 +505,19 @@ class ModelRunner:
             - weight_bytes
             - self._WORKSPACE_BYTES
         )
+        if estimated:
+            # The limit is a device-kind guess, not a runtime report, so
+            # true free memory is invisible. Keep 30% of the post-weight
+            # budget as temp headroom and never exceed the configured
+            # load's demand: a 64-seq x 2048-token config measured OOM at
+            # 1636 blocks (1.85 GiB headroom) and healthy at 1300 (5 GiB)
+            # — the per-step temp appetite scales with the cache itself.
+            post_weight = int(limit * self.config.device_memory_utilization
+                              ) - weight_bytes
+            budget = min(budget, int(post_weight * 0.7))
+            num = min(budget // self._bytes_per_block(), need)
+            if num >= 16:
+                return int(num)
         num = budget // self._bytes_per_block()
         if num < 16:
             raise RuntimeError(

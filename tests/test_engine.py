@@ -507,6 +507,95 @@ def test_mid_serving_oom_recovers_all_requests(tiny_qwen3):
     assert runner._spec is None and runner._spec_hist_cache is None
 
 
+def test_auto_blocks_estimated_limit_is_conservative(tiny_qwen3, monkeypatch):
+    """When the runtime reports no memory_stats (the TPU relay returns
+    None), the KV auto-sizer must derive a device-kind HBM limit and
+    keep 30% of the post-weight budget as temp headroom, capped by the
+    configured load — the old fallback allocated the full theoretical
+    need (15.5 of 15.75 GiB at a 64x2048 config) and the first prefill
+    OOM'd unrecoverably (round-5 regression)."""
+    from minivllm_tpu.engine.model_runner import ModelRunner
+
+    llm = LLM(Config(
+        model=str(tiny_qwen3), max_num_seqs=64, max_model_len=2048,
+        max_num_batched_tokens=4096, kvcache_block_size=16,
+        num_kvcache_blocks=16, dtype="float32", attention_impl="xla",
+    ))
+    runner = llm.model_runner
+
+    class FakeDev:
+        platform = "tpu"
+        device_kind = "TPU v5 lite"
+
+        @staticmethod
+        def memory_stats():
+            return None
+
+    monkeypatch.setattr(jax, "local_devices", lambda: [FakeDev()])
+    runner.config.num_kvcache_blocks = -1
+    num = runner._resolve_num_blocks()
+    limit = ModelRunner._HBM_BY_KIND["tpu v5 lite"]
+    weights = sum(x.nbytes for x in jax.tree.leaves(runner.params))
+    post_weight = int(limit * runner.config.device_memory_utilization) - weights
+    need = 64 * (2048 // 16 + 1)
+    assert num <= need
+    assert num * runner._bytes_per_block() <= post_weight * 0.7 + 1
+    assert num >= 16
+    llm.exit()
+
+
+def test_oom_recovery_survives_oom_during_shrink(tiny_qwen3):
+    """Round-5 regression: right after a runtime OOM the device sits at
+    its high-water mark, and the recovery's own cache REALLOCATION can
+    hit RESOURCE_EXHAUSTED too (measured: a 2048-len workload OOM'd
+    inside shrink_kv_cache.make_zeros and the recovery escaped). The
+    engine must keep compounding the shrink until the allocation fits,
+    then serve correctly."""
+    llm = LLM(Config(
+        model=str(tiny_qwen3), max_num_seqs=4, max_model_len=128,
+        max_num_batched_tokens=128, kvcache_block_size=16,
+        num_kvcache_blocks=64, dtype="float32", attention_impl="xla",
+        decode_multi_step=4,
+    ))
+    runner = llm.model_runner
+    blocks_before = runner.num_blocks
+    rng = np.random.default_rng(3)
+    prompts = [[int(t) for t in rng.integers(1, 150, L)] for L in (9, 22)]
+    sp = SamplingParams(temperature=0.0, max_tokens=8, ignore_eos=True)
+    ref = [o["token_ids"] for o in llm.generate(prompts, sp, use_tqdm=False)]
+
+    state = {"run_oom": 0, "shrink_oom": 0}
+    real_run = runner.run
+    real_shrink = runner.shrink_kv_cache
+
+    def oom_run(*a, **kw):
+        if state["run_oom"] == 0:
+            state["run_oom"] = 1
+            raise RuntimeError("RESOURCE_EXHAUSTED: Out of memory")
+        return real_run(*a, **kw)
+
+    def oom_shrink(*a, **kw):
+        # First two reallocation attempts fail like a full device; the
+        # real shrink still compounds num_blocks down each attempt.
+        nb = real_shrink(*a, **kw)
+        if state["shrink_oom"] < 2:
+            state["shrink_oom"] += 1
+            raise RuntimeError("RESOURCE_EXHAUSTED: Out of memory")
+        return nb
+
+    runner.run = oom_run
+    runner.shrink_kv_cache = oom_shrink
+    got = [o["token_ids"] for o in llm.generate(prompts, sp, use_tqdm=False)]
+    runner.run = real_run
+    runner.shrink_kv_cache = real_shrink
+    assert state["run_oom"] == 1 and state["shrink_oom"] == 2
+    assert llm.num_oom_recoveries == 1
+    # Three shrink attempts compounded: 64 -> 56 -> 49 -> 42.
+    assert runner.num_blocks < int(blocks_before * 0.875 * 0.875)
+    assert got == ref, "shrink-retry recovery changed greedy tokens"
+    llm.exit()
+
+
 def test_multihost_oom_fails_fast(tiny_qwen3, monkeypatch):
     """Under multi-host serving the scheduler is REPLICATED: a local
     preempt-all/shrink/rebuild after a device OOM would silently diverge
